@@ -1,0 +1,247 @@
+"""Deterministic synthetic corpora (FIXTURES.md F-A/F-B).
+
+Everything derives from md5 of stable string keys — no global RNG, no
+wall clock — so the same corpus can be generated *distributed* (inside
+mapInPandas on executors, scaling to any size) or single-node (for the
+oracle), byte-identically.
+
+Shapes mirror the reference's data model:
+  - media payload = prob map + per-region CTC logits, standing in for an
+    LMDB record (tools/data/lmdb_dataset.py:115-123 image bytes + label)
+    after the neural forward passes;
+  - interleaved documents = the BASELINE.json input_hint table, with a
+    1% media-heavy skew tail (50x median media spans) to exercise the
+    salted repartition (SURVEY.md §4 O5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from openocr_spark.config import CHAR_TO_ID, NUM_CLASSES
+
+MEDIA_H, MEDIA_W = 96, 160
+_GRID_ROWS, _GRID_COLS = 3, 2  # region placement cells
+
+VOCAB = (
+    "spark scan filter join shuffle window batch arrow kernel span doc "
+    "media text table row column hash sort merge agg map reduce plan "
+    "stage task skew salt bucket stream state detect recognize decode"
+).split()
+
+BOILERPLATE_MARKERS = ["<header>", "<footer>", "<nav>", "<aside>"]
+
+
+def _rng(key: str) -> np.random.RandomState:
+    seed = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+    return np.random.RandomState(seed)
+
+
+def make_logits(text: str, rng: np.random.RandomState, weak: bool = False) -> np.ndarray:
+    """Build CTC logits [T, NUM_CLASSES] that greedy-decode to `text`,
+    with random repeats and blank insertions so the de-dup / drop-blank
+    path (ctc_postprocess.py:62-64) is actually exercised. `weak` logits
+    produce a near-uniform softmax → low confidence → dropped by the
+    drop_score filter (infer_e2e.py:194-201)."""
+    frames: list[int] = []
+    ids = [CHAR_TO_ID[c] for c in text]
+    for i, cid in enumerate(ids):
+        frames.extend([cid] * (1 + int(rng.rand() < 0.3)))
+        # blank is REQUIRED between equal consecutive symbols, optional otherwise
+        if i + 1 < len(ids) and (ids[i + 1] == cid or rng.rand() < 0.4):
+            frames.append(0)
+    if not frames:
+        frames = [0]
+    peak = 0.2 if weak else 8.0
+    logits = np.zeros((len(frames), NUM_CLASSES), dtype=np.float32)
+    logits[np.arange(len(frames)), frames] = peak
+    return logits
+
+
+def payload_for_media_ref(media_ref: str) -> dict:
+    """Deterministic media payload: prob map + GT regions with logits.
+
+    Region flavors (all seeded from the ref string):
+      - normal: painted 0.9 → detected, decoded with high confidence
+      - weak-paint (p=0.10): painted 0.25 < binarize 0.3 → NOT detected
+        (det recall < 1, exercises A4 metrics)
+      - low-conf (p=0.15): detected but weak logits → rec score < 0.5 →
+        text dropped (P2)
+      - ignore (p=0.10): don't-care GT tag (eval_det_iou.py:86)
+    """
+    rng = _rng(media_ref)
+    n_regions = int(rng.randint(1, 6))
+    cells = rng.permutation(_GRID_ROWS * _GRID_COLS)[:n_regions]
+    score_map = np.full((MEDIA_H, MEDIA_W), 0.05, dtype=np.float32)
+    cell_h, cell_w = MEDIA_H // _GRID_ROWS, MEDIA_W // _GRID_COLS
+    regions = []
+    for cell in sorted(cells.tolist()):
+        gr, gc = divmod(cell, _GRID_COLS)
+        y0 = gr * cell_h + int(rng.randint(2, 8))
+        x0 = gc * cell_w + int(rng.randint(2, 12))
+        bh = int(rng.randint(8, cell_h - 10))
+        bw = int(rng.randint(16, cell_w - 16))
+        y1, x1 = y0 + bh, x0 + bw
+        weak_paint = rng.rand() < 0.10
+        low_conf = rng.rand() < 0.15
+        ignore = rng.rand() < 0.10
+        score_map[y0 : y1 + 1, x0 : x1 + 1] = 0.25 if weak_paint else 0.9
+        n_words = 1 + int(rng.rand() < 0.4)
+        gt_text = " ".join(VOCAB[int(rng.randint(len(VOCAB)))] for _ in range(n_words))
+        logits = make_logits(gt_text, rng, weak=low_conf)
+        regions.append(
+            {
+                "points": [[x0, y0], [x1, y0], [x1, y1], [x0, y1]],
+                "ignore": bool(ignore),
+                "gt_text": gt_text,
+                "logits": logits,
+            }
+        )
+    return {
+        "media_ref": media_ref,
+        "width": MEDIA_W,
+        "height": MEDIA_H,
+        "score_map": score_map,
+        "regions": regions,
+    }
+
+
+def payload_row(media_ref: str) -> dict:
+    """payload_for_media_ref serialized to the MEDIA_PAYLOADS schema
+    (numpy → bytes for Arrow transport)."""
+    p = payload_for_media_ref(media_ref)
+    return {
+        "media_ref": p["media_ref"],
+        "width": p["width"],
+        "height": p["height"],
+        "score_map": p["score_map"].tobytes(),
+        "regions": [
+            {
+                "points": r["points"],
+                "ignore": r["ignore"],
+                "gt_text": r["gt_text"],
+                "logits": r["logits"].tobytes(),
+                "logits_t": int(r["logits"].shape[0]),
+            }
+            for r in p["regions"]
+        ],
+    }
+
+
+def _text_span(rng: np.random.RandomState) -> str:
+    kind = rng.rand()
+    if kind < 0.12:  # boilerplate: marker-tagged (P7 analog)
+        marker = BOILERPLATE_MARKERS[int(rng.randint(len(BOILERPLATE_MARKERS)))]
+        body = " ".join(VOCAB[int(rng.randint(len(VOCAB)))] for _ in range(3))
+        return f"{marker} {body}"
+    if kind < 0.18:  # boilerplate: link farm (high href density)
+        return " ".join("href=x" for _ in range(int(rng.randint(4, 9))))
+    if kind < 0.22:  # boilerplate: too short
+        return VOCAB[int(rng.randint(len(VOCAB)))][:2]
+    n = int(rng.randint(5, 25))
+    return " ".join(VOCAB[int(rng.randint(len(VOCAB)))] for _ in range(n))
+
+
+def spans_for_doc(doc_id: str, skew: bool = False) -> list[dict]:
+    """Interleaved span list for one document (FIXTURES.md F-A knobs:
+    spans_per_doc ~ 1..40, media_fraction ~ 0.2; skew docs get ~50x the
+    median media spans)."""
+    rng = _rng(doc_id)
+    n_spans = int(rng.randint(1, 41))
+    spans = []
+    offset = 0
+    media_i = 0
+    n_extra_media = 150 if skew else 0
+    for i in range(n_spans + n_extra_media):
+        force_media = i >= n_spans
+        if force_media or rng.rand() < 0.2:
+            spans.append(
+                {
+                    "kind": "media",
+                    "text": None,
+                    "media_ref": f"media://{doc_id}/{media_i}",
+                    "offset": offset,
+                }
+            )
+            media_i += 1
+            offset += 1
+        else:
+            t = _text_span(rng)
+            spans.append({"kind": "text", "text": t, "media_ref": None, "offset": offset})
+            offset += len(t) + 1
+    return spans
+
+
+def is_skew_doc(doc_idx: int) -> bool:
+    return doc_idx % 100 == 7  # deterministic 1% media-heavy tail
+
+
+def doc_id_for(doc_idx: int) -> str:
+    return f"doc-{doc_idx:08d}"
+
+
+def gen_documents_pdf(n_docs: int) -> pd.DataFrame:
+    """Single-node generator → pandas (doc_id, spans)."""
+    rows = []
+    for i in range(n_docs):
+        did = doc_id_for(i)
+        rows.append({"doc_id": did, "spans": spans_for_doc(did, skew=is_skew_doc(i))})
+    return pd.DataFrame(rows)
+
+
+def media_refs_of(docs_pdf: pd.DataFrame) -> list[str]:
+    refs = []
+    for spans in docs_pdf["spans"]:
+        refs.extend(s["media_ref"] for s in spans if s["kind"] == "media")
+    return refs
+
+
+def gen_media_payloads_pdf(media_refs: list[str]) -> pd.DataFrame:
+    return pd.DataFrame([payload_row(r) for r in media_refs])
+
+
+# ---------------------------------------------------------------- Spark side
+
+
+def documents_df(spark, n_docs: int, partitions: int | None = None):
+    """Distributed deterministic corpus: spark.range → mapInPandas
+    generator. Scales to arbitrary n_docs with no driver materialization
+    (this is how the bench corpus is built)."""
+    from openocr_spark import schemas
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+    rng_df = spark.range(0, n_docs, 1, parts)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["id"].tolist():
+                did = doc_id_for(int(i))
+                out.append(
+                    {"doc_id": did, "spans": spans_for_doc(did, skew=is_skew_doc(int(i)))}
+                )
+            yield pd.DataFrame(out)
+
+    return rng_df.mapInPandas(gen, schema=schemas.DOCUMENTS)
+
+
+def media_payloads_df(spark, documents):
+    """Distributed payload table keyed by media_ref (FIXTURES.md F-B)."""
+    from pyspark.sql import functions as F
+
+    from openocr_spark import schemas
+
+    refs = (
+        documents.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame([payload_row(r) for r in pdf["media_ref"].tolist()])
+
+    return refs.mapInPandas(gen, schema=schemas.MEDIA_PAYLOADS)

@@ -1,0 +1,54 @@
+"""Recognition kernel: CTC greedy decoding, from scratch in numpy.
+
+Semantics follow the reference's CTCLabelDecode
+(/root/reference/openrec/postprocess/ctc_postprocess.py:55-118):
+  - softmax over the class axis, argmax per timestep (:108-109)
+  - drop repeated symbols via a lag compare
+    (`selection[1:] = ids[1:] != ids[:-1]`, :62-64)
+  - drop the blank token (id 0; blank is PREPENDED to the charset,
+    :116-118)
+  - confidence = mean of the max-prob over kept timesteps (:72-84);
+    an empty decode gets score 0.0
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from openocr_spark.config import ID_TO_CHAR
+
+
+def softmax(logits: np.ndarray, axis: int = -1) -> np.ndarray:
+    m = logits.max(axis=axis, keepdims=True)
+    e = np.exp(logits - m)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def ctc_greedy_decode(logits: np.ndarray) -> tuple[str, float]:
+    """logits float32[T, num_classes] → (text, confidence)."""
+    if logits.size == 0:
+        return "", 0.0
+    probs = softmax(logits.astype(np.float64), axis=1)
+    ids = probs.argmax(axis=1)
+    conf = probs.max(axis=1)
+    keep = np.ones(len(ids), dtype=bool)
+    keep[1:] = ids[1:] != ids[:-1]  # de-dup repeats (ctc_postprocess.py:62-64)
+    keep &= ids != 0  # drop blank
+    if not keep.any():
+        return "", 0.0
+    kept_ids = ids[keep]
+    text = "".join(ID_TO_CHAR.get(int(i), "") for i in kept_ids)
+    return text, float(conf[keep].mean())
+
+
+def ctc_greedy_decode_batch(
+    logits_batch: list[np.ndarray],
+) -> tuple[list[str], list[float]]:
+    """Decode a batch. Inside one Arrow batch this is the analog of the
+    reference's padded-batch forward (tools/infer_rec.py:363-429)."""
+    texts, scores = [], []
+    for lg in logits_batch:
+        t, s = ctc_greedy_decode(lg)
+        texts.append(t)
+        scores.append(s)
+    return texts, scores

@@ -1,0 +1,196 @@
+"""The flagship extraction pipeline (SURVEY.md §4 physical plan).
+
+Logical flow (one declarative DataFrame plan; reference flow traced in
+SURVEY §3.1-3.2 from tools/infer_e2e.py:220-402 / infer_doc_onnx.py:758-1028):
+
+  scan documents
+  → posexplode(spans)                                   [narrow]
+  → split on kind:
+      text  → boilerplate classifier (vectorized exprs) → keep clean
+      media → [optional join media_payloads on media_ref]
+            → repartition(P, media_ref)   ← THE one salted wide shuffle:
+              distributes media work uniformly regardless of how many
+              media spans a single document has (media-heavy skew tail,
+              SURVEY §4 O5)
+            → mapInPandas det+rec kernel (Arrow-batched; per-batch numpy)
+  → unionByName
+  → groupBy(doc_id): collect → array_sort by offset → index ⇒ `order`
+    [second shuffle, partitioned by doc_id]
+
+Scale notes (100 TB / 10^12 docs):
+  - the documents scan only reads (doc_id, spans) — column pruning via
+    Catalyst; at Iceberg scale, partition pruning by the manifest
+    anti-join happens before this plan (operators/manifest.py).
+  - the media_payloads join is an equi-join on media_ref; with both
+    tables bucketed by media_ref (Iceberg `bucket(N, media_ref)`) it is
+    a storage-partitioned join — no shuffle of the heavy payload side.
+  - the kernel stage holds ≤ arrow.maxRecordsPerBatch payloads in memory
+    per task; executor memory is bounded regardless of doc skew.
+  - final assembly groups whole documents so the reading-order semantics
+    (W1) stay exact under distribution.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openocr_spark import schemas
+from openocr_spark.config import DEFAULT_CONFIG, ExtractConfig
+from openocr_spark.kernels.detection import (
+    assign_regions_to_boxes,
+    detect_boxes,
+    sorted_boxes,
+)
+from openocr_spark.kernels.recognition import ctc_greedy_decode
+from openocr_spark.operators.boilerplate import is_boilerplate
+
+
+def explode_spans(documents: DataFrame) -> DataFrame:
+    """documents → one row per span (doc_id, span_idx, kind, text,
+    media_ref, offset). posexplode keeps the array position for free."""
+    return documents.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).select("doc_id", "span_idx", "span.*")
+
+
+def _process_media_arrays(
+    prob: np.ndarray, regions: list[dict], cfg: ExtractConfig
+) -> str:
+    """Per-media kernel flow: detect → reading order → recognize → filter
+    → newline-join (infer_e2e.py:155-218 infer_single_image analog)."""
+    boxes, _scores = detect_boxes(
+        prob,
+        thresh=cfg.binarize_thresh,
+        box_thresh=cfg.box_thresh,
+        min_size=cfg.min_size,
+        unclip_ratio=cfg.unclip_ratio,
+    )
+    boxes = sorted_boxes(boxes, line_tol=cfg.line_tol)
+    pts = [np.asarray(r["points"]) for r in regions]
+    texts = []
+    for box, ridx in zip(boxes, assign_regions_to_boxes(boxes, pts)):
+        if ridx < 0:
+            continue
+        reg = regions[ridx]
+        logits = reg["logits"]
+        if isinstance(logits, (bytes, bytearray)):
+            logits = np.frombuffer(logits, dtype=np.float32).reshape(
+                int(reg["logits_t"]), -1
+            )
+        text, score = ctc_greedy_decode(logits)
+        if score >= cfg.drop_score:
+            texts.append(text)
+    return "\n".join(texts)
+
+
+def _media_kernel(cfg: ExtractConfig, synthesize: bool):
+    """mapInPandas kernel. If `synthesize`, payloads are generated
+    deterministically from media_ref inside the executor (fixture path —
+    distributes generation, nothing crosses the driver); otherwise the
+    payload columns come from the joined media_payloads table."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from openocr_spark.fixtures import payload_for_media_ref
+
+        for pdf in batches:
+            out_text = []
+            for i in range(len(pdf)):
+                if synthesize:
+                    p = payload_for_media_ref(pdf["media_ref"].iloc[i])
+                    prob, regions = p["score_map"], p["regions"]
+                else:
+                    h = int(pdf["height"].iloc[i])
+                    w = int(pdf["width"].iloc[i])
+                    prob = np.frombuffer(
+                        pdf["score_map"].iloc[i], dtype=np.float32
+                    ).reshape(h, w)
+                    regions = list(pdf["regions"].iloc[i])
+                out_text.append(_process_media_arrays(prob, regions, cfg))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "offset": pdf["offset"].astype("int32"),
+                    "kind": "media",
+                    "text": out_text,
+                    "media_ref": pdf["media_ref"],
+                }
+            )
+
+    return kernel
+
+
+def extract_flat(
+    documents: DataFrame,
+    media_payloads: DataFrame | None = None,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """documents → surviving span rows (doc_id, offset, kind, text,
+    media_ref) BEFORE order assignment. Text spans stay entirely
+    JVM-side; media spans cross into kernel space once."""
+    spark = documents.sparkSession
+    spans = explode_spans(documents)
+
+    text_out = (
+        spans.filter(F.col("kind") == "text")
+        .filter(~is_boilerplate(F.col("text")))
+        .select("doc_id", "offset", "kind", "text", F.lit(None).cast("string").alias("media_ref"))
+    )
+
+    media = spans.filter(F.col("kind") == "media").select("doc_id", "offset", "media_ref")
+    n_parts = cfg.media_partitions or 2 * spark.sparkContext.defaultParallelism
+    if media_payloads is not None:
+        media = media.join(media_payloads, "media_ref")
+    # the ONE salted wide shuffle: uniform distribution of media work,
+    # immune to media-heavy documents (media_ref is unique per span)
+    media = media.repartition(n_parts, "media_ref")
+    media_out = media.mapInPandas(
+        _media_kernel(cfg, synthesize=media_payloads is None), schema=schemas.SPAN_ROW
+    ).select("doc_id", "offset", "kind", "text", "media_ref")
+
+    return text_out.unionByName(media_out)
+
+
+def extract(
+    documents: DataFrame,
+    media_payloads: DataFrame | None = None,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Full pipeline → extractions (doc_id, spans array<struct<kind,
+    text, media_ref, order>>). One groupBy(doc_id) shuffle does ordering
+    + assembly: collect_list → array_sort on offset (struct comparison
+    sorts by the first field) → transform-with-index assigns `order`.
+    This avoids a separate window shuffle.
+
+    Every input document appears in the output — a doc whose spans were
+    all filtered still gets an empty span array (the reference emits a
+    result record per input image even when nothing survives,
+    tools/infer_doc_onnx.py:1012-1022); at 10^12-doc scale, dropping
+    empty docs would make 'processed, empty' indistinguishable from
+    'not yet processed' for resume/audit."""
+    flat = extract_flat(documents, media_payloads, cfg)
+    assembled = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+        ),
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("order"),
+        ),
+    )
+    agg = flat.groupBy("doc_id").agg(assembled.alias("spans"))
+    empty = (
+        "CAST(array() AS "
+        "array<struct<kind:string,text:string,media_ref:string,order:int>>)"
+    )
+    return (
+        documents.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("spans"), F.expr(empty)).alias("spans"))
+    )

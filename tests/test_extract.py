@@ -1,0 +1,90 @@
+"""End-to-end span-sequence equality: distributed pipeline vs the
+independent single-node oracle, on a corpus that includes the
+media-heavy skew tail. The per-row invariant is exactly the north rule:
+(kind, text, media_ref, order) per document."""
+
+import pandas as pd
+import pytest
+
+from openocr_spark import schemas
+from openocr_spark.fixtures import (
+    documents_df,
+    gen_documents_pdf,
+    gen_media_payloads_pdf,
+    media_refs_of,
+)
+from openocr_spark.operators.extract import explode_spans, extract
+from openocr_spark.oracle import extract_oracle
+
+N_DOCS = 40  # includes doc idx 7 (skew doc, 150 extra media spans)
+
+
+def _spans_map(rows):
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]
+        ]
+        for r in rows
+    }
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return gen_documents_pdf(N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def expected(docs_pdf):
+    return _spans_map(extract_oracle(docs_pdf).to_dict("records"))
+
+
+def _docs_df(spark, docs_pdf):
+    return spark.createDataFrame(docs_pdf.to_dict("records"), schema=schemas.DOCUMENTS)
+
+
+def test_extract_matches_oracle_synthesized_payloads(spark, docs_pdf, expected):
+    docs = _docs_df(spark, docs_pdf)
+    got = _spans_map([r.asDict(recursive=True) for r in extract(docs).collect()])
+    assert got == expected
+
+
+def test_extract_matches_oracle_joined_payloads(spark, docs_pdf, expected):
+    docs = _docs_df(spark, docs_pdf)
+    payloads_pdf = gen_media_payloads_pdf(media_refs_of(docs_pdf))
+    payloads = spark.createDataFrame(
+        payloads_pdf.to_dict("records"), schema=schemas.MEDIA_PAYLOADS
+    )
+    got = _spans_map(
+        [r.asDict(recursive=True) for r in extract(docs, payloads).collect()]
+    )
+    assert got == expected
+
+
+def test_distributed_generator_matches_single_node(spark, docs_pdf):
+    dist = documents_df(spark, N_DOCS, partitions=4)
+    got = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in (x.asDict(recursive=True) for x in dist.collect())
+    }
+    want = {
+        row["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]
+        ]
+        for _, row in docs_pdf.iterrows()
+    }
+    assert got == want
+
+
+def test_skew_doc_present_and_media_heavy(docs_pdf):
+    skew = docs_pdf[docs_pdf.doc_id == "doc-00000007"].iloc[0]
+    n_media = sum(1 for s in skew["spans"] if s["kind"] == "media")
+    assert n_media >= 150
+
+
+def test_explode_spans_shape(spark, docs_pdf):
+    docs = _docs_df(spark, docs_pdf)
+    flat = explode_spans(docs)
+    assert flat.columns == ["doc_id", "span_idx", "kind", "text", "media_ref", "offset"]
+    assert flat.count() == int(docs_pdf["spans"].map(len).sum())
