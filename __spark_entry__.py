@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship extraction pipeline on sf0.001: flat driver
+                 docs → interleaved spans → boilerplate strip + media
+                 detect/recognize kernels → ordered span assembly.
+queries()      — one entry per implemented operator (SURVEY.md §2 +
+                 training-data-pipeline ops); see openocr_spark/queries.py.
+oracle_sql()   — DuckDB-equivalent SQL per query (omitted only for the
+                 kernel-space extraction pipeline, which pytest instead
+                 verifies span-for-span against the pandas oracle).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+from openocr_spark.queries import ORACLE_Q, SPARK_Q, load  # noqa: E402
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make openocr_spark importable on Python workers regardless of the
+    driver's cwd (the --py-files mechanism)."""
+    from openocr_spark.session import package_zip
+
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added in this context
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _ship_package(spark)
+    from openocr_spark.operators.extract import extract
+    from openocr_spark.operators.ingest import interleave
+
+    docs = interleave(load(spark, "/root/testdata/sf0.001", "documents"))
+    return extract(docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return run
+
+    return {name: wrap(fn) for name, fn in SPARK_Q.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_Q)

@@ -1,0 +1,163 @@
+"""Deduplication operators for web-scale corpora — exact, MinHash+LSH,
+n-gram Jaccard, SimHash. All JVM-side expressions (no Python UDFs);
+hashes are md5-based so the DuckDB oracle can reproduce them bit-for-bit.
+
+Scale notes: every variant is a shuffle-on-key design —
+  exact:   one hash aggregation on the fingerprint (map-side partial agg)
+  minhash: explode shingles → per-doc agg (one shuffle) → explode bands →
+           self-join on (band_idx, band_key); band buckets are the only
+           quadratic surface and stay small when bands are wide
+  jaccard: shingle inverted index self-join, guarded by a candidate cap —
+           at 100 TB you run this per-LSH-bucket, never globally
+  simhash: explode tokens → 16 bit-majority aggregations → group by code
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASHES = 8
+N_BANDS = 4  # 2 hashes per band
+
+
+def exact_dedup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: per duplicate-group size and
+    canonical (min) id. One partial-aggregated shuffle."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def shingle_array(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (built-in transform over
+    token indices — stays in codegen)."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(F.size(toks) >= n, F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs — the inverted-index base relation."""
+    return (
+        df.select(F.col(id_col).alias("id"), shingle_array(F.col(text_col), n).alias("sh"))
+        .select("id", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: for each of N_MINHASHES seeded hash
+    functions, the minimum md5 of (shingle + seed). min() over hex
+    strings is engine-portable and order-free."""
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{s}")))).alias(f"h{s}")
+        for s in range(N_MINHASHES)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """Signature → (id, band_idx, band_key) rows; band_key = md5 of the
+    band's concatenated minhashes."""
+    per_band = N_MINHASHES // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat(*[F.col(f"h{b * per_band + j}") for j in range(per_band)])
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sigs.select("id", F.explode(bands).alias("b")).select(
+        "id", "b.band_idx", "b.band_key"
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: pairs sharing ≥1 band, with the
+    number of agreeing bands. The self-join is on (band_idx, band_key) —
+    bucket-local, never all-pairs."""
+    bands = lsh_bands(minhash_signatures(df, id_col, text_col))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle:
+    |A∩B| from the inverted-index self-join, |A|,|B| from per-doc counts,
+    J = common / (|A|+|B|-common). Returns pairs with J ≥ threshold."""
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over word tokens. Bit i of a token = parity of the
+    ascii code of hex digit i of md5(token) — engine-portable (ascii/substr
+    /md5 behave identically in Spark and DuckDB). Document bit i = majority
+    vote over tokens; code = Σ bit_i · 2^i."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    bit_votes = [
+        F.sum(
+            F.when(F.ascii(F.substring(F.col("h"), i + 1, 1)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(16)
+    ]
+    votes = toks.groupBy("id").agg(*bit_votes)
+    code = None
+    for i in range(16):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
+    return votes.select("id", code.cast("int").alias("simhash"))

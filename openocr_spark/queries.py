@@ -1,0 +1,795 @@
+"""Driver-contract query library: every SQL-expressible operator from
+SURVEY.md §2 plus the training-data-pipeline operators, as
+(Spark DataFrame builder, DuckDB oracle SQL) pairs over the driver's
+testdata tables at /root/testdata/sf*/.
+
+Conventions that keep the Spark/DuckDB value-hash compare stable:
+  - every computed column is aliased identically on both sides
+  - double aggregates are round()ed on both sides (summation order
+    differs between engines; rounding absorbs the drift)
+  - DuckDB integer sums are CAST to BIGINT (DuckDB sums to HUGEINT)
+  - rankings over doubles rank the *rounded* value with an id tiebreak
+  - timestamps leave results as formatted strings
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from openocr_spark.operators import dedup, similarity, textstats
+from openocr_spark.operators.extract import extract
+from openocr_spark.operators.ingest import interleave
+from openocr_spark.operators.sessionize import sessionize
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# each q_* returns (spark_builder, oracle_sql | None)
+
+SPARK_Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_Q: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        SPARK_Q[name] = fn
+        if oracle is not None:
+            ORACLE_Q[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------- aggregations
+
+@q(
+    "pruned_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                            AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                       AS sum_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+           ROUND(AVG(l_discount), 6)                            AS avg_disc,
+           COUNT(*)                                             AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pruned_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: partial/final hash aggregation with a pushed-down
+    scan filter (SURVEY §2.4 A4: DetMetric partial sums → global sums)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "filter_project",
+    """
+    SELECT o_orderkey, o_custkey, o_orderpriority
+    FROM orders
+    WHERE o_totalprice >= 400000 AND o_orderstatus = 'F'
+    """,
+)
+def q_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Projection + predicate (SURVEY §2.2 P1 KeepKeys / P2 score filter);
+    both reach the parquet scan (PushedFilters + ReadSchema)."""
+    return (
+        load(spark, sf, "orders")
+        .filter((F.col("o_totalprice") >= 400000) & (F.col("o_orderstatus") == "F"))
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    )
+
+
+@q(
+    "join_agg",
+    """
+    SELECT c.c_mktsegment                          AS mktsegment,
+           COUNT(*)                                AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2)           AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-join + aggregation (SURVEY §2.3 J1 det→rec zip as equi-join)."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@q(
+    "broadcast_dim_join",
+    """
+    SELECT n.n_name                                AS nation,
+           COUNT(*)                                AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2)              AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_broadcast_dim_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-dim broadcast join (SURVEY §4 O10): nation is broadcast, no
+    shuffle of the fact side for the join itself."""
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@q(
+    "anti_join",
+    """
+    SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_customers_no_orders
+    FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left anti-join (SURVEY §2.3 J3: dets vs don't-care regions)."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_customers_no_orders"))
+    )
+
+
+@q(
+    "semi_join",
+    """
+    SELECT o.o_orderpriority AS priority, COUNT(*) AS n_orders
+    FROM orders o SEMI JOIN customer c
+      ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left semi-join (SURVEY §2.7 SO4 drop_figures_set membership)."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# ------------------------------------------------------------- windows
+
+@q(
+    "window_label",
+    """
+    SELECT o_custkey, o_orderkey,
+           printf('ord_%02d', CAST(rn AS INT)) AS order_label
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 2
+    """,
+)
+def q_window_label(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered numbering + label formatting (SURVEY §2.5 W2/W3:
+    reading-order sort + `label_{idx:02d}` numbering)."""
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.format_string("ord_%02d", F.col("rn")).alias("order_label"),
+        )
+    )
+
+
+@q(
+    "topk_per_group",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC,
+                                         l_orderkey, l_linenumber) AS rn
+      FROM lineitem)
+    WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k per group (SURVEY §2.6 L1 max_candidates cap)."""
+    li = load(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@q(
+    "running_sum",
+    """
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS running_value
+    FROM events
+    """,
+)
+def q_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative windowed sum (SURVEY §2.4 A8 compute_ap running
+    precision / §2.5 W7)."""
+    ev = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+# ----------------------------------------------------- rollups / unions
+
+@q(
+    "rollup_suites",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_suites(spark: SparkSession, sf: str) -> DataFrame:
+    """Rollup (SURVEY §2.4 note: the multi-benchmark CSV is a manual
+    rollup — eval_rec_all_en.py:127-177 weighted rows + totals)."""
+    li = load(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "union_suites",
+    """
+    SELECT suite, event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+    FROM (
+      SELECT 'high' AS suite, event_type, value FROM events WHERE value >= 50
+      UNION ALL
+      SELECT 'low'  AS suite, event_type, value FROM events WHERE value < 50)
+    GROUP BY suite, event_type
+    """,
+)
+def q_union_suites(spark: SparkSession, sf: str) -> DataFrame:
+    """Union of sub-scans with a suite literal (SURVEY §2.7 SO2/SO3:
+    LMDB sub-dir union, test-suite union)."""
+    ev = load(spark, sf, "events")
+    hi = ev.filter(F.col("value") >= 50).select(
+        F.lit("high").alias("suite"), "event_type", "value"
+    )
+    lo = ev.filter(F.col("value") < 50).select(
+        F.lit("low").alias("suite"), "event_type", "value"
+    )
+    return (
+        hi.unionByName(lo)
+        .groupBy("suite", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+
+
+@q(
+    "hist_buckets",
+    """
+    SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS len_bucket,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY len_bucket
+    """,
+)
+def q_hist_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed histogram (SURVEY §2.4 A6 per-length accuracy buckets)."""
+    d = load(spark, sf, "documents")
+    return (
+        d.groupBy(
+            (F.floor(F.col("n_chars") / 50) * 50).cast("bigint").alias("len_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@q(
+    "weighted_avg",
+    """
+    SELECT lang,
+           ROUND(SUM(n_chars * token_cnt) / SUM(token_cnt), 4) AS weighted_chars
+    FROM (SELECT lang, n_chars,
+                 len(string_split(text, ' ')) AS token_cnt FROM documents)
+    GROUP BY lang
+    """,
+)
+def q_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-weighted average (SURVEY §2.4 A7 weighted benchmark avgs:
+    sum(acc*n)/sum(n))."""
+    d = load(spark, sf, "documents")
+    tc = textstats.token_count(F.col("text")).alias("token_cnt")
+    return (
+        d.select("lang", "n_chars", tc)
+        .groupBy("lang")
+        .agg(
+            F.round(
+                F.sum(F.col("n_chars") * F.col("token_cnt")) / F.sum("token_cnt"), 4
+            ).alias("weighted_chars")
+        )
+    )
+
+
+# ------------------------------------------------- scalar function suite
+
+@q(
+    "charset_filter",
+    """
+    SELECT lang, COUNT(*) AS n_in_charset
+    FROM documents
+    WHERE regexp_matches(text, '^[a-z0-9 ]*$')
+    GROUP BY lang
+    """,
+)
+def q_charset_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Charset-membership filter (SURVEY §2.2 P10 CharsetAdapter)."""
+    d = load(spark, sf, "documents")
+    return (
+        d.filter(textstats.charset_ok(F.col("text")))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_in_charset"))
+    )
+
+
+@q(
+    "clip_bounds",
+    """
+    SELECT doc_id,
+           LEAST(GREATEST(n_chars, 100), 400)            AS clipped_chars,
+           CAST(json_extract_string('{"v": ' || CAST(n_chars AS VARCHAR) || '}',
+                                    '$.v') AS BIGINT)    AS json_roundtrip
+    FROM documents
+    """,
+)
+def q_clip_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    """Coordinate clipping (SURVEY §2.6 L3/L5 greatest/least bounds) +
+    JSON encode/decode roundtrip (§2.8 F14)."""
+    d = load(spark, sf, "documents")
+    payload = F.concat(F.lit('{"v": '), F.col("n_chars").cast("string"), F.lit("}"))
+    return d.select(
+        "doc_id",
+        F.least(F.greatest(F.col("n_chars"), F.lit(100)), F.lit(400)).alias(
+            "clipped_chars"
+        ),
+        F.get_json_object(payload, "$.v").cast("bigint").alias("json_roundtrip"),
+    )
+
+
+@q(
+    "rec_metric_analog",
+    """
+    SELECT lang,
+           ROUND(AVG(CASE WHEN pred = gt THEN 1.0 ELSE 0.0 END), 6) AS acc,
+           ROUND(AVG(1.0 - levenshtein(pred, gt) /
+                     GREATEST(len(pred), len(gt), 1)), 6)           AS one_minus_ned
+    FROM (
+      SELECT lang,
+             regexp_replace(substr(text, 1, 64), '[^0-9a-z]', '', 'g') AS pred,
+             replace(substr(text, 1, 64), ' ', '')                     AS gt
+      FROM documents)
+    GROUP BY lang
+    """,
+)
+def q_rec_metric_analog(spark: SparkSession, sf: str) -> DataFrame:
+    """RecMetric semantics (SURVEY §2.4 A5, §2.8 F3-F5): exact-match acc +
+    1−normalized edit distance, with the reference's charset
+    normalization (rec_metric.py:54-58 keep [0-9a-z]; 80-88 ignore
+    spaces; rapidfuzz normalizes by max length — computed explicitly
+    since Spark's levenshtein returns the raw distance)."""
+    d = load(spark, sf, "documents")
+    head = F.substring(F.col("text"), 1, 64)
+    pred = F.regexp_replace(head, "[^0-9a-z]", "")
+    gt = F.replace(head, F.lit(" "), F.lit(""))
+    base = d.select("lang", pred.alias("pred"), gt.alias("gt"))
+    ned = F.levenshtein("pred", "gt") / F.greatest(
+        F.length("pred"), F.length("gt"), F.lit(1)
+    )
+    return base.groupBy("lang").agg(
+        F.round(F.avg(F.when(F.col("pred") == F.col("gt"), 1.0).otherwise(0.0)), 6).alias("acc"),
+        F.round(F.avg(1.0 - ned), 6).alias("one_minus_ned"),
+    )
+
+
+# ------------------------------------------- text-pipeline operators
+
+@q(
+    "token_count",
+    """
+    SELECT source,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(len(string_split(text, ' '))), 4)       AS avg_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    tc = textstats.token_count(F.col("text"))
+    return d.groupBy("source").agg(
+        F.sum(tc).alias("total_tokens"),
+        F.round(F.avg(tc), 4).alias("avg_tokens"),
+    )
+
+
+@q(
+    "quality_score",
+    """
+    SELECT lang,
+           ROUND(AVG(
+             (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the','a','of','and','to','in','is')))
+                     / GREATEST(len(string_split(text, ' ')), 1) >= 0.01
+                     THEN 1.0 ELSE 0.0 END
+              + CASE WHEN length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                     / GREATEST(length(text), 1) <= 0.2
+                     THEN 1.0 ELSE 0.0 END) / 3.0), 6) AS avg_quality
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.round(F.avg(textstats.quality_score(F.col("text"))), 6).alias("avg_quality")
+    )
+
+
+@q(
+    "lang_id",
+    """
+    SELECT CASE WHEN len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the','a','of','and','to','in','is')))
+                 / GREATEST(len(string_split(text, ' ')), 1) >= 0.02
+           THEN 'en' ELSE 'other' END AS lang_pred,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang_pred
+    """,
+)
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.groupBy(textstats.lang_id(F.col("text")).alias("lang_pred")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@q(
+    "fingerprint",
+    """
+    SELECT doc_id, md5(text) AS fingerprint,
+           substr(md5(text), 1, 8) AS fp_prefix
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    fp = textstats.fingerprint(F.col("text"))
+    return d.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("fp_prefix")
+    )
+
+
+# --------------------------------------------------- dedup operators
+
+@q(
+    "exact_dedup",
+    """
+    SELECT md5(text) AS fingerprint,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dedup.exact_dedup_stats(d, "doc_id", "text")
+
+
+_SHINGLE_SQL = """
+      SELECT DISTINCT doc_id AS id, sh AS shingle
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, GREATEST(len(string_split(text,' ')) - 1, 1)),
+                 i -> string_split(text,' ')[i] || ' ' ||
+                      string_split(text,' ')[i+1] || ' ' ||
+                      string_split(text,' ')[i+2])) AS sh
+        FROM documents
+        WHERE len(string_split(text,' ')) >= 3)
+"""
+
+
+@q(
+    "minhash_signatures",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL})
+    SELECT id,
+           MIN(md5(shingle || '#0')) AS h0, MIN(md5(shingle || '#1')) AS h1,
+           MIN(md5(shingle || '#2')) AS h2, MIN(md5(shingle || '#3')) AS h3,
+           MIN(md5(shingle || '#4')) AS h4, MIN(md5(shingle || '#5')) AS h5,
+           MIN(md5(shingle || '#6')) AS h6, MIN(md5(shingle || '#7')) AS h7
+    FROM sh GROUP BY id
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dedup.minhash_signatures(d, "doc_id", "text")
+
+
+@q(
+    "lsh_pairs",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (
+      SELECT id,
+             MIN(md5(shingle || '#0')) AS h0, MIN(md5(shingle || '#1')) AS h1,
+             MIN(md5(shingle || '#2')) AS h2, MIN(md5(shingle || '#3')) AS h3,
+             MIN(md5(shingle || '#4')) AS h4, MIN(md5(shingle || '#5')) AS h5,
+             MIN(md5(shingle || '#6')) AS h6, MIN(md5(shingle || '#7')) AS h7
+      FROM sh GROUP BY id),
+    bands AS (
+      SELECT id, 0 AS band_idx, md5(h0 || h1) AS band_key FROM sig
+      UNION ALL SELECT id, 1, md5(h2 || h3) FROM sig
+      UNION ALL SELECT id, 2, md5(h4 || h5) FROM sig
+      UNION ALL SELECT id, 3, md5(h6 || h7) FROM sig)
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_bands
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+    GROUP BY a.id, b.id
+    """,
+)
+def q_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dedup.lsh_candidate_pairs(d, "doc_id", "text")
+
+
+@q(
+    "ngram_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           ROUND(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.1
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.1)
+
+
+@q(
+    "simhash",
+    """
+    WITH toks AS (
+      SELECT id, md5(tok) AS h FROM (
+        SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)),
+    votes AS (
+      SELECT id,
+             {vote_cols}
+      FROM toks GROUP BY id)
+    SELECT id, CAST({code_expr} AS INT) AS simhash FROM votes
+    """.format(
+        vote_cols=",\n             ".join(
+            f"SUM(CASE WHEN ascii(substr(h, {i + 1}, 1)) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) AS v{i}"
+            for i in range(16)
+        ),
+        code_expr=" + ".join(
+            f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+        ),
+    ),
+)
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dedup.simhash16(d, "doc_id", "text")
+
+
+# ------------------------------------------- embedding similarity
+
+def _query_vec(spark: SparkSession, sf: str) -> tuple[list[float], int]:
+    row = (
+        load(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding", "label")
+        .collect()[0]
+    )
+    return [float(x) for x in row[0]], int(row[1])
+
+
+_COS_SQL = """
+      list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) /
+      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[]))) *
+       sqrt(list_dot_product(q.qv, q.qv)))
+"""
+
+
+@q(
+    "cosine_topk",
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, cos_sim, rank FROM (
+      SELECT vec_id,
+             ROUND({_COS_SQL}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (ORDER BY ROUND({_COS_SQL}, 6) DESC, vec_id) AS rank
+      FROM embeddings, q)
+    WHERE rank <= 10
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline)."""
+    vec, _ = _query_vec(spark, sf)
+    out = similarity.cosine_topk(load(spark, sf, "embeddings"), vec, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@q(
+    "ann_ivf",
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+               FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, cos_sim, rank FROM (
+      SELECT vec_id,
+             ROUND({_COS_SQL}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (ORDER BY ROUND({_COS_SQL}, 6) DESC, vec_id) AS rank
+      FROM embeddings, q WHERE embeddings.label = q.ql)
+    WHERE rank <= 5
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style pruned ANN: only the query's cell is scanned (partition
+    pruning at scale)."""
+    vec, label = _query_vec(spark, sf)
+    out = similarity.cosine_topk_ivf(load(spark, sf, "embeddings"), vec, label, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@q(
+    "near_dup_embeddings",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
+    """,
+)
+def q_near_dup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, cell-bucketed self-join."""
+    return similarity.near_dup_pairs(load(spark, sf, "embeddings"), threshold=0.5)
+
+
+# --------------------------------------------------- stream-shaped
+
+@q(
+    "sessionize",
+    """
+    SELECT user_id,
+           CAST(MAX(session_seq) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM (
+      SELECT user_id, value,
+             SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM (
+        SELECT user_id, ts, event_id, value,
+               epoch(ts) - LAG(epoch(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events))
+    GROUP BY user_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based session windows (SURVEY §2.9: the batch formulation of
+    the reference's stream-shaped pipeline; streaming variant in
+    streaming/jobs.py)."""
+    ev = load(spark, sf, "events")
+    s = sessionize(ev, gap_seconds=1800)
+    return s.groupBy("user_id").agg(
+        F.max("session_seq").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# ------------------------------------- the flagship (non-SQL, rows-only)
+
+@q("extract_spans", None)
+def q_extract_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship extraction pipeline: flat driver docs → interleaved
+    spans → boilerplate strip + detect/recognize kernels → ordered span
+    assembly. Not SQL-expressible (kernel space) — driver records a
+    rows-only check; span-level correctness is pytest's oracle-equality
+    suite."""
+    docs = interleave(load(spark, sf, "documents"))
+    out = extract(docs)
+    return out.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("media"))).alias(
+            "n_media_spans"
+        ),
+    )
