@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from openocr_spark.operators.ingest import interleave
 
     docs = interleave(load(spark, "/root/testdata/sf0.001", "documents"))
-    return extract(docs)
+    return extract(docs, persist_spans=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ..., ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[k]       (default 32)
+  BENCH_ONLY           comma list of query names to run (default: headline set)
+  BENCH_FIXTURE_DOCS   synthetic interleaved corpus size (default 20000)
+
+Each query is forced with a noop-format write (materializes every column,
+no driver collect). Progress goes to stderr; stdout carries only the JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from openocr_spark.queries import SPARK_Q  # noqa: E402
+from openocr_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pruned_agg",
+    "join_agg",
+    "broadcast_dim_join",
+    "window_label",
+    "running_sum",
+    "rollup_suites",
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_pairs",
+    "simhash",
+    "cosine_topk",
+    "near_dup_embeddings",
+    "sessionize",
+    "extract_spans",
+    "extract_fixture",
+]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_fixture = int(os.environ.get("BENCH_FIXTURE_DOCS", "20000"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    only = os.environ.get("BENCH_ONLY")
+    names = only.split(",") if only else HEADLINE
+
+    if os.environ.get("BENCH_PIN_CPUS") == "1":
+        # pin the whole process tree (JVM + python workers) to `cpus`
+        # cores — honest executor simulation: a k-core executor runs its
+        # python workers on those same k cores, so local[8] can't borrow
+        # idle cores for kernel work when compared against local[32]
+        os.sched_setaffinity(0, set(range(cpus)))
+        log(f"pinned to cpus 0-{cpus - 1}")
+
+    spark = get_spark("openocr-spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus * 2, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from openocr_spark.fixtures import documents_df
+    from openocr_spark.operators.extract import extract
+
+    # warmup: spin up the Python worker pool + Arrow + codegen once, so
+    # per-query timings reflect steady state rather than first-job setup
+    log("warmup...")
+    force(extract(documents_df(spark, 64)))
+    next(iter(SPARK_Q.values()))(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    for name in names:
+        t0 = time.monotonic()
+        if name == "extract_fixture":
+            # materialize the synthetic interleaved corpus to parquet
+            # UNTIMED (the north metric is extraction throughput over an
+            # Iceberg-style table, not corpus generation), then time the
+            # extraction job reading from the table
+            corpus = os.path.join(
+                os.environ.get("TMPDIR", "/tmp"), f"bench_corpus_{n_fixture}"
+            )
+            if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+                log(f"materializing corpus {n_fixture} docs -> {corpus}")
+                documents_df(spark, n_fixture).write.mode("overwrite").parquet(corpus)
+            docs = spark.read.parquet(corpus)
+            out = extract(docs)
+            dt = None
+            for _ in range(max(repeat, 1)):
+                t0 = time.monotonic()
+                force(out)
+                run = time.monotonic() - t0
+                dt = run if dt is None else min(dt, run)
+                log(f"extract_fixture trial: {run:.2f}s")
+            n_spans = int(
+                out.select(F.sum(F.size("spans")).alias("s")).collect()[0]["s"]
+            )
+            extras["fixture_docs"] = float(n_fixture)
+            extras["fixture_spans"] = float(n_spans)
+            extras["docs_per_sec"] = round(n_fixture / dt, 2)
+            extras["spans_per_sec"] = round(n_spans / dt, 2)
+        elif name in SPARK_Q:
+            force(SPARK_Q[name](spark, sf_dir))
+            dt = time.monotonic() - t0
+        else:
+            log(f"skip unknown query {name}")
+            continue
+        timings[name] = round(dt, 3)
+        log(f"{name}: {dt:.2f}s")
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        **extras,
+    }
+    print(json.dumps(result), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -88,7 +88,18 @@ def payload_for_media_ref(media_ref: str) -> dict:
         weak_paint = rng.rand() < 0.10
         low_conf = rng.rand() < 0.15
         ignore = rng.rand() < 0.10
-        score_map[y0 : y1 + 1, x0 : x1 + 1] = 0.25 if weak_paint else 0.9
+        # paint the SHRUNK kernel region, as DBNet's training targets do
+        # (MakeShrinkMap: offset = area*(1-r^2)/perimeter with r=0.4,
+        # opendet/preprocess/db_label_encode.py:66-216); detection's
+        # unclip (ratio 1.5) then approximately restores the full GT
+        # extent — the real DB shrink/unclip pairing
+        area = float((bw + 1) * (bh + 1))
+        perim = 2.0 * (bw + bh + 2)
+        d = int(round(area * 0.84 / perim))
+        d = max(0, min(d, (bw - 4) // 2, (bh - 4) // 2))
+        score_map[y0 + d : y1 - d + 1, x0 + d : x1 - d + 1] = (
+            0.25 if weak_paint else 0.9
+        )
         n_words = 1 + int(rng.rand() < 0.4)
         gt_text = " ".join(VOCAB[int(rng.randint(len(VOCAB)))] for _ in range(n_words))
         logits = make_logits(gt_text, rng, weak=low_conf)

@@ -1,0 +1,40 @@
+"""Column-expression implementations (JVM-side, codegen'd) of the
+reference's string semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_alnum(c: Column) -> Column:
+    """Keep [0-9a-zA-Z] only (rec_metric.py:54-58 _normalize_text)."""
+    return F.regexp_replace(c, "[^0-9a-zA-Z]", "")
+
+
+def ignore_space(c: Column) -> Column:
+    """lower + strip spaces (rec_metric.py:80-88 lowercase/ignore-space
+    normalization variants)."""
+    return F.replace(F.lower(c), F.lit(" "), F.lit(""))
+
+
+def normalized_levenshtein(a: Column, b: Column) -> Column:
+    """rapidfuzz-style normalized distance = lev / max(len_a, len_b, 1)
+    (rec_metric.py:89,147 — Spark's levenshtein returns the raw distance,
+    so the max-length normalization is computed explicitly; SURVEY §2.8
+    F5 semantics check)."""
+    return F.levenshtein(a, b) / F.greatest(F.length(a), F.length(b), F.lit(1))
+
+
+def formula_dollars(c: Column) -> Column:
+    r"""LaTeX delimiter rewrite: \( \) → $, \[ \] → $$
+    (infer_doc_onnx.py:952-961)."""
+    # replacement '$' must be escaped — Java reads bare $ as a group ref
+    out = F.regexp_replace(c, r"\\\(\s?|\s?\\\)", "\\$")
+    return F.regexp_replace(out, r"\\\[\s?|\s?\\\]", "\\$\\$")
+
+
+def clean_special_tokens(c: Column) -> Column:
+    """Strip <|...|> generation control tokens
+    (infer_unirec_onnx.py:334-358)."""
+    return F.regexp_replace(c, r"<\|[^|>]*\|>", "")

@@ -52,9 +52,12 @@ from openocr_spark.operators.boilerplate import is_boilerplate
 
 def explode_spans(documents: DataFrame) -> DataFrame:
     """documents → one row per span (doc_id, span_idx, kind, text,
-    media_ref, offset). posexplode keeps the array position for free."""
+    media_ref, offset). posexplode_outer keeps zero-span documents as a
+    single null-span row, so every doc_id survives to assembly without a
+    join back to the input (processed-empty must stay distinguishable
+    from unprocessed at 10^12-doc scale)."""
     return documents.select(
-        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+        "doc_id", F.posexplode_outer("spans").alias("span_idx", "span")
     ).select("doc_id", "span_idx", "span.*")
 
 
@@ -128,17 +131,40 @@ def extract_flat(
     documents: DataFrame,
     media_payloads: DataFrame | None = None,
     cfg: ExtractConfig = DEFAULT_CONFIG,
+    persist_spans: bool = False,
 ) -> DataFrame:
-    """documents → surviving span rows (doc_id, offset, kind, text,
-    media_ref) BEFORE order assignment. Text spans stay entirely
-    JVM-side; media spans cross into kernel space once."""
+    """documents → span rows (doc_id, offset, kind, text, media_ref)
+    BEFORE order assignment. Text spans stay entirely JVM-side; media
+    spans cross into kernel space once.
+
+    Dropped spans (boilerplate) and null spans (zero-span docs) are kept
+    as kind=NULL tombstone rows so every doc_id reaches assembly in one
+    pass — assembly filters them out of the span array. This avoids a
+    join back to the input *and* a second evaluation of the input plan.
+
+    `persist_spans` caches the exploded intermediate; use it when the
+    input lineage is expensive to recompute (e.g. a generator or a
+    remote scan read by both the text and media branches). At Iceberg
+    scale you'd typically leave this off — the two branch scans are
+    column-pruned parquet reads."""
     spark = documents.sparkSession
     spans = explode_spans(documents)
+    if persist_spans:
+        spans = spans.persist()
 
-    text_out = (
-        spans.filter(F.col("kind") == "text")
-        .filter(~is_boilerplate(F.col("text")))
-        .select("doc_id", "offset", "kind", "text", F.lit(None).cast("string").alias("media_ref"))
+    non_media = spans.filter(
+        (F.col("kind") != "media") | F.col("kind").isNull()
+    ).select(
+        "doc_id",
+        "offset",
+        # tombstone boilerplate: kind/text nulled, row kept for doc presence
+        F.when(
+            (F.col("kind") == "text") & ~is_boilerplate(F.col("text")), F.col("kind")
+        ).alias("kind"),
+        F.when(
+            (F.col("kind") == "text") & ~is_boilerplate(F.col("text")), F.col("text")
+        ).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
     )
 
     media = spans.filter(F.col("kind") == "media").select("doc_id", "offset", "media_ref")
@@ -152,30 +178,35 @@ def extract_flat(
         _media_kernel(cfg, synthesize=media_payloads is None), schema=schemas.SPAN_ROW
     ).select("doc_id", "offset", "kind", "text", "media_ref")
 
-    return text_out.unionByName(media_out)
+    return non_media.unionByName(media_out)
 
 
 def extract(
     documents: DataFrame,
     media_payloads: DataFrame | None = None,
     cfg: ExtractConfig = DEFAULT_CONFIG,
+    persist_spans: bool = False,
 ) -> DataFrame:
     """Full pipeline → extractions (doc_id, spans array<struct<kind,
     text, media_ref, order>>). One groupBy(doc_id) shuffle does ordering
     + assembly: collect_list → array_sort on offset (struct comparison
-    sorts by the first field) → transform-with-index assigns `order`.
-    This avoids a separate window shuffle.
+    sorts by the first field) → drop tombstones → transform-with-index
+    assigns `order`. No separate window shuffle, no join back to input.
 
     Every input document appears in the output — a doc whose spans were
     all filtered still gets an empty span array (the reference emits a
     result record per input image even when nothing survives,
     tools/infer_doc_onnx.py:1012-1022); at 10^12-doc scale, dropping
     empty docs would make 'processed, empty' indistinguishable from
-    'not yet processed' for resume/audit."""
-    flat = extract_flat(documents, media_payloads, cfg)
+    'not yet processed' for resume/audit. Tombstone rows from
+    extract_flat carry those doc_ids through the groupBy."""
+    flat = extract_flat(documents, media_payloads, cfg, persist_spans)
     assembled = F.transform(
-        F.array_sort(
-            F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+        F.filter(
+            F.array_sort(
+                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+            ),
+            lambda s: s["kind"].isNotNull(),
         ),
         lambda s, i: F.struct(
             s["kind"].alias("kind"),
@@ -184,13 +215,4 @@ def extract(
             i.cast("int").alias("order"),
         ),
     )
-    agg = flat.groupBy("doc_id").agg(assembled.alias("spans"))
-    empty = (
-        "CAST(array() AS "
-        "array<struct<kind:string,text:string,media_ref:string,order:int>>)"
-    )
-    return (
-        documents.select("doc_id")
-        .join(agg, "doc_id", "left")
-        .select("doc_id", F.coalesce(F.col("spans"), F.expr(empty)).alias("spans"))
-    )
+    return flat.groupBy("doc_id").agg(assembled.alias("spans"))

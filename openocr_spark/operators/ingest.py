@@ -50,7 +50,12 @@ def _spans_for_text(doc_id: str, text: str) -> list[dict]:
 
 def interleave(flat_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, text, ...) → canonical (doc_id, spans) interleaved table."""
-    cols = flat_docs.select(id_col, text_col)
+    spark = flat_docs.sparkSession
+    # ingest parallelism should not be dictated by the source file layout
+    # (a single parquet file would otherwise serialize the whole pass)
+    cols = flat_docs.select(id_col, text_col).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,0 +1,262 @@
+"""Evaluation metrics as Spark dataflows.
+
+DetMetric (SURVEY §2.4 A4, §2.3 J2/J3): ICDAR IoU>0.5 protocol —
+per-image greedy 1:1 matching of predicted vs GT boxes with don't-care
+exclusion (opendet/metrics/eval_det_iou.py:16-185, det_metric.py:24-74),
+expressed as: grouped pandas UDF per media for the greedy N×M matching,
+then textbook partial→final aggregation for precision/recall/hmean.
+
+RecMetric (A5/A6): exact-match accuracy + 1−normalized edit distance
+(rec_metric.py:71-183) as pure SQL aggregations, plus per-length bucket
+histograms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openocr_spark import schemas
+from openocr_spark.config import DEFAULT_CONFIG, ExtractConfig
+from openocr_spark.functions.exprs import normalized_levenshtein
+
+
+def _iou(a: np.ndarray, b: np.ndarray) -> float:
+    """Axis-aligned IoU (the shapely polygon intersection/union of
+    eval_det_iou.py:18-25, specialized to rects)."""
+    ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / ua if ua > 0 else 0.0
+
+
+def _quad_to_rect(points) -> np.ndarray:
+    # Arrow hands nested arrays to pandas as object-dtype ndarrays of
+    # ndarrays; build the (N,2) array explicitly
+    pts = np.array([[float(p[0]), float(p[1])] for p in points])
+    return np.array([pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()])
+
+
+def det_partials(pred: DataFrame, gt: DataFrame) -> DataFrame:
+    """Per-media partial counts {n_gt_care, n_det_care, n_matched}
+    (eval_det_iou.py:144-161 semantics):
+      - GT boxes tagged ignore are don't-care (db_label_encode.py:28-31)
+      - predictions overlapping a don't-care GT with
+        intersection/predArea > 0.5 are excluded (anti-join J3,
+        eval_det_iou.py:101-110)
+      - remaining pairs greedily matched 1:1 where IoU > 0.5 (J2,
+        eval_det_iou.py:117-142)
+
+    pred: (media_ref, points);  gt: (media_ref, points, ignore)
+
+    Plan: each side pre-aggregates to one array row per media (map-side
+    partial collect), then a single equi-join on media_ref feeds the
+    grouped matcher — the N×M greedy loop stays inside one row's arrays
+    (N,M ≈ dozens), never a relational cross product.
+    """
+    p = pred.groupBy("media_ref").agg(F.collect_list("points").alias("p_list"))
+    g = gt.groupBy("media_ref").agg(
+        F.collect_list(F.struct("points", "ignore")).alias("g_list")
+    )
+    both = p.join(g, "media_ref", "full_outer")
+
+    out_schema = (
+        "media_ref string, n_gt_care long, n_det_care long, n_matched long"
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for ref, p_list, g_list in zip(
+                pdf["media_ref"], pdf["p_list"], pdf["g_list"]
+            ):
+                preds = (
+                    [_quad_to_rect(x) for x in p_list] if p_list is not None else []
+                )
+                gts = (
+                    [(_quad_to_rect(r["points"]), bool(r["ignore"])) for r in g_list]
+                    if g_list is not None
+                    else []
+                )
+                gt_care = [r for r, ig in gts if not ig]
+                gt_dc = [r for r, ig in gts if ig]
+                det_care = []
+                for pr in preds:
+                    area = max((pr[2] - pr[0]) * (pr[3] - pr[1]), 1e-9)
+                    excl = False
+                    for dc in gt_dc:
+                        ix = max(0.0, min(pr[2], dc[2]) - max(pr[0], dc[0]))
+                        iy = max(0.0, min(pr[3], dc[3]) - max(pr[1], dc[1]))
+                        if ix * iy / area > 0.5:
+                            excl = True
+                            break
+                    if not excl:
+                        det_care.append(pr)
+                matched = 0
+                used_det: set[int] = set()
+                for gr in gt_care:
+                    for di, dr in enumerate(det_care):
+                        if di in used_det:
+                            continue
+                        if _iou(gr, dr) > 0.5:
+                            used_det.add(di)
+                            matched += 1
+                            break
+                rows.append(
+                    {
+                        "media_ref": ref,
+                        "n_gt_care": len(gt_care),
+                        "n_det_care": len(det_care),
+                        "n_matched": matched,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "n_gt_care", "n_det_care", "n_matched"],
+            )
+
+    return both.mapInPandas(fn, schema=out_schema)
+
+
+def det_metric(pred: DataFrame, gt: DataFrame) -> DataFrame:
+    """Global precision/recall/hmean from per-media partials — the
+    partial/final aggregation contract of det_metric.py:24-74."""
+    parts = det_partials(pred, gt)
+    tot = parts.agg(
+        F.sum("n_gt_care").alias("gt"),
+        F.sum("n_det_care").alias("det"),
+        F.sum("n_matched").alias("m"),
+    )
+    precision = F.when(F.col("det") > 0, F.col("m") / F.col("det")).otherwise(0.0)
+    recall = F.when(F.col("gt") > 0, F.col("m") / F.col("gt")).otherwise(0.0)
+    return tot.select(
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(
+            F.when(
+                precision + recall > 0,
+                2 * precision * recall / (precision + recall),
+            ).otherwise(0.0),
+            6,
+        ).alias("hmean"),
+    )
+
+
+def rec_metric(pairs: DataFrame, pred_col: str = "pred", gt_col: str = "gt") -> DataFrame:
+    """Exact-match acc + 1−NED (rec_metric.py:71-99): one aggregation."""
+    ned = normalized_levenshtein(F.col(pred_col), F.col(gt_col))
+    return pairs.agg(
+        F.count("*").alias("all_num"),
+        F.sum(F.when(F.col(pred_col) == F.col(gt_col), 1).otherwise(0)).alias(
+            "correct_num"
+        ),
+        F.round(
+            F.avg(F.when(F.col(pred_col) == F.col(gt_col), 1.0).otherwise(0.0)), 6
+        ).alias("acc"),
+        F.round(F.avg(1.0 - ned), 6).alias("one_minus_ned"),
+    )
+
+
+def rec_metric_by_length(
+    pairs: DataFrame, pred_col: str = "pred", gt_col: str = "gt"
+) -> DataFrame:
+    """Per-GT-length accuracy histogram (rec_metric.py:113-160 A6)."""
+    return (
+        pairs.groupBy(F.length(F.col(gt_col)).alias("gt_len"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.avg(F.when(F.col(pred_col) == F.col(gt_col), 1.0).otherwise(0.0)), 6
+            ).alias("acc"),
+        )
+    )
+
+
+def extract_detail(
+    media_refs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-detected-region detail rows (DET_REC_DETAIL) from synthesized
+    payloads — the system_results.txt row shape
+    (infer_e2e.py:272-276). Input: df with a media_ref column."""
+    from openocr_spark.fixtures import payload_for_media_ref
+    from openocr_spark.kernels.detection import (
+        assign_regions_to_boxes,
+        detect_boxes,
+        sorted_boxes,
+    )
+    from openocr_spark.kernels.recognition import ctc_greedy_decode
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"].tolist():
+                p = payload_for_media_ref(ref)
+                boxes, scores = detect_boxes(
+                    p["score_map"],
+                    thresh=cfg.binarize_thresh,
+                    box_thresh=cfg.box_thresh,
+                    min_size=cfg.min_size,
+                    unclip_ratio=cfg.unclip_ratio,
+                )
+                order = sorted_boxes(boxes, line_tol=cfg.line_tol)
+                score_of = {id(b): s for b, s in zip(boxes, scores)}
+                pts = [np.asarray(r["points"]) for r in p["regions"]]
+                for idx, (box, ridx) in enumerate(
+                    zip(order, assign_regions_to_boxes(order, pts))
+                ):
+                    text, rscore = ("", 0.0)
+                    if ridx >= 0:
+                        text, rscore = ctc_greedy_decode(p["regions"][ridx]["logits"])
+                    rows.append(
+                        {
+                            "media_ref": ref,
+                            "region_idx": idx,
+                            "points": [[int(x), int(y)] for x, y in box],
+                            "det_score": float(score_of.get(id(box), 0.0)),
+                            "transcription": text,
+                            "rec_score": float(rscore),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "region_idx", "points",
+                    "det_score", "transcription", "rec_score",
+                ],
+            )
+
+    return media_refs.select("media_ref").mapInPandas(
+        kernel, schema=schemas.DET_REC_DETAIL
+    )
+
+
+def gt_regions(media_refs: DataFrame) -> DataFrame:
+    """GT region rows (media_ref, points, ignore, gt_text) from the
+    synthesized payloads — the labels side for det/rec eval."""
+    from openocr_spark.fixtures import payload_for_media_ref
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"].tolist():
+                for r in payload_for_media_ref(ref)["regions"]:
+                    rows.append(
+                        {
+                            "media_ref": ref,
+                            "points": r["points"],
+                            "ignore": r["ignore"],
+                            "gt_text": r["gt_text"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "points", "ignore", "gt_text"]
+            )
+
+    schema = (
+        "media_ref string, points array<array<int>>, ignore boolean, "
+        "gt_text string"
+    )
+    return media_refs.select("media_ref").mapInPandas(kernel, schema=schema)

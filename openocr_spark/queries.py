@@ -785,7 +785,9 @@ def q_extract_spans(spark: SparkSession, sf: str) -> DataFrame:
     rows-only check; span-level correctness is pytest's oracle-equality
     suite."""
     docs = interleave(load(spark, sf, "documents"))
-    out = extract(docs)
+    # lineage includes the mapInPandas generator → persist the exploded
+    # spans so the text and media branches don't re-run ingestion
+    out = extract(docs, persist_spans=True)
     return out.select(
         "doc_id",
         F.size("spans").alias("n_spans"),

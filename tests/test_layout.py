@@ -1,0 +1,92 @@
+"""Layout operator tests over a hand-built F-D fixture (FIXTURES.md):
+overlap pairs, alignment-mergeable text runs, boilerplate labels."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openocr_spark.operators.layout import (
+    assemble_markdown,
+    filter_overlap_blocks,
+    merge_text_blocks,
+    order_and_label,
+    route,
+    score_filter,
+)
+
+SCHEMA = (
+    "doc_id string, cls_id int, label string, score double, "
+    "bbox array<double>, custom_value double, text string"
+)
+
+
+@pytest.fixture(scope="module")
+def blocks(spark):
+    rows = [
+        # d1: title, two aligned text blocks (mergeable), an overlapped pair,
+        # a footer (boilerplate), an image overlapping text (exempt pair)
+        ("d1", 0, "doc_title", 0.95, [10.0, 5.0, 200.0, 20.0], 1.0, "My Title"),
+        ("d1", 1, "text", 0.9, [10.0, 30.0, 200.0, 60.0], 2.0, "para one"),
+        ("d1", 1, "text", 0.9, [10.0, 62.0, 200.0, 90.0], 3.0, "continues here"),
+        ("d1", 2, "table", 0.8, [10.0, 100.0, 200.0, 150.0], 4.0, "<fcel>x"),
+        # overlapped pair: smaller should drop (overlap-over-smaller > 0.7)
+        ("d1", 1, "text", 0.7, [20.0, 160.0, 100.0, 200.0], 5.0, "big block"),
+        ("d1", 1, "text", 0.6, [25.0, 165.0, 60.0, 195.0], 6.0, "small dup"),
+        # image overlapping text — exempt from dedup
+        ("d1", 3, "image", 0.9, [20.0, 160.0, 100.0, 200.0], 7.0, None),
+        ("d1", 4, "footer", 0.9, [10.0, 280.0, 200.0, 295.0], 8.0, "page 1"),
+        # low score block — dropped by score filter
+        ("d1", 1, "text", 0.2, [0.0, 0.0, 5.0, 5.0], 9.0, "noise"),
+        # d2: formula + chart routing
+        ("d2", 5, "display_formula", 0.9, [0.0, 0.0, 50.0, 10.0], 1.0, "E=mc^2"),
+        ("d2", 6, "chart", 0.9, [0.0, 20.0, 50.0, 40.0], 2.0, "chart data"),
+    ]
+    return spark.createDataFrame(rows, schema=SCHEMA)
+
+
+def test_score_filter(blocks):
+    out = score_filter(blocks, 0.4)
+    assert out.filter(F.col("text") == "noise").count() == 0
+    assert out.count() == blocks.count() - 1
+
+
+def test_overlap_dedup_drops_smaller_keeps_image(blocks):
+    out = filter_overlap_blocks(score_filter(blocks, 0.4)).collect()
+    texts = {r["text"] for r in out}
+    assert "small dup" not in texts  # smaller of overlapping same-kind pair
+    assert "big block" in texts
+    assert any(r["label"] == "image" for r in out)  # image-vs-text exempt
+
+
+def test_merge_aligned_text(blocks):
+    out = merge_text_blocks(score_filter(blocks, 0.4)).collect()
+    merged = [r for r in out if r["text"] == "para one\ncontinues here"]
+    assert len(merged) == 1
+    assert merged[0]["bbox"] == [10.0, 30.0, 200.0, 90.0]
+    # non-adjacent text not merged
+    assert any(r["text"] == "big block" for r in out)
+
+
+def test_order_and_label(blocks):
+    out = order_and_label(blocks.filter(F.col("doc_id") == "d1")).collect()
+    by_text = {r["text"]: r for r in out}
+    assert by_text["My Title"]["reading_order"] == 1
+    assert by_text["My Title"]["block_id"] == "doc_title_01"
+    assert by_text["para one"]["block_id"] == "text_01"
+    assert by_text["continues here"]["block_id"] == "text_02"
+
+
+def test_route(blocks):
+    out = {(r["label"], r["task"]) for r in route(blocks).collect()}
+    assert ("table", "table_rec") in out
+    assert ("display_formula", "formula_rec") in out
+    assert ("chart", "chart_rec") in out
+    assert ("text", "ocr") in out
+    assert ("image", None) in out
+
+
+def test_assemble_markdown(blocks):
+    keep = filter_overlap_blocks(score_filter(blocks, 0.4))
+    md = {r["doc_id"]: r["markdown"] for r in assemble_markdown(keep).collect()}
+    assert md["d1"].startswith("# My Title")
+    assert "page 1" not in md["d1"]  # footer stripped (P7)
+    assert "$$E=mc^2$$" in md["d2"]
