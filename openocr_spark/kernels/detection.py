@@ -56,12 +56,15 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
         return ra
 
     prev_runs: list[tuple[int, int, int]] = []  # (c0, c1, label)
-    h, _w = mask.shape
-    for r in range(h):
-        row = mask[r]
-        if not row.any():
+    # visit only rows containing foreground; a gap in row indices breaks
+    # 4-connectivity, so prev_runs resets (keeps the loop O(fg rows))
+    row_idx = np.flatnonzero(mask.any(axis=1))
+    prev_r = -2
+    for r in row_idx.tolist():
+        if r != prev_r + 1:
             prev_runs = []
-            continue
+        prev_r = r
+        row = mask[r]
         padded = np.concatenate(([False], row, [False]))
         diff = np.flatnonzero(padded[1:] != padded[:-1])
         starts, ends = diff[0::2], diff[1::2] - 1  # inclusive col ranges

@@ -1,0 +1,83 @@
+"""Streaming tests: micro-batched extraction equals the batch pipeline
+(batch/stream parity by construction); streaming resume picks up only
+new files; watermarked windowed aggregation over an event stream."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openocr_spark import schemas
+from openocr_spark.fixtures import gen_documents_pdf
+from openocr_spark.operators.extract import extract
+from openocr_spark.streaming.jobs import (
+    extract_stream,
+    read_documents_stream,
+    windowed_event_counts,
+)
+
+
+def _spans_map(df):
+    return {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in (x.asDict(recursive=True) for x in df.collect())
+    }
+
+
+def test_stream_extract_parity_and_resume(spark, tmp_path):
+    pdf = gen_documents_pdf(16)
+    docs = spark.createDataFrame(pdf.to_dict("records"), schema=schemas.DOCUMENTS)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # drop first 8 docs as files, run availableNow
+    first = docs.filter(F.col("doc_id") < "doc-00000008")
+    first.repartition(2).write.mode("append").parquet(in_dir)
+    q = extract_stream(read_documents_stream(spark, in_dir), out_dir, ckpt)
+    q.awaitTermination(120)
+    got1 = _spans_map(spark.read.parquet(out_dir).select("doc_id", "spans"))
+    assert set(got1) == {r for r in pdf.doc_id if r < "doc-00000008"}
+
+    # drop the rest; resumed stream processes ONLY the new files
+    docs.filter(F.col("doc_id") >= "doc-00000008").repartition(2).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = extract_stream(read_documents_stream(spark, in_dir), out_dir, ckpt)
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    got = _spans_map(out.select("doc_id", "spans"))
+    # parity with the batch pipeline over the full corpus
+    assert got == _spans_map(extract(docs))
+    # exactly-once: no doc extracted twice
+    assert out.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_windowed_event_counts_with_watermark(spark, tmp_path):
+    in_dir = str(tmp_path / "ev")
+    rows = [
+        ("2024-01-01 00:01:00", "click", 1.0),
+        ("2024-01-01 00:04:00", "click", 2.0),
+        ("2024-01-01 00:11:00", "view", 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts_s", "event_type", "value"]).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    df.write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .parquet(in_dir)
+    )
+    agg = windowed_event_counts(stream, window="10 minutes", watermark="20 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("select * from winagg").collect()
+    }
+    assert res[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert res[("2024-01-01 00:10:00", "view")] == (1, 5.0)
