@@ -35,12 +35,14 @@ VOCAB = (
 BOILERPLATE_MARKERS = ["<header>", "<footer>", "<nav>", "<aside>"]
 
 
-def _rng(key: str) -> np.random.RandomState:
+def _rng(key: str) -> np.random.Generator:
     seed = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
-    return np.random.RandomState(seed)
+    # PCG64: ~20x cheaper to seed than RandomState's Mersenne Twister —
+    # this runs twice per media ref inside the kernel hot path
+    return np.random.Generator(np.random.PCG64(seed))
 
 
-def make_logits(text: str, rng: np.random.RandomState, weak: bool = False) -> np.ndarray:
+def make_logits(text: str, rng: np.random.Generator, weak: bool = False) -> np.ndarray:
     """Build CTC logits [T, NUM_CLASSES] that greedy-decode to `text`,
     with random repeats and blank insertions so the de-dup / drop-blank
     path (ctc_postprocess.py:62-64) is actually exercised. `weak` logits
@@ -49,9 +51,9 @@ def make_logits(text: str, rng: np.random.RandomState, weak: bool = False) -> np
     frames: list[int] = []
     ids = [CHAR_TO_ID[c] for c in text]
     for i, cid in enumerate(ids):
-        frames.extend([cid] * (1 + int(rng.rand() < 0.3)))
+        frames.extend([cid] * (1 + int(rng.random() < 0.3)))
         # blank is REQUIRED between equal consecutive symbols, optional otherwise
-        if i + 1 < len(ids) and (ids[i + 1] == cid or rng.rand() < 0.4):
+        if i + 1 < len(ids) and (ids[i + 1] == cid or rng.random() < 0.4):
             frames.append(0)
     if not frames:
         frames = [0]
@@ -73,21 +75,21 @@ def payload_for_media_ref(media_ref: str) -> dict:
       - ignore (p=0.10): don't-care GT tag (eval_det_iou.py:86)
     """
     rng = _rng(media_ref)
-    n_regions = int(rng.randint(1, 6))
+    n_regions = int(rng.integers(1, 6))
     cells = rng.permutation(_GRID_ROWS * _GRID_COLS)[:n_regions]
     score_map = np.full((MEDIA_H, MEDIA_W), 0.05, dtype=np.float32)
     cell_h, cell_w = MEDIA_H // _GRID_ROWS, MEDIA_W // _GRID_COLS
     regions = []
     for cell in sorted(cells.tolist()):
         gr, gc = divmod(cell, _GRID_COLS)
-        y0 = gr * cell_h + int(rng.randint(2, 8))
-        x0 = gc * cell_w + int(rng.randint(2, 12))
-        bh = int(rng.randint(8, cell_h - 10))
-        bw = int(rng.randint(16, cell_w - 16))
+        y0 = gr * cell_h + int(rng.integers(2, 8))
+        x0 = gc * cell_w + int(rng.integers(2, 12))
+        bh = int(rng.integers(8, cell_h - 10))
+        bw = int(rng.integers(16, cell_w - 16))
         y1, x1 = y0 + bh, x0 + bw
-        weak_paint = rng.rand() < 0.10
-        low_conf = rng.rand() < 0.15
-        ignore = rng.rand() < 0.10
+        weak_paint = rng.random() < 0.10
+        low_conf = rng.random() < 0.15
+        ignore = rng.random() < 0.10
         # paint the SHRUNK kernel region, as DBNet's training targets do
         # (MakeShrinkMap: offset = area*(1-r^2)/perimeter with r=0.4,
         # opendet/preprocess/db_label_encode.py:66-216); detection's
@@ -100,8 +102,8 @@ def payload_for_media_ref(media_ref: str) -> dict:
         score_map[y0 + d : y1 - d + 1, x0 + d : x1 - d + 1] = (
             0.25 if weak_paint else 0.9
         )
-        n_words = 1 + int(rng.rand() < 0.4)
-        gt_text = " ".join(VOCAB[int(rng.randint(len(VOCAB)))] for _ in range(n_words))
+        n_words = 1 + int(rng.random() < 0.4)
+        gt_text = " ".join(VOCAB[int(rng.integers(len(VOCAB)))] for _ in range(n_words))
         logits = make_logits(gt_text, rng, weak=low_conf)
         regions.append(
             {
@@ -142,18 +144,18 @@ def payload_row(media_ref: str) -> dict:
     }
 
 
-def _text_span(rng: np.random.RandomState) -> str:
-    kind = rng.rand()
+def _text_span(rng: np.random.Generator) -> str:
+    kind = rng.random()
     if kind < 0.12:  # boilerplate: marker-tagged (P7 analog)
-        marker = BOILERPLATE_MARKERS[int(rng.randint(len(BOILERPLATE_MARKERS)))]
-        body = " ".join(VOCAB[int(rng.randint(len(VOCAB)))] for _ in range(3))
+        marker = BOILERPLATE_MARKERS[int(rng.integers(len(BOILERPLATE_MARKERS)))]
+        body = " ".join(VOCAB[int(rng.integers(len(VOCAB)))] for _ in range(3))
         return f"{marker} {body}"
     if kind < 0.18:  # boilerplate: link farm (high href density)
-        return " ".join("href=x" for _ in range(int(rng.randint(4, 9))))
+        return " ".join("href=x" for _ in range(int(rng.integers(4, 9))))
     if kind < 0.22:  # boilerplate: too short
-        return VOCAB[int(rng.randint(len(VOCAB)))][:2]
-    n = int(rng.randint(5, 25))
-    return " ".join(VOCAB[int(rng.randint(len(VOCAB)))] for _ in range(n))
+        return VOCAB[int(rng.integers(len(VOCAB)))][:2]
+    n = int(rng.integers(5, 25))
+    return " ".join(VOCAB[int(rng.integers(len(VOCAB)))] for _ in range(n))
 
 
 def spans_for_doc(doc_id: str, skew: bool = False) -> list[dict]:
@@ -161,14 +163,14 @@ def spans_for_doc(doc_id: str, skew: bool = False) -> list[dict]:
     spans_per_doc ~ 1..40, media_fraction ~ 0.2; skew docs get ~50x the
     median media spans)."""
     rng = _rng(doc_id)
-    n_spans = int(rng.randint(1, 41))
+    n_spans = int(rng.integers(1, 41))
     spans = []
     offset = 0
     media_i = 0
     n_extra_media = 150 if skew else 0
     for i in range(n_spans + n_extra_media):
         force_media = i >= n_spans
-        if force_media or rng.rand() < 0.2:
+        if force_media or rng.random() < 0.2:
             spans.append(
                 {
                     "kind": "media",

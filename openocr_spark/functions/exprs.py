@@ -38,3 +38,16 @@ def clean_special_tokens(c: Column) -> Column:
     """Strip <|...|> generation control tokens
     (infer_unirec_onnx.py:334-358)."""
     return F.regexp_replace(c, r"<\|[^|>]*\|>", "")
+
+
+def token_decode(ids: Column, id_to_token: dict[int, str]) -> Column:
+    """Tokenizer decode (F13, infer_unirec_onnx.py:302-331): id array →
+    string via a map literal (JVM-side lookup — the broadcast-dict
+    pattern for small vocabularies), skipping unknown/special ids."""
+    entries = []
+    for k, v in id_to_token.items():
+        entries.append(F.lit(int(k)))
+        entries.append(F.lit(v))
+    m = F.create_map(*entries)
+    toks = F.transform(ids, lambda i: m[i])
+    return F.array_join(F.filter(toks, lambda t: t.isNotNull()), "")

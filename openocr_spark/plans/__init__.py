@@ -1,0 +1,70 @@
+"""Physical-plan introspection and distribution helpers.
+
+The optimizer work the reference does by hand (SURVEY §4) is Catalyst's
+job here; these helpers make the resulting plans *checkable* — tests
+assert that filters actually reach the parquet scan, small dims actually
+broadcast, and the pipeline carries exactly the shuffles it should.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """The PushedFilters section of the scan node(s)."""
+    plan = formatted_plan(df)
+    return "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    return fragment in pushed_filters(df)
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df)
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan (AQE may later
+    coalesce them, but the count is the structural shuffle budget)."""
+    plan = physical_plan(df)
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln or "Exchange rangepartitioning" in ln
+        or "Exchange RoundRobinPartitioning" in ln
+    )
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns actually read from the scan (ReadSchema) — verifies
+    column pruning (SURVEY O1: a scan reading all columns for a
+    2-column projection is wrong)."""
+    plan = formatted_plan(df)
+    cols: list[str] = []
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            inside = ln.split("struct<", 1)
+            if len(inside) == 2:
+                body = inside[1].rsplit(">", 1)[0]
+                cols.extend(p.split(":")[0] for p in body.split(",") if p)
+    return cols
+
+
+def salted(col: Column, buckets: int) -> Column:
+    """Salting helper for skewed keys: stable hash-spread of a hot key
+    into `buckets` sub-keys (SURVEY O5)."""
+    return F.concat(
+        col.cast("string"), F.lit("#"), F.pmod(F.xxhash64(col), F.lit(buckets)).cast("string")
+    )

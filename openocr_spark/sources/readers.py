@@ -1,0 +1,69 @@
+"""Input readers re-creating the reference's dataset surface (SURVEY §2.1).
+
+S1 get_image_file_list → binaryFile scan ordered by path
+S5 SimpleDataSet       → TSV label file (`path\\tlabel`) + seeded ratio
+                         subsampling (simple_dataset.py:14-173)
+S6 RatioDataSet        → width/height ratio bucketing column
+                         (ratio_dataset_test.py:35-139): ratio clipped to
+                         [min,max] and rounded — the batching key that
+                         keeps kernel batches shape-uniform (SURVEY O5)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_binary_files(spark: SparkSession, glob: str) -> DataFrame:
+    """Sorted binary-file scan (S1): (path, modificationTime, length,
+    content)."""
+    return spark.read.format("binaryFile").load(glob).orderBy("path")
+
+
+def read_tsv_labels(
+    spark: SparkSession,
+    path: str,
+    sample_ratio: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """TSV label source (S5): `path\\tlabel` lines; optional seeded
+    subsampling (the reference's per-source ratio_list)."""
+    df = (
+        spark.read.option("sep", "\t")
+        .schema("path string, label string")
+        .csv(path)
+    )
+    if sample_ratio is not None and sample_ratio < 1.0:
+        df = df.sample(fraction=sample_ratio, seed=seed)
+    return df
+
+
+def with_ratio_bucket(
+    df: DataFrame,
+    width_col: str = "width",
+    height_col: str = "height",
+    min_ratio: float = 0.5,
+    max_ratio: float = 12.0,
+) -> DataFrame:
+    """Aspect-ratio bucket column (S6/G9/L3: ratio = round(w/h) clipped
+    to [min,max]; max_ratio 12 mirrors infer_rec.py:119,144). Sorting
+    within kernel partitions by this key gives shape-uniform Arrow
+    batches — the RatioSampler's skew-aware bucketing, distributed."""
+    ratio = F.round(
+        F.least(
+            F.greatest(F.col(width_col) / F.col(height_col), F.lit(min_ratio)),
+            F.lit(max_ratio),
+        )
+    ).cast("int")
+    return df.withColumn("ratio_bucket", ratio)
+
+
+def union_suites(parts: list[tuple[str, DataFrame]]) -> DataFrame:
+    """Union multiple sources tagging each with a suite literal
+    (SO2/SO3: LMDB sub-dir union, eval-suite union)."""
+    out = None
+    for name, df in parts:
+        tagged = df.select(F.lit(name).alias("suite"), "*")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out

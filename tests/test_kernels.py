@@ -35,7 +35,7 @@ def test_connected_components_u_shape_merges():
 def test_cc_matches_oracle_flood_fill():
     for key in ["a", "b", "c", "d"]:
         rng = _rng(key)
-        m = rng.rand(40, 60) > 0.6
+        m = rng.random((40, 60)) > 0.6
         assert sorted(connected_components(m)) == sorted(_flood_components(m))
 
 

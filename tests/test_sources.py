@@ -1,0 +1,52 @@
+"""Source reader tests (S1/S5/S6 analogs) + token decode."""
+
+from pyspark.sql import functions as F
+
+from openocr_spark.functions.exprs import token_decode
+from openocr_spark.sources.readers import (
+    read_binary_files,
+    read_tsv_labels,
+    union_suites,
+    with_ratio_bucket,
+)
+
+
+def test_read_tsv_labels(spark, tmp_path):
+    p = tmp_path / "labels.tsv"
+    p.write_text("img/a.jpg\thello\nimg/b.jpg\tworld w\n")
+    df = read_tsv_labels(spark, str(p))
+    rows = {r["path"]: r["label"] for r in df.collect()}
+    assert rows == {"img/a.jpg": "hello", "img/b.jpg": "world w"}
+    sampled = read_tsv_labels(spark, str(p), sample_ratio=0.5, seed=1)
+    assert sampled.count() <= 2
+
+
+def test_read_binary_files_sorted(spark, tmp_path):
+    (tmp_path / "b.bin").write_bytes(b"22")
+    (tmp_path / "a.bin").write_bytes(b"1")
+    df = read_binary_files(spark, str(tmp_path) + "/*.bin")
+    rows = df.select("path", "length").collect()
+    assert [r["path"].split("/")[-1] for r in rows] == ["a.bin", "b.bin"]
+    assert [r["length"] for r in rows] == [1, 2]
+
+
+def test_with_ratio_bucket_clips(spark):
+    df = spark.createDataFrame(
+        [(320, 32), (64, 64), (1000, 10), (10, 100)], ["width", "height"]
+    )
+    got = [r["ratio_bucket"] for r in with_ratio_bucket(df).collect()]
+    assert got == [10, 1, 12, 1]  # 12 = max_ratio cap, 0.1 -> min 0.5 -> round 1
+
+
+def test_union_suites(spark):
+    a = spark.createDataFrame([(1,)], ["x"])
+    b = spark.createDataFrame([(2,)], ["x"])
+    out = union_suites([("s1", a), ("s2", b)])
+    assert {(r["suite"], r["x"]) for r in out.collect()} == {("s1", 1), ("s2", 2)}
+
+
+def test_token_decode(spark):
+    vocab = {1: "h", 2: "i", 3: "!"}
+    df = spark.createDataFrame([([1, 2, 9, 3],)], "ids array<int>")
+    got = df.select(token_decode(F.col("ids"), vocab).alias("s")).collect()[0]["s"]
+    assert got == "hi!"
