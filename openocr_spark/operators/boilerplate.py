@@ -21,7 +21,10 @@ MARKER_RE = r"^\s*<(header|footer|nav|aside)>"
 def is_boilerplate(text: Column) -> Column:
     marker = text.rlike(MARKER_RE)
     short = F.length(F.trim(text)) < 3
-    tokens = F.size(F.split(text, " "))
+    # token count without allocating a split array: #spaces + 1 ==
+    # len(split(' ')) exactly (empty fragments between multi-spaces
+    # count in both) — this runs on every text span, keep it arithmetic
+    tokens = F.length(text) - F.length(F.replace(text, F.lit(" "))) + F.lit(1)
     href = (F.length(text) - F.length(F.replace(text, F.lit("href=")))) / F.lit(5)
     linky = (href / F.greatest(tokens, F.lit(1))) > F.lit(0.3)
     return text.isNull() | marker | short | linky

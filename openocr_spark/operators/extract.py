@@ -174,6 +174,14 @@ def extract_flat(
     # the ONE salted wide shuffle: uniform distribution of media work,
     # immune to media-heavy documents (media_ref is unique per span)
     media = media.repartition(n_parts, "media_ref")
+    if media_payloads is not None:
+        # secondary sort by aspect ratio inside each partition so Arrow
+        # batches are shape-uniform — the RatioSampler bucketing (SURVEY
+        # O5, tools/data/ratio_sampler.py:120-176) as a local sort, no
+        # extra shuffle
+        media = media.sortWithinPartitions(
+            (F.col("width") / F.col("height")).alias("_ratio")
+        )
     media_out = media.mapInPandas(
         _media_kernel(cfg, synthesize=media_payloads is None), schema=schemas.SPAN_ROW
     ).select("doc_id", "offset", "kind", "text", "media_ref")

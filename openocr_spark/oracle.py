@@ -84,8 +84,11 @@ def _decode_loop(logits: np.ndarray) -> tuple[str, float]:
     return "".join(chars), float(np.mean(confs))
 
 
-def extract_media_text(media_ref: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> str:
-    """Full per-media flow: detect → order → recognize → filter → join."""
+def media_detail(media_ref: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[dict]:
+    """Per-media detection+recognition detail in reading order —
+    independent implementation of the kernel flow, incl. unassigned
+    boxes (empty transcription, score 0.0) like the reference's result
+    rows (infer_e2e.py:272-276)."""
     p = payload_for_media_ref(media_ref)
     prob = p["score_map"]
     h, w = prob.shape
@@ -102,7 +105,7 @@ def extract_media_text(media_ref: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> s
         nc1, nr1 = min(c1 + delta, w - 1), min(r1 + delta, h - 1)
         if min(nc1 - nc0 + 1, nr1 - nr0 + 1) < cfg.min_size + 2:
             continue
-        boxes.append((nc0, nr0, nc1, nr1))
+        boxes.append((nc0, nr0, nc1, nr1, score))
 
     # reading order (infer_e2e.py:54-75 semantics, independent rewrite)
     boxes.sort(key=lambda b: (b[1], b[0]))
@@ -115,8 +118,8 @@ def extract_media_text(media_ref: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> s
             else:
                 break
 
-    texts = []
-    for x0, y0, x1, y1 in boxes:
+    out = []
+    for idx, (x0, y0, x1, y1, det_score) in enumerate(boxes):
         hit = None
         for reg in p["regions"]:
             pts = reg["points"]
@@ -125,12 +128,28 @@ def extract_media_text(media_ref: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> s
             if x0 <= cx <= x1 and y0 <= cy <= y1:
                 hit = reg
                 break
-        if hit is None:
-            continue
-        text, score = _decode_loop(hit["logits"])
-        if score >= cfg.drop_score:
-            texts.append(text)
-    return "\n".join(texts)
+        text, score = ("", 0.0)
+        if hit is not None:
+            text, score = _decode_loop(hit["logits"])
+        out.append(
+            {
+                "region_idx": idx,
+                "points": [[x0, y0], [x1, y0], [x1, y1], [x0, y1]],
+                "det_score": det_score,
+                "transcription": text,
+                "rec_score": score,
+            }
+        )
+    return out
+
+
+def extract_media_text(media_ref: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> str:
+    """Full per-media flow: detect → order → recognize → filter → join."""
+    return "\n".join(
+        d["transcription"]
+        for d in media_detail(media_ref, cfg)
+        if d["rec_score"] >= cfg.drop_score
+    )
 
 
 def extract_oracle(docs_pdf: pd.DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> pd.DataFrame:
