@@ -161,6 +161,52 @@ def route(blocks: DataFrame) -> DataFrame:
     return blocks.withColumn("task", task)
 
 
+def figures_in_tables(blocks: DataFrame) -> DataFrame:
+    """Containment theta-join (SURVEY §2.3 J5, utils.py:478-556
+    tokenize_figure_of_table): match figure blocks whose bbox is
+    contained in a table block of the same doc; emit one row per
+    (table, figure) pair with the placeholder token the recognizer would
+    see. Expressed as a real Spark join — equi on doc_id, theta on
+    containment — so it distributes; per-doc pair counts are dozens."""
+    t = blocks.filter(F.col("label") == "table").select(
+        "doc_id",
+        F.col("bbox").alias("t_bbox"),
+        F.col("custom_value").alias("t_order"),
+    )
+    f = blocks.filter(F.col("label").isin("image", "chart")).select(
+        "doc_id",
+        F.col("bbox").alias("f_bbox"),
+        F.col("custom_value").alias("f_order"),
+    )
+    contained = (
+        (F.col("f_bbox")[0] >= F.col("t_bbox")[0])
+        & (F.col("f_bbox")[1] >= F.col("t_bbox")[1])
+        & (F.col("f_bbox")[2] <= F.col("t_bbox")[2])
+        & (F.col("f_bbox")[3] <= F.col("t_bbox")[3])
+    )
+    w = Window.partitionBy("doc_id", "t_order").orderBy("f_order")
+    return (
+        t.join(f, "doc_id")
+        .filter(contained)
+        .withColumn("fig_idx", F.row_number().over(w) - 1)
+        .select(
+            "doc_id",
+            "t_order",
+            "f_order",
+            "f_bbox",
+            F.format_string("<figure_%d>", F.col("fig_idx")).alias("token"),
+        )
+    )
+
+
+def untokenize(text: str, token_to_md: dict[str, str]) -> str:
+    """Replace figure placeholder tokens in recognized table text with
+    their markdown (the untokenize step, utils.py:478-556)."""
+    for tok, md in token_to_md.items():
+        text = text.replace(tok, md)
+    return text
+
+
 def assemble_markdown(blocks: DataFrame) -> DataFrame:
     """Per-doc markdown assembly (to_markdown.py:90-440 semantics,
     simplified): boilerplate labels dropped (P7), doc_title → '# ',

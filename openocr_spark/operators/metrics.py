@@ -207,9 +207,10 @@ def extract_detail(
                 for idx, (box, ridx) in enumerate(
                     zip(order, assign_regions_to_boxes(order, pts))
                 ):
-                    text, rscore = ("", 0.0)
+                    text, rscore, gt_text = ("", 0.0, None)
                     if ridx >= 0:
                         text, rscore = ctc_greedy_decode(p["regions"][ridx]["logits"])
+                        gt_text = p["regions"][ridx]["gt_text"]
                     rows.append(
                         {
                             "media_ref": ref,
@@ -218,13 +219,14 @@ def extract_detail(
                             "det_score": float(score_of.get(id(box), 0.0)),
                             "transcription": text,
                             "rec_score": float(rscore),
+                            "gt_text": gt_text,
                         }
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_ref", "region_idx", "points",
-                    "det_score", "transcription", "rec_score",
+                    "det_score", "transcription", "rec_score", "gt_text",
                 ],
             )
 

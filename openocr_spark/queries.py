@@ -775,6 +775,45 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------- fixture metrics (non-SQL, rows-only)
+
+
+def _fixture_media_refs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = interleave(load(spark, sf, "documents"))
+    return (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+    )
+
+
+@q("det_metric_fixture", None)
+def q_det_metric_fixture(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end detection eval (SURVEY A4/J2/J3): detect regions on
+    every fixture media payload, ICDAR-match vs GT, global
+    precision/recall/hmean. Kernel-space → rows-only check; formula
+    parity is pinned by tests/test_metrics.py."""
+    from openocr_spark.operators.metrics import det_metric, extract_detail, gt_regions
+
+    refs = _fixture_media_refs(spark, sf)
+    pred = extract_detail(refs).select("media_ref", "points")
+    gt = gt_regions(refs).select("media_ref", "points", "ignore")
+    return det_metric(pred, gt)
+
+
+@q("rec_metric_fixture", None)
+def q_rec_metric_fixture(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end recognition eval (SURVEY A5): confident decodes vs the
+    assigned region's GT text — exact acc + 1−NED."""
+    from openocr_spark.operators.metrics import extract_detail, rec_metric
+
+    detail = extract_detail(_fixture_media_refs(spark, sf))
+    pairs = detail.filter(
+        (F.col("rec_score") >= 0.5) & F.col("gt_text").isNotNull()
+    ).select(F.col("transcription").alias("pred"), F.col("gt_text").alias("gt"))
+    return rec_metric(pairs)
+
+
 # ------------------------------------- the flagship (non-SQL, rows-only)
 
 @q("extract_spans", None)

@@ -89,6 +89,7 @@ DET_REC_DETAIL = T.StructType(
         T.StructField("det_score", T.DoubleType()),
         T.StructField("transcription", T.StringType()),
         T.StructField("rec_score", T.DoubleType()),
+        T.StructField("gt_text", T.StringType()),  # fixture GT (eval only)
     ]
 )
 

@@ -59,6 +59,14 @@ def with_ratio_bucket(
     return df.withColumn("ratio_bucket", ratio)
 
 
+def seeded_shuffle(df: DataFrame, seed: int, epoch: int = 0) -> DataFrame:
+    """Deterministic per-epoch reshuffle (SURVEY §2.9 ST4,
+    ratio_sampler.py:178-185): global order by a seeded hash of the row —
+    reproducible across runs, different per epoch. Uses a rangepartition
+    sort; for scale-out sampling prefer `.sample(fraction, seed)`."""
+    return df.orderBy(F.xxhash64(F.lit(seed + epoch), *[F.col(c) for c in df.columns]))
+
+
 def union_suites(parts: list[tuple[str, DataFrame]]) -> DataFrame:
     """Union multiple sources tagging each with a suite literal
     (SO2/SO3: LMDB sub-dir union, eval-suite union)."""

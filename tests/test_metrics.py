@@ -141,18 +141,14 @@ def test_fixture_det_eval_matches_independent_recompute(spark, fixture_refs):
 
 
 def test_fixture_rec_eval(spark, fixture_refs):
-    """Recognition accuracy on the fixture: every DETECTED region decodes
-    its GT text exactly (logits are constructed to), so acc == 1 when
-    joined on detected regions with a confident decode."""
+    """Recognition accuracy on the fixture: every confidently-decoded
+    region must decode its assigned GT text exactly (logits are
+    constructed to), so RecMetric acc == 1.0 and 1-NED == 1.0."""
     detail = extract_detail(fixture_refs)
-    gt = gt_regions(fixture_refs)
-    joined = detail.filter(F.col("rec_score") >= 0.5).join(
-        gt,
-        (detail.media_ref == gt.media_ref) & (detail.points == gt.points) if False
-        else (detail.media_ref == gt.media_ref)
-        & (F.col("transcription") == F.col("gt_text")),
-        "inner",
-    )
-    # weaker containment check: every confident transcription appears in GT
-    n_conf = detail.filter(F.col("rec_score") >= 0.5).count()
-    assert joined.count() >= n_conf * 0.95
+    pairs = detail.filter(
+        (F.col("rec_score") >= 0.5) & F.col("gt_text").isNotNull()
+    ).select(F.col("transcription").alias("pred"), F.col("gt_text").alias("gt"))
+    m = rec_metric(pairs).collect()[0]
+    assert m["all_num"] > 0
+    assert m["acc"] == 1.0
+    assert m["one_minus_ned"] == 1.0
