@@ -216,6 +216,86 @@ def gen_media_payloads_pdf(media_refs: list[str]) -> pd.DataFrame:
     return pd.DataFrame([payload_row(r) for r in media_refs])
 
 
+LAYOUT_SCHEMA = (
+    "doc_id string, cls_id int, label string, score double, "
+    "bbox array<double>, custom_value double, text string"
+)
+
+
+def layout_blocks_for_doc(doc_id: str) -> list[dict]:
+    """Deterministic layout-block fixture (FIXTURES.md F-D): title, text
+    columns with alignment-mergeable runs, a table, a formula, a chart,
+    boilerplate header/footer, a crafted >0.7-overlap duplicate and a
+    low-score noise block."""
+    rng = _rng("layout:" + doc_id)
+
+    def blk(label, score, bbox, order, cls_id=0):
+        return {
+            "doc_id": doc_id,
+            "cls_id": cls_id,
+            "label": label,
+            "score": float(score),
+            "bbox": [float(v) for v in bbox],
+            "custom_value": float(order),
+            "text": None,
+        }
+
+    blocks = [
+        blk("header", 0.9, [10, 0, 590, 18], 0),
+        blk("doc_title", 0.95, [60, 30, 540, 60], 1),
+    ]
+    y = 80.0
+    order = 2.0
+    for _ in range(int(rng.integers(2, 5))):
+        h = float(rng.integers(30, 60))
+        blocks.append(blk("text", 0.85, [40, y, 300, y + h], order))
+        order += 1
+        if rng.random() < 0.5:  # aligned continuation (mergeable, G13)
+            h2 = float(rng.integers(20, 40))
+            blocks.append(blk("text", 0.85, [40, y + h + 2, 300, y + h + 2 + h2], order))
+            order += 1
+            y += h + h2 + 20
+        else:
+            y += h + 20
+    blocks.append(blk("table", 0.9, [320, 80, 580, 220], order)); order += 1
+    if rng.random() < 0.5:  # figure contained in the table (J5)
+        blocks.append(blk("image", 0.9, [340, 100, 420, 160], order)); order += 1
+    blocks.append(blk("display_formula", 0.9, [320, 240, 580, 280], order)); order += 1
+    blocks.append(blk("chart", 0.85, [320, 300, 580, 420], order)); order += 1
+    if rng.random() < 0.6:  # >0.7 overlap-over-smaller duplicate (J4)
+        blocks.append(blk("text", 0.6, [45, 85, 200, 130], order)); order += 1
+        blocks.append(blk("text", 0.55, [50, 90, 150, 125], order)); order += 1
+    blocks.append(blk("text", 0.2, [0, 0, 8, 8], order)); order += 1  # low score
+    blocks.append(blk("footer", 0.9, [10, 760, 590, 780], order))
+    return blocks
+
+
+def gen_layout_blocks_pdf(n_docs: int) -> pd.DataFrame:
+    rows = []
+    for i in range(n_docs):
+        rows.extend(layout_blocks_for_doc(doc_id_for(i)))
+    return pd.DataFrame(rows)
+
+
+def layout_blocks_df(doc_ids):
+    """Distributed layout-block fixture from a (doc_id) DataFrame."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"].astype(str).tolist():
+                rows.extend(layout_blocks_for_doc(d))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "cls_id", "label", "score",
+                    "bbox", "custom_value", "text",
+                ],
+            )
+
+    return doc_ids.select("doc_id").mapInPandas(gen, schema=LAYOUT_SCHEMA)
+
+
 # ---------------------------------------------------------------- Spark side
 
 

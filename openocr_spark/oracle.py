@@ -152,6 +152,91 @@ def extract_media_text(media_ref: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> s
     )
 
 
+def doc_parse_oracle(blocks_pdf: pd.DataFrame, score_threshold: float = 0.4) -> dict:
+    """Independent re-implementation of the doc-parse flow (SURVEY §3.2):
+    per doc_id → ordered list of (kind, text, block_id, order)."""
+    from openocr_spark.functions.otsl import otsl_to_html
+    from openocr_spark.functions.text import truncate_repetitive_content
+    from openocr_spark.operators.doc_parse import surrogate_block_text
+    from openocr_spark.operators.layout import IGNORE_LABELS, NO_RECOGNIZE, ROUTE, ROUTE_DEFAULT
+
+    out: dict = {}
+    for doc_id, grp in blocks_pdf.groupby("doc_id"):
+        rows = [r for r in grp.to_dict("records") if r["score"] > score_threshold]
+        # J4 overlap dedup (greedy, image-exempt)
+        def ovs(a, b):
+            ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+            iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+            aa = max((a[2] - a[0]) * (a[3] - a[1]), 1e-9)
+            ab = max((b[2] - b[0]) * (b[3] - b[1]), 1e-9)
+            return ix * iy / min(aa, ab)
+
+        drop = set()
+        for i in range(len(rows)):
+            if i in drop:
+                continue
+            for j in range(i + 1, len(rows)):
+                if j in drop:
+                    continue
+                if (rows[i]["label"] in NO_RECOGNIZE) != (rows[j]["label"] in NO_RECOGNIZE):
+                    continue
+                if ovs(rows[i]["bbox"], rows[j]["bbox"]) > 0.7:
+                    ai = (rows[i]["bbox"][2] - rows[i]["bbox"][0]) * (rows[i]["bbox"][3] - rows[i]["bbox"][1])
+                    aj = (rows[j]["bbox"][2] - rows[j]["bbox"][0]) * (rows[j]["bbox"][3] - rows[j]["bbox"][1])
+                    drop.add(j if aj <= ai else i)
+        rows = [r for k, r in enumerate(rows) if k not in drop]
+
+        # G13 alignment merge of text blocks
+        rows.sort(key=lambda r: r["custom_value"])
+        merged_flag = [False] * len(rows)
+        merged_rows = []
+        for i, cur0 in enumerate(rows):
+            if merged_flag[i]:
+                continue
+            cur = dict(cur0)
+            cb = list(cur["bbox"])
+            if cur["label"] == "text":
+                for j in range(i + 1, len(rows)):
+                    if merged_flag[j] or rows[j]["label"] != "text":
+                        continue
+                    nb = rows[j]["bbox"]
+                    aligned = abs(cb[0] - nb[0]) <= 5.0 and abs(cb[2] - nb[2]) <= 5.0
+                    gap = nb[1] - cb[3]
+                    adjacent = 0 <= gap < ((cb[3] - cb[1]) + (nb[3] - nb[1])) / 2
+                    new_h = nb[3] - cb[1]
+                    new_w = max(cb[2], nb[2]) - min(cb[0], nb[0])
+                    if aligned and adjacent and new_h / max(new_w, 1e-9) < 3.0:
+                        cb = [min(cb[0], nb[0]), cb[1], max(cb[2], nb[2]), nb[3]]
+                        merged_flag[j] = True
+            cur["bbox"] = cb
+            merged_rows.append(cur)
+
+        # W2/W3 order + numbering, routing, recognition, post, assembly
+        merged_rows.sort(key=lambda r: r["custom_value"])
+        label_counts: dict[str, int] = {}
+        spans = []
+        for r in merged_rows:
+            label_counts[r["label"]] = label_counts.get(r["label"], 0) + 1
+            block_id = f"{r['label']}_{label_counts[r['label']]:02d}"
+            task = None if r["label"] in NO_RECOGNIZE else ROUTE.get(r["label"], ROUTE_DEFAULT)
+            text = surrogate_block_text(doc_id, block_id, task)
+            if text is not None:
+                text = truncate_repetitive_content(text)
+                if task == "table_rec":
+                    text = otsl_to_html(text)
+                if task == "formula_rec":
+                    text = text.replace("\\( ", "$").replace(" \\)", "$")
+                    text = text.replace("\\(", "$").replace("\\)", "$")
+            if r["label"] in IGNORE_LABELS:
+                continue
+            spans.append((r["label"], text, block_id))
+        out[doc_id] = [
+            {"kind": k, "text": t, "block_id": b, "order": i}
+            for i, (k, t, b) in enumerate(spans)
+        ]
+    return out
+
+
 def extract_oracle(docs_pdf: pd.DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> pd.DataFrame:
     """documents (doc_id, spans) → extractions (doc_id, spans out).
 

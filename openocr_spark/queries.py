@@ -816,6 +816,28 @@ def q_rec_metric_fixture(spark: SparkSession, sf: str) -> DataFrame:
 
 # ------------------------------------- the flagship (non-SQL, rows-only)
 
+@q("doc_parse", None)
+def q_doc_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """The OpenDoc layout-parse → route → recognize → assemble flow
+    (SURVEY §3.2) over deterministic layout blocks derived from the
+    driver doc ids. Kernel-space → rows-only; oracle equality is pinned
+    by tests/test_doc_parse.py."""
+    from openocr_spark.fixtures import layout_blocks_df
+    from openocr_spark.operators.doc_parse import doc_parse, doc_spans
+
+    ids = load(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    spans = doc_spans(doc_parse(layout_blocks_df(ids)))
+    return spans.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("table"))).alias(
+            "n_tables"
+        ),
+    )
+
+
 @q("extract_spans", None)
 def q_extract_spans(spark: SparkSession, sf: str) -> DataFrame:
     """The flagship extraction pipeline: flat driver docs → interleaved
