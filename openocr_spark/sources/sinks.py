@@ -54,6 +54,14 @@ def write_system_results(detail: DataFrame, path: str) -> None:
     )
 
 
+def write_extractions_json(extractions: DataFrame, path: str) -> None:
+    """save_to_json analog (SURVEY S10, tools/infer_doc_onnx.py:1079-1205):
+    one JSON object per document, text lines."""
+    extractions.select(F.to_json(F.struct("*")).alias("line")).write.mode(
+        "overwrite"
+    ).text(path)
+
+
 def write_extractions(extractions: DataFrame, path: str, n_buckets: int = 16) -> None:
     """Output table layout: parquet partitioned by doc_id hash bucket —
     the parquet stand-in for the Iceberg spec in iceberg.py."""

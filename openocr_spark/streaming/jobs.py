@@ -12,6 +12,7 @@ of the throughput metrics A9) for late-data handling.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -58,6 +59,87 @@ def extract_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def merge_text_slices_stream(
+    slices_stream: DataFrame,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    the reference's stream_match sliding-window text merge
+    (rec_metric.py:6-28, SURVEY §2.9 ST2) over an unbounded stream of
+    recognition slices (media_ref, slice_idx, text). Per-key state holds
+    (next expected idx, merged text); slices may arrive across
+    micro-batches; a key emits its merged text when the stream signals
+    the final slice (is_last) or the state times out.
+
+    Input schema: media_ref string, slice_idx int, text string,
+                  is_last boolean
+    Output: media_ref string, merged string, n_slices int
+
+    timeout_ms=None uses NoTimeout (keys emit only on is_last; required
+    for availableNow jobs to terminate — with ProcessingTimeTimeout the
+    query stays alive waiting to fire timeouts). Set a timeout for
+    continuous deployments where lost final slices must flush.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from openocr_spark.functions.text import stream_match
+
+    out_schema = "media_ref string, merged string, n_slices int"
+    state_schema = "pending array<string>, idxs array<int>, done boolean"
+
+    def fn(key, pdfs, state):
+        media_ref = key[0]
+        if state.hasTimedOut:
+            (pending, idxs, _done) = state.get
+            order = sorted(range(len(idxs)), key=lambda i: idxs[i])
+            merged = stream_match([pending[i] for i in order])
+            state.remove()
+            yield pd.DataFrame(
+                [{"media_ref": media_ref, "merged": merged, "n_slices": len(idxs)}]
+            )
+            return
+        pending: list[str] = []
+        idxs: list[int] = []
+        done = False
+        if state.exists:
+            (pending, idxs, done) = state.get
+            pending, idxs = list(pending), list(idxs)
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                pending.append(row["text"])
+                idxs.append(int(row["slice_idx"]))
+                done = done or bool(row["is_last"])
+        if done:
+            order = sorted(range(len(idxs)), key=lambda i: idxs[i])
+            merged = stream_match([pending[i] for i in order])
+            state.remove()
+            yield pd.DataFrame(
+                [{"media_ref": media_ref, "merged": merged, "n_slices": len(idxs)}]
+            )
+        else:
+            state.update((pending, idxs, done))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+            yield pd.DataFrame(
+                {"media_ref": [], "merged": [], "n_slices": []}
+            ).astype({"media_ref": str, "merged": str, "n_slices": "int32"})
+
+    return (
+        slices_stream.groupBy("media_ref")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
 
 
 def windowed_event_counts(

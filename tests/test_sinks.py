@@ -8,6 +8,26 @@ from openocr_spark.operators.metrics import extract_detail
 from openocr_spark.sources.sinks import system_results_lines, write_system_results
 
 
+def test_write_extractions_json(spark, tmp_path):
+    from openocr_spark import schemas
+    from openocr_spark.fixtures import gen_documents_pdf
+    from openocr_spark.operators.extract import extract
+    from openocr_spark.sources.sinks import write_extractions_json
+
+    docs = spark.createDataFrame(
+        gen_documents_pdf(6).to_dict("records"), schema=schemas.DOCUMENTS
+    )
+    path = str(tmp_path / "json")
+    write_extractions_json(extract(docs), path)
+    lines = [
+        json.loads(ln)
+        for f in glob.glob(path + "/part-*")
+        for ln in open(f).read().splitlines()
+    ]
+    assert len(lines) == 6
+    assert all("doc_id" in d and "spans" in d for d in lines)
+
+
 def test_system_results_format(spark, tmp_path):
     refs = spark.createDataFrame(
         [(f"media://doc-{i:08d}/0",) for i in range(6)], ["media_ref"]

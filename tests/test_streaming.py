@@ -51,6 +51,46 @@ def test_stream_extract_parity_and_resume(spark, tmp_path):
     assert out.groupBy("doc_id").count().filter("count > 1").count() == 0
 
 
+def test_stateful_stream_match_merge(spark, tmp_path):
+    """applyInPandasWithState merge: slices arriving in TWO micro-batches
+    per key, out of order, merged by suffix/prefix overlap on is_last."""
+    from openocr_spark.streaming.jobs import merge_text_slices_stream
+
+    in_dir = str(tmp_path / "slices")
+    schema = "media_ref string, slice_idx int, text string, is_last boolean"
+    # batch 1: partial slices (out of order)
+    spark.createDataFrame(
+        [("m1", 1, "world peace", False), ("m1", 0, "hello wor", False),
+         ("m2", 0, "abc", False)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    # batch 2: finals
+    spark.createDataFrame(
+        [("m1", 2, "peace now", True), ("m2", 1, "cde", True)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force two micro-batches
+        .parquet(in_dir)
+    )
+    q = (
+        merge_text_slices_stream(stream)
+        .writeStream.format("memory")
+        .queryName("merged_slices")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["media_ref"]: (r["merged"], r["n_slices"])
+        for r in spark.sql("select * from merged_slices").collect()
+    }
+    assert got["m1"] == ("hello world peace now", 3)
+    assert got["m2"] == ("abcde", 2)
+
+
 def test_windowed_event_counts_with_watermark(spark, tmp_path):
     in_dir = str(tmp_path / "ev")
     rows = [
