@@ -59,7 +59,7 @@ def force(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_fixture = int(os.environ.get("BENCH_FIXTURE_DOCS", "20000"))
+    n_fixture = int(os.environ.get("BENCH_FIXTURE_DOCS", "30000"))
     repeat = int(os.environ.get("BENCH_REPEAT", "1"))
     only = os.environ.get("BENCH_ONLY")
     names = only.split(",") if only else HEADLINE
