@@ -55,21 +55,32 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
         ba[3] = max(ba[3], bb[3])
         return ra
 
+    # extract ALL row-runs in two vectorized passes: pad each row with a
+    # False column on both sides, sign of the horizontal diff marks run
+    # starts (+1) and ends (-1); argwhere returns them row-major so the
+    # k-th start pairs with the k-th end within a row. The python loop
+    # below is O(#runs), with no per-row numpy calls.
+    h, w = mask.shape
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = mask
+    d = np.diff(padded, axis=1)
+    starts = np.argwhere(d == 1)      # (row, c0)
+    ends_c = np.argwhere(d == -1)[:, 1] - 1  # inclusive end col
     prev_runs: list[tuple[int, int, int]] = []  # (c0, c1, label)
-    # visit only rows containing foreground; a gap in row indices breaks
-    # 4-connectivity, so prev_runs resets (keeps the loop O(fg rows))
-    row_idx = np.flatnonzero(mask.any(axis=1))
     prev_r = -2
-    for r in row_idx.tolist():
+    i = 0
+    n_runs = len(starts)
+    while i < n_runs:
+        r = int(starts[i, 0])
         if r != prev_r + 1:
             prev_runs = []
         prev_r = r
-        row = mask[r]
-        padded = np.concatenate(([False], row, [False]))
-        diff = np.flatnonzero(padded[1:] != padded[:-1])
-        starts, ends = diff[0::2], diff[1::2] - 1  # inclusive col ranges
+        row_runs = []
+        while i < n_runs and starts[i, 0] == r:
+            row_runs.append((int(starts[i, 1]), int(ends_c[i])))
+            i += 1
         cur_runs: list[tuple[int, int, int]] = []
-        for c0, c1 in zip(starts.tolist(), ends.tolist()):
+        for c0, c1 in row_runs:
             label = -1
             for pc0, pc1, plabel in prev_runs:
                 if pc0 <= c1 and c0 <= pc1:  # 4-connectivity overlap
@@ -174,16 +185,26 @@ def assign_regions_to_boxes(
     contains (-1 if none). Surrogate for the crop step
     (tools/infer/utility.py:167-202 get_rotate_crop_image): instead of
     cropping pixels we look up the region's logits by position."""
+    if not boxes or not region_points:
+        return [-1] * len(boxes)
+    # region centers computed once (was per box x per region); points may
+    # arrive as object-dtype nested arrays from Arrow — index explicitly
+    centers = np.array(
+        [
+            [
+                sum(float(q[0]) for q in p) / len(p),
+                sum(float(q[1]) for q in p) / len(p),
+            ]
+            for p in region_points
+        ]
+    )
     assigned = []
     for b in boxes:
-        x0, y0 = int(b[0][0]), int(b[0][1])
-        x1, y1 = int(b[2][0]), int(b[2][1])
-        hit = -1
-        for idx, pts in enumerate(region_points):
-            cx = float(np.mean([p[0] for p in pts]))
-            cy = float(np.mean([p[1] for p in pts]))
-            if x0 <= cx <= x1 and y0 <= cy <= y1:
-                hit = idx
-                break
-        assigned.append(hit)
+        x0, y0 = float(b[0][0]), float(b[0][1])
+        x1, y1 = float(b[2][0]), float(b[2][1])
+        inside = np.flatnonzero(
+            (centers[:, 0] >= x0) & (centers[:, 0] <= x1)
+            & (centers[:, 1] >= y0) & (centers[:, 1] <= y1)
+        )
+        assigned.append(int(inside[0]) if len(inside) else -1)
     return assigned

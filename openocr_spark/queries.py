@@ -193,6 +193,111 @@ def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "multi_join_revenue",
+    """
+    SELECT r.r_name AS region,
+           COUNT(*) AS n_lineitems,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY r.r_name
+    """,
+)
+def q_multi_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join chain — Catalyst reorders and
+    broadcasts the small dims (nation/region); the fact side shuffles
+    once per big join key."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@q(
+    "having_filter",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 8
+    """,
+)
+def q_having_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING)."""
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 8)
+    )
+
+
+@q(
+    "spread_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2) AS std_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_spread_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """min/max/stddev spread statistics per group."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+    )
+
+
+@q(
+    "json_props_agg",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS total_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_props_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON payload decode + aggregate (SURVEY §2.8 F14 from_json)."""
+    ev = load(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("total_k"), F.count("*").alias("n")
+    )
+
+
 # ------------------------------------------------------------- windows
 
 @q(

@@ -59,6 +59,58 @@ def with_ratio_bucket(
     return df.withColumn("ratio_bucket", ratio)
 
 
+def read_webdataset(spark: SparkSession, glob: str) -> DataFrame:
+    """WebDataset tar-shard source (SURVEY §2.1 S7,
+    tools/data/cmer_web_dataset.py): shards are tar files whose members
+    are named `{key}.{ext}`; members sharing a key form one sample.
+
+    Plan: binaryFile scan of the shards (each shard = one input row →
+    one task; shard-level parallelism, the WebDataset model) →
+    mapInPandas untars in-memory → one row per member
+    (shard, key, ext, data). Use `webdataset_samples` to pivot members
+    into one row per sample."""
+    import io
+    import tarfile
+
+    shards = spark.read.format("binaryFile").load(glob)
+
+    def untar(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        key, _, ext = m.name.rpartition(".")
+                        rows.append(
+                            {
+                                "shard": path,
+                                "key": key,
+                                "ext": ext,
+                                "data": tf.extractfile(m).read(),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=["shard", "key", "ext", "data"])
+
+    return shards.select("path", "content").mapInPandas(
+        untar, schema="shard string, key string, ext string, data binary"
+    )
+
+
+def webdataset_samples(members: DataFrame) -> DataFrame:
+    """(shard, key, ext, data) → one row per sample with a member map
+    (ext → data). The LMDB (image, label) record analog:
+    `sample['bin']` is the payload, `sample['txt']` the label."""
+    return members.groupBy("shard", "key").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("ext"), F.col("data")))
+        ).alias("members")
+    )
+
+
 def seeded_shuffle(df: DataFrame, seed: int, epoch: int = 0) -> DataFrame:
     """Deterministic per-epoch reshuffle (SURVEY §2.9 ST4,
     ratio_sampler.py:178-185): global order by a seeded hash of the row —

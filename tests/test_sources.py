@@ -45,6 +45,37 @@ def test_union_suites(spark):
     assert {(r["suite"], r["x"]) for r in out.collect()} == {("s1", 1), ("s2", 2)}
 
 
+def test_webdataset_reader(spark, tmp_path):
+    import io
+    import tarfile
+
+    from openocr_spark.sources.readers import read_webdataset, webdataset_samples
+
+    def make_shard(path, samples):
+        with tarfile.open(path, "w") as tf:
+            for key, members in samples.items():
+                for ext, data in members.items():
+                    info = tarfile.TarInfo(name=f"{key}.{ext}")
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+
+    make_shard(
+        tmp_path / "shard-000.tar",
+        {"s0": {"bin": b"\x01\x02", "txt": b"hello"},
+         "s1": {"bin": b"\x03", "txt": b"world"}},
+    )
+    make_shard(tmp_path / "shard-001.tar", {"s2": {"bin": b"\x04", "txt": b"third"}})
+
+    members = read_webdataset(spark, str(tmp_path) + "/shard-*.tar")
+    assert members.count() == 6
+    samples = webdataset_samples(members).collect()
+    assert len(samples) == 3
+    by_key = {r["key"]: r["members"] for r in samples}
+    assert bytes(by_key["s0"]["txt"]) == b"hello"
+    assert bytes(by_key["s1"]["bin"]) == b"\x03"
+    assert bytes(by_key["s2"]["txt"]) == b"third"
+
+
 def test_token_decode(spark):
     vocab = {1: "h", 2: "i", 3: "!"}
     df = spark.createDataFrame([([1, 2, 9, 3],)], "ids array<int>")
