@@ -74,8 +74,19 @@ def mp_control(procs: int, n: int = 60000) -> float:
 
 def main() -> None:
     sys.path.insert(0, ROOT)
-    r_lo = run_at(LO)
-    r_hi = run_at(HI)
+    # interleave levels (lo,hi,lo,hi) and keep the best run per level:
+    # this VM's attainable throughput swings between periods, so paired
+    # alternation beats back-to-back blocks
+    rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
+    best_lo = best_hi = None
+    for _ in range(rounds):
+        r = run_at(LO)
+        if best_lo is None or r["docs_per_sec"] > best_lo["docs_per_sec"]:
+            best_lo = r
+        r = run_at(HI)
+        if best_hi is None or r["docs_per_sec"] > best_hi["docs_per_sec"]:
+            best_hi = r
+    r_lo, r_hi = best_lo, best_hi
     t_lo = r_lo["docs_per_sec"]
     t_hi = r_hi["docs_per_sec"]
     eff = (t_hi / t_lo) / (HI / LO)

