@@ -73,7 +73,7 @@ def q_pruned_agg(spark: SparkSession, sf: str) -> DataFrame:
     scan filter (SURVEY §2.4 A4: DetMetric partial sums → global sums)."""
     li = load(spark, sf, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -214,7 +214,7 @@ def q_multi_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
     once per big join key."""
     li = load(spark, sf, "lineitem")
     o = load(spark, sf, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz")
     )
     c = load(spark, sf, "customer")
     n = load(spark, sf, "nation")
