@@ -44,6 +44,7 @@ HEADLINE = [
     "sessionize",
     "extract_spans",
     "extract_fixture",
+    "extract_joined",
 ]
 
 
@@ -72,6 +73,9 @@ def main() -> None:
         os.sched_setaffinity(0, set(range(cpus)))
         log(f"pinned to cpus 0-{cpus - 1}")
 
+    # local mode = one JVM for driver+executors; the joined-payload path
+    # shuffles ~70KB payload rows, so give the JVM real headroom
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
     spark = get_spark("openocr-spark-bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus * 2, 16))
     spark.sparkContext.setLogLevel("ERROR")
@@ -117,6 +121,27 @@ def main() -> None:
             extras["fixture_spans"] = float(n_spans)
             extras["docs_per_sec"] = round(n_fixture / dt, 2)
             extras["spans_per_sec"] = round(n_spans / dt, 2)
+        elif name == "extract_joined":
+            # the production mode: payloads resolved via the media_ref
+            # equi-join against a materialized table (storage-partitioned
+            # at Iceberg scale) instead of executor-side synthesis
+            corpus = os.path.join(
+                os.environ.get("TMPDIR", "/tmp"), f"bench_corpus_{n_fixture}"
+            )
+            payloads_dir = corpus + "_payloads"
+            docs = spark.read.parquet(corpus)
+            if not os.path.exists(os.path.join(payloads_dir, "_SUCCESS")):
+                log(f"materializing payloads -> {payloads_dir}")
+                from openocr_spark.fixtures import media_payloads_df
+
+                media_payloads_df(spark, docs).write.mode("overwrite").parquet(
+                    payloads_dir
+                )
+            payloads = spark.read.parquet(payloads_dir)
+            t0 = time.monotonic()
+            force(extract(docs, payloads))
+            dt = time.monotonic() - t0
+            extras["docs_per_sec_joined"] = round(n_fixture / dt, 2)
         elif name in SPARK_Q:
             force(SPARK_Q[name](spark, sf_dir))
             dt = time.monotonic() - t0

@@ -108,7 +108,8 @@ def main() -> None:
     print(json.dumps(result), flush=True)
 
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
-    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
+    # latest-run detail; BENCH/BASELINE.md is the curated summary across runs
+    with open(os.path.join(ROOT, "BENCH", "scaling_latest.md"), "w") as f:
         f.write(
             f"""# BENCH — measured scaling evidence
 

@@ -28,6 +28,10 @@ class ExtractConfig:
     # distribution knobs (SURVEY.md §4 O5): the single salted repartition
     # before the media kernels; None = 2 * spark.sparkContext.defaultParallelism
     media_partitions: int | None = None
+    # shape-uniform kernel batches via a local ratio sort on the joined-
+    # payload path (costs a per-partition spill of payload bytes; enable
+    # when the recognition kernel pads batches to a common shape)
+    ratio_sort: bool = False
 
 
 DEFAULT_CONFIG = ExtractConfig()

@@ -91,6 +91,59 @@ def _process_media_arrays(
     return "\n".join(texts)
 
 
+def _media_kernel_arrow(cfg: ExtractConfig):
+    """mapInArrow kernel for the joined-payload path.
+
+    The payload columns are wide binary cells (~60KB score maps, logits);
+    a pandas kernel would materialize every cell as a Python bytes object
+    (copy) and every region as a dict — measured 59s for an 11GB batch
+    stream where the actual decode work is ~2s. Arrow RecordBatches let
+    numpy wrap the buffers zero-copy (`scalar.as_buffer()`), so only the
+    small string/int columns are materialized."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            doc_ids = batch.column("doc_id").to_pylist()
+            offsets = batch.column("offset").to_pylist()
+            refs = batch.column("media_ref").to_pylist()
+            heights = batch.column("height").to_pylist()
+            widths = batch.column("width").to_pylist()
+            sm_col = batch.column("score_map")
+            regions_col = batch.column("regions")
+            out_text = []
+            for i in range(n):
+                prob = np.frombuffer(
+                    sm_col[i].as_buffer(), dtype=np.float32
+                ).reshape(int(heights[i]), int(widths[i]))
+                regs = regions_col[i]
+                regions = []
+                for j in range(len(regs)):
+                    r = regs[j]
+                    logits = np.frombuffer(
+                        r["logits"].as_buffer(), dtype=np.float32
+                    ).reshape(int(r["logits_t"].as_py()), -1)
+                    regions.append(
+                        {"points": r["points"].as_py(), "logits": logits}
+                    )
+                out_text.append(_process_media_arrays(prob, regions, cfg))
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": doc_ids,
+                    "offset": pa.array(
+                        [int(o) for o in offsets], type=pa.int32()
+                    ),
+                    "kind": ["media"] * n,
+                    "text": out_text,
+                    "media_ref": refs,
+                }
+            )
+
+    return kernel
+
+
 def _media_kernel(cfg: ExtractConfig, synthesize: bool):
     """mapInPandas kernel. If `synthesize`, payloads are generated
     deterministically from media_ref inside the executor (fixture path —
@@ -170,21 +223,35 @@ def extract_flat(
     media = spans.filter(F.col("kind") == "media").select("doc_id", "offset", "media_ref")
     n_parts = cfg.media_partitions or 2 * spark.sparkContext.defaultParallelism
     if media_payloads is not None:
+        # the equi-join on media_ref IS the salt on this path: its output
+        # is distributed by media_ref (or by the payload table's own
+        # layout when the light media side broadcasts) — re-partitioning
+        # the joined rows would shuffle the heavy payload bytes a second
+        # time for no distribution gain. At Iceberg scale, matching
+        # bucket(N, media_ref) specs make this a storage-partitioned
+        # join: the payload bytes never shuffle at all.
         media = media.join(media_payloads, "media_ref")
-    # the ONE salted wide shuffle: uniform distribution of media work,
-    # immune to media-heavy documents (media_ref is unique per span)
-    media = media.repartition(n_parts, "media_ref")
+        if cfg.ratio_sort:
+            # optional shape-uniform batching (RatioSampler analog,
+            # SURVEY O5): a local sort — costs a per-partition spill of
+            # payload bytes, only worth it when the kernel pads batches
+            media = media.sortWithinPartitions(
+                (F.col("width") / F.col("height")).alias("_ratio")
+            )
+    else:
+        # synthesize path carries only (doc_id, offset, media_ref): the
+        # ONE salted wide shuffle distributing media work uniformly,
+        # immune to media-heavy documents (media_ref is unique per span)
+        media = media.repartition(n_parts, "media_ref")
     if media_payloads is not None:
-        # secondary sort by aspect ratio inside each partition so Arrow
-        # batches are shape-uniform — the RatioSampler bucketing (SURVEY
-        # O5, tools/data/ratio_sampler.py:120-176) as a local sort, no
-        # extra shuffle
-        media = media.sortWithinPartitions(
-            (F.col("width") / F.col("height")).alias("_ratio")
-        )
-    media_out = media.mapInPandas(
-        _media_kernel(cfg, synthesize=media_payloads is None), schema=schemas.SPAN_ROW
-    ).select("doc_id", "offset", "kind", "text", "media_ref")
+        # wide binary payload columns → Arrow-native kernel (zero-copy)
+        media_out = media.mapInArrow(
+            _media_kernel_arrow(cfg), schema=schemas.SPAN_ROW
+        ).select("doc_id", "offset", "kind", "text", "media_ref")
+    else:
+        media_out = media.mapInPandas(
+            _media_kernel(cfg, synthesize=True), schema=schemas.SPAN_ROW
+        ).select("doc_id", "offset", "kind", "text", "media_ref")
 
     return non_media.unionByName(media_out)
 

@@ -57,6 +57,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # kernel batch size: bounds per-batch memory in mapInPandas kernels
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # payload tables carry ~60KB binary cells; the default 4096-row
+        # columnar reader batch would reserve ~250MB per scan task
+        # (4096 x cell) and OOM — 512 keeps scan batches ~30MB while
+        # costing nothing measurable on narrow tables
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
