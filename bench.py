@@ -138,9 +138,14 @@ def main() -> None:
                     payloads_dir
                 )
             payloads = spark.read.parquet(payloads_dir)
-            t0 = time.monotonic()
-            force(extract(docs, payloads))
-            dt = time.monotonic() - t0
+            out = extract(docs, payloads)
+            dt = None
+            for _ in range(max(repeat, 1)):
+                t0 = time.monotonic()
+                force(out)
+                run = time.monotonic() - t0
+                dt = run if dt is None else min(dt, run)
+                log(f"extract_joined trial: {run:.2f}s")
             extras["docs_per_sec_joined"] = round(n_fixture / dt, 2)
         elif name in SPARK_Q:
             force(SPARK_Q[name](spark, sf_dir))
