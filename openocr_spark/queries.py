@@ -943,6 +943,21 @@ def q_doc_parse(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("doc_markdown", None)
+def q_doc_markdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Markdown assembly with boilerplate-label strip (SURVEY F11/P7,
+    to_markdown.py:90-440) over the parsed layout blocks."""
+    from openocr_spark.fixtures import layout_blocks_df
+    from openocr_spark.operators.doc_parse import doc_parse
+    from openocr_spark.operators.layout import assemble_markdown
+
+    ids = load(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    md = assemble_markdown(doc_parse(layout_blocks_df(ids)))
+    return md.select("doc_id", F.length("markdown").alias("markdown_len"))
+
+
 @q("extract_spans", None)
 def q_extract_spans(spark: SparkSession, sf: str) -> DataFrame:
     """The flagship extraction pipeline: flat driver docs → interleaved
