@@ -48,15 +48,20 @@ def make_logits(text: str, rng: np.random.Generator, weak: bool = False) -> np.n
     path (ctc_postprocess.py:62-64) is actually exercised. `weak` logits
     produce a near-uniform softmax → low confidence → dropped by the
     drop_score filter (infer_e2e.py:194-201)."""
-    frames: list[int] = []
-    ids = [CHAR_TO_ID[c] for c in text]
-    for i, cid in enumerate(ids):
-        frames.extend([cid] * (1 + int(rng.random() < 0.3)))
+    ids = np.array([CHAR_TO_ID[c] for c in text], dtype=np.int64)
+    n = len(ids)
+    if n == 0:
+        frames = np.array([0], dtype=np.int64)
+    else:
+        # vectorized draws (scalar rng calls dominated the kernel profile)
+        repeats = 1 + (rng.random(n) < 0.3).astype(np.int64)
+        blank_roll = rng.random(n) < 0.4
         # blank is REQUIRED between equal consecutive symbols, optional otherwise
-        if i + 1 < len(ids) and (ids[i + 1] == cid or rng.random() < 0.4):
-            frames.append(0)
-    if not frames:
-        frames = [0]
+        need_blank = np.zeros(n, dtype=bool)
+        if n > 1:
+            need_blank[:-1] = (ids[1:] == ids[:-1]) | blank_roll[:-1]
+        rep = np.repeat(ids, repeats)
+        frames = np.insert(rep, np.cumsum(repeats)[need_blank], 0)
     peak = 0.2 if weak else 8.0
     logits = np.zeros((len(frames), NUM_CLASSES), dtype=np.float32)
     logits[np.arange(len(frames)), frames] = peak
@@ -79,17 +84,25 @@ def payload_for_media_ref(media_ref: str) -> dict:
     cells = rng.permutation(_GRID_ROWS * _GRID_COLS)[:n_regions]
     score_map = np.full((MEDIA_H, MEDIA_W), 0.05, dtype=np.float32)
     cell_h, cell_w = MEDIA_H // _GRID_ROWS, MEDIA_W // _GRID_COLS
+    # bulk per-region draws (one rng call per attribute, not per region)
+    y0s = rng.integers(2, 8, n_regions)
+    x0s = rng.integers(2, 12, n_regions)
+    bhs = rng.integers(8, cell_h - 10, n_regions)
+    bws = rng.integers(16, cell_w - 16, n_regions)
+    flavor = rng.random((n_regions, 3))  # weak / low-conf / ignore rolls
+    word2 = rng.random(n_regions) < 0.4
+    widx = rng.integers(len(VOCAB), size=(n_regions, 2))
     regions = []
-    for cell in sorted(cells.tolist()):
+    for k, cell in enumerate(sorted(cells.tolist())):
         gr, gc = divmod(cell, _GRID_COLS)
-        y0 = gr * cell_h + int(rng.integers(2, 8))
-        x0 = gc * cell_w + int(rng.integers(2, 12))
-        bh = int(rng.integers(8, cell_h - 10))
-        bw = int(rng.integers(16, cell_w - 16))
+        y0 = gr * cell_h + int(y0s[k])
+        x0 = gc * cell_w + int(x0s[k])
+        bh = int(bhs[k])
+        bw = int(bws[k])
         y1, x1 = y0 + bh, x0 + bw
-        weak_paint = rng.random() < 0.10
-        low_conf = rng.random() < 0.15
-        ignore = rng.random() < 0.10
+        weak_paint = flavor[k, 0] < 0.10
+        low_conf = flavor[k, 1] < 0.15
+        ignore = flavor[k, 2] < 0.10
         # paint the SHRUNK kernel region, as DBNet's training targets do
         # (MakeShrinkMap: offset = area*(1-r^2)/perimeter with r=0.4,
         # opendet/preprocess/db_label_encode.py:66-216); detection's
@@ -102,8 +115,8 @@ def payload_for_media_ref(media_ref: str) -> dict:
         score_map[y0 + d : y1 - d + 1, x0 + d : x1 - d + 1] = (
             0.25 if weak_paint else 0.9
         )
-        n_words = 1 + int(rng.random() < 0.4)
-        gt_text = " ".join(VOCAB[int(rng.integers(len(VOCAB)))] for _ in range(n_words))
+        n_words = 1 + int(word2[k])
+        gt_text = " ".join(VOCAB[int(widx[k, j])] for j in range(n_words))
         logits = make_logits(gt_text, rng, weak=low_conf)
         regions.append(
             {

@@ -13,9 +13,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def system_results_lines(detail: DataFrame) -> DataFrame:
+def system_results_lines(
+    detail: DataFrame, media_refs: DataFrame | None = None
+) -> DataFrame:
     """DET_REC_DETAIL rows → one formatted line per media_ref.
-    JVM-side: to_json on ordered structs + groupBy concat."""
+    JVM-side: to_json on ordered structs + groupBy concat.
+
+    Pass `media_refs` (a df with a media_ref column) to emit a line for
+    EVERY input media — a media with zero detections gets `name\\t[]`,
+    exactly like the reference writes a result line per input image
+    (infer_e2e.py:387-395). Without it, empty media are absent."""
     span = F.struct(
         F.col("transcription").alias("transcription"),
         F.col("points").alias("points"),
@@ -34,18 +41,30 @@ def system_results_lines(detail: DataFrame) -> DataFrame:
             ).alias("payload")
         )
     )
+    if media_refs is not None:
+        per_media = (
+            media_refs.select("media_ref")
+            .distinct()
+            .join(per_media, "media_ref", "left")
+            .select(
+                "media_ref",
+                F.coalesce(F.col("payload"), F.lit("[]")).alias("payload"),
+            )
+        )
     return per_media.select(
         F.concat_ws("\t", F.col("media_ref"), F.col("payload")).alias("line"),
         "media_ref",
     )
 
 
-def write_system_results(detail: DataFrame, path: str) -> None:
+def write_system_results(
+    detail: DataFrame, path: str, media_refs: DataFrame | None = None
+) -> None:
     """Write the canonical results file (single file, sorted by name —
     matches the reference's sequential writer; for massive outputs use
     partitioned text instead)."""
     (
-        system_results_lines(detail)
+        system_results_lines(detail, media_refs)
         .orderBy("media_ref")
         .select("line")
         .coalesce(1)

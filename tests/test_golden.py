@@ -59,7 +59,9 @@ def test_spark_system_results_match_golden(spark, tmp_path):
 
     refs = spark.createDataFrame([(r,) for r in golden_media_refs()], ["media_ref"])
     path = str(tmp_path / "sys")
-    write_system_results(extract_detail(refs), path)
+    # pass the refs universe: media with zero detections must still get
+    # a `name\t[]` line, like the reference's per-image result rows
+    write_system_results(extract_detail(refs), path, media_refs=refs)
     got = open(glob.glob(path + "/part-*")[0]).read().splitlines()
     frozen = open(os.path.join(GOLDEN_DIR, "system_results.txt")).read().splitlines()
     # JSON number formatting may differ (0.0 vs 0); compare parsed
