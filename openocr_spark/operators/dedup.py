@@ -7,8 +7,11 @@ Scale notes: every variant is a shuffle-on-key design —
   minhash: explode shingles → per-doc agg (one shuffle) → explode bands →
            self-join on (band_idx, band_key); band buckets are the only
            quadratic surface and stay small when bands are wide
-  jaccard: shingle inverted index self-join, guarded by a candidate cap —
-           at 100 TB you run this per-LSH-bucket, never globally
+  jaccard: shingle inverted index self-join, guarded by a stop-shingle
+           document-frequency cap (a shingle shared by k docs produces
+           O(k²) join rows — one stop-shingle at df=10⁶ is 10¹² rows);
+           at 100 TB you additionally run this per-LSH-bucket, never
+           globally
   simhash: explode tokens → 16 bit-majority aggregations → group by code
 """
 
@@ -119,11 +122,29 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.1,
+    max_df: int = 50,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle:
     |A∩B| from the inverted-index self-join, |A|,|B| from per-doc counts,
-    J = common / (|A|+|B|-common). Returns pairs with J ≥ threshold."""
-    sh = shingles(df, id_col, text_col, n)
+    J = common / (|A|+|B|-common). Returns pairs with J ≥ threshold.
+
+    Hot-shingle guard: shingles appearing in more than `max_df` documents
+    (stop-shingles) are dropped from the universe BEFORE the self-join —
+    both the intersection and the per-doc sizes are computed over the
+    filtered universe, so the Jaccard stays self-consistent. The stop
+    list is tiny by construction (few shingles exceed the cap), so it
+    broadcasts; the blowup surface is then bounded at max_df² rows per
+    surviving shingle. max_df=50 is inert at the test SFs (observed max
+    df: 7 at sf0.01, 25 at sf0.1 — results unchanged) but caps the
+    O(k²) explosion a web corpus's boilerplate shingles would cause."""
+    raw = shingles(df, id_col, text_col, n)
+    stop = (
+        raw.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    sh = raw.join(F.broadcast(stop), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -45,20 +45,24 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact brute-force cosine top-k against a literal query vector.
-    One full scan + a top-k (rank ≤ k): Spark executes the window as a
-    partial top-k per partition under AQE. Ranking uses the rounded
-    similarity with id tiebreak so results are engine-deterministic."""
+    One full scan + a distributed top-k (TakeOrderedAndProject). Ranking
+    uses the rounded similarity with id tiebreak so results are
+    engine-deterministic."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     vec = F.col(vec_col).cast("array<double>")
     scored = emb.select(
         F.col(id_col),
         F.round(cosine(vec, q), 6).alias("cos_sim"),
     )
+    # orderBy+limit plans as a distributed TakeOrderedAndProject: each
+    # partition keeps its local top-k, the driver merges k·P rows. A
+    # global row_number window would instead shuffle EVERY scored row to
+    # one partition (no WindowGroupLimit is inserted for rank-filter
+    # windows on this Spark version) — a single-node sort at 100 TB.
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+    # ranking the k survivors is a k-row window — trivially single-node
     w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def cosine_topk_ivf(
@@ -80,7 +84,7 @@ def cosine_topk_ivf(
 
 def near_dup_pairs(
     emb: DataFrame,
-    threshold: float = 0.5,
+    threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",

@@ -157,19 +157,26 @@ def q_broadcast_dim_join(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "anti_join",
     """
-    SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_customers_no_orders
-    FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+    SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_customers_no_urgent
+    FROM customer c ANTI JOIN (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
     """,
 )
 def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Left anti-join (SURVEY §2.3 J3: dets vs don't-care regions)."""
+    """Left anti-join (SURVEY §2.3 J3: dets vs don't-care regions).
+    Anti-joins against urgent orders only — every customer has SOME
+    order in the driver corpus, so the bare customer-without-orders
+    variant returned 0 rows at every SF (a vacuously-green oracle
+    check, VERDICT r1 finding 3). This predicate yields 203 rows at
+    sf0.01 / 1986 at sf0.1."""
     c = load(spark, sf, "customer")
-    o = load(spark, sf, "orders")
+    o = load(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
-        .agg(F.count("*").alias("n_customers_no_orders"))
+        .agg(F.count("*").alias("n_customers_no_urgent"))
     )
 
 
@@ -720,7 +727,11 @@ def q_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "ngram_jaccard",
     f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+    WITH raw AS ({_SHINGLE_SQL}),
+    sh AS (
+      SELECT * FROM raw
+      WHERE shingle NOT IN (
+        SELECT shingle FROM raw GROUP BY shingle HAVING COUNT(*) > 50)),
     sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
     common AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
@@ -736,7 +747,7 @@ def q_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
-    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.1)
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.1, max_df=50)
 
 
 @q(
@@ -837,12 +848,15 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
     """,
 )
 def q_near_dup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, cell-bucketed self-join."""
-    return similarity.near_dup_pairs(load(spark, sf, "embeddings"), threshold=0.5)
+    """Embedding-cosine near-dup pairs, cell-bucketed self-join.
+    Threshold 0.3 yields 111 pairs at sf0.01 / 1449 at sf0.1 — the 0.5
+    threshold returned 0 rows at both SFs, making the oracle check
+    vacuous (VERDICT r1 finding 3)."""
+    return similarity.near_dup_pairs(load(spark, sf, "embeddings"), threshold=0.3)
 
 
 # --------------------------------------------------- stream-shaped

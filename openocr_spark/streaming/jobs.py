@@ -34,6 +34,26 @@ def read_documents_stream(
     )
 
 
+def write_extract_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_dir: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+) -> None:
+    """Idempotent per-micro-batch write: dynamic partition overwrite on
+    batch_id. Replaying the same (batch_df, batch_id) — Spark's replay
+    unit after a crash between the parquet commit and the offset-log
+    checkpoint — overwrites only the batch's own partition, leaving
+    every other batch's partition untouched."""
+    out = extract(batch_df, cfg=cfg).withColumn("batch_id", F.lit(batch_id))
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(output_dir)
+    )
+
+
 def extract_stream(
     docs_stream: DataFrame,
     output_dir: str,
@@ -42,14 +62,16 @@ def extract_stream(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Micro-batched extraction: foreachBatch runs the batch pipeline on
-    each increment and appends parquet. Exactly-once via the streaming
-    checkpoint (offset log) + idempotent batch writes."""
+    each increment. Exactly-once via the streaming checkpoint (offset
+    log) + an idempotent write: output is partitioned by batch_id and
+    written with dynamic partition overwrite, so a micro-batch replayed
+    after a post-commit/pre-checkpoint crash REPLACES its own partition
+    instead of appending duplicates (a plain append would double the
+    rows of the replayed batch — foreachBatch is only exactly-once when
+    the batch write itself is idempotent on batch_id)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        out = extract(batch_df, cfg=cfg)
-        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            output_dir
-        )
+        write_extract_batch(batch_df, batch_id, output_dir, cfg)
 
     writer = (
         docs_stream.writeStream.foreachBatch(process)

@@ -1,0 +1,82 @@
+"""Unit tests for the dedup / similarity scale guards added in round 2:
+hot-shingle cap (VERDICT r1 finding 2), near-dup pairs with known
+non-empty output (finding 3), distributed top-k semantics (finding 1).
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from openocr_spark.operators import dedup, similarity
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A stop-shingle shared by every doc must NOT produce O(n²) pairs
+    once the df cap is active. 40 docs all containing the same 3-gram
+    plus unique tails: uncapped → C(40,2)=780 candidate pairs from the
+    stop shingle alone; capped at max_df=10 → 0 pairs."""
+    rows = [(f"d{i:03d}", f"the quick fox tail{i}a tail{i}b tail{i}c") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    capped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0, max_df=10)
+    assert capped.count() == 0
+    uncapped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0, max_df=10_000)
+    assert uncapped.count() == 40 * 39 // 2
+
+
+def test_ngram_jaccard_cap_keeps_real_dups(spark):
+    """Near-identical docs still pair up under the cap: the overlapping
+    content shingles have low df."""
+    rows = [
+        ("a", "alpha beta gamma delta epsilon zeta"),
+        ("b", "alpha beta gamma delta epsilon eta"),
+        ("c", "one two three four five six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.3, max_df=50)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert ("a", "b") in pairs
+    # |A∩B| = 3 shared shingles, |A|=|B|=4 → J = 3/5
+    assert math.isclose(pairs[("a", "b")], 0.6, abs_tol=1e-6)
+    assert len(pairs) == 1
+
+
+def test_near_dup_pairs_known_pairs(spark):
+    """Constructed cell with one near-identical pair and one orthogonal
+    vector: exactly the near pair survives the threshold."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.1], 0),
+        (2, [1.0, 0.05, 0.0, 0.1], 0),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0], 0),    # same cell, orthogonal
+        (4, [1.0, 0.0, 0.0, 0.1], 1),    # identical to 1 but other cell
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = similarity.near_dup_pairs(df, threshold=0.9)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert got == {(1, 2)}
+
+
+def test_near_dup_pairs_nonempty_on_driver_table(spark):
+    """The driver-contract query must be non-vacuous at sf0.01
+    (VERDICT r1: 0-row oracle checks prove nothing)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = similarity.near_dup_pairs(emb, threshold=0.3).count()
+    assert n > 0
+
+
+def test_cosine_topk_values_match_bruteforce(spark):
+    """TakeOrderedAndProject top-k returns the same set/order as a full
+    sort."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row[0]]
+    topk = similarity.cosine_topk(emb, qv, k=10).orderBy("rank").collect()
+    assert len(topk) == 10
+    assert [r.rank for r in topk] == list(range(1, 11))
+    # rank 1 is the query vector itself (cos=1.0)
+    assert topk[0].vec_id == 0
+    assert abs(topk[0].cos_sim - 1.0) < 1e-6
+    # descending similarity with id tiebreak
+    sims = [(-r.cos_sim, r.vec_id) for r in topk]
+    assert sims == sorted(sims)

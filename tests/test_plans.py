@@ -48,6 +48,22 @@ def test_extract_shuffle_budget(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_cosine_topk_is_distributed_takeordered(spark):
+    """The brute-force top-k must plan as TakeOrderedAndProject (per-
+    partition local top-k, driver merge) — NOT a global row_number
+    window, which shuffles every scored row to one partition
+    (VERDICT r1 finding 1)."""
+    df = SPARK_Q["cosine_topk"](spark, SF)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ann_ivf_is_distributed_takeordered(spark):
+    df = SPARK_Q["ann_ivf"](spark, SF)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_extract_spans_scan_prunes_columns(spark):
     """The flagship over the driver table must only read doc_id+text."""
     from openocr_spark.operators.ingest import interleave

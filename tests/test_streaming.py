@@ -51,6 +51,32 @@ def test_stream_extract_parity_and_resume(spark, tmp_path):
     assert out.groupBy("doc_id").count().filter("count > 1").count() == 0
 
 
+def test_batch_write_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay semantics (ADVICE r1): if the driver dies after the
+    parquet commit but before the offset-log checkpoint, Spark re-runs
+    the SAME micro-batch with the SAME batch_id. The dynamic-partition-
+    overwrite write must leave the output identical, not doubled."""
+    from openocr_spark.streaming.jobs import write_extract_batch
+
+    pdf = gen_documents_pdf(8)
+    docs = spark.createDataFrame(pdf.to_dict("records"), schema=schemas.DOCUMENTS)
+    out_dir = str(tmp_path / "out")
+    b0 = docs.filter(F.col("doc_id") < "doc-00000004")
+    b1 = docs.filter(F.col("doc_id") >= "doc-00000004")
+
+    write_extract_batch(b0, 0, out_dir)
+    write_extract_batch(b1, 1, out_dir)
+    before = _spans_map(spark.read.parquet(out_dir).select("doc_id", "spans"))
+    # replay batch 1 (the post-commit / pre-checkpoint crash scenario)
+    write_extract_batch(b1, 1, out_dir)
+    out = spark.read.parquet(out_dir)
+    after = _spans_map(out.select("doc_id", "spans"))
+    assert after == before
+    assert out.groupBy("doc_id").count().filter("count > 1").count() == 0
+    # other batches' partitions untouched
+    assert out.filter("batch_id = 0").count() == 4
+
+
 def test_stateful_stream_match_merge(spark, tmp_path):
     """applyInPandasWithState merge: slices arriving in TWO micro-batches
     per key, out of order, merged by suffix/prefix overlap on is_last."""
