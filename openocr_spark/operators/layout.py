@@ -194,6 +194,7 @@ def figures_in_tables(blocks: DataFrame) -> DataFrame:
             "t_order",
             "f_order",
             "f_bbox",
+            "fig_idx",
             F.format_string("<figure_%d>", F.col("fig_idx")).alias("token"),
         )
     )
@@ -208,26 +209,46 @@ def untokenize(text: str, token_to_md: dict[str, str]) -> str:
 
 
 def assemble_markdown(blocks: DataFrame) -> DataFrame:
-    """Per-doc markdown assembly (to_markdown.py:90-440 semantics,
-    simplified): boilerplate labels dropped (P7), doc_title → '# ',
-    paragraph_title → '## ', display_formula wrapped in $$, others
-    verbatim; blocks joined by blank lines in reading order."""
-    clean = blocks.filter(~F.col("label").isin(*IGNORE_LABELS))
-    body = (
-        F.when(F.col("label") == "doc_title", F.concat(F.lit("# "), F.col("text")))
-        .when(F.col("label") == "paragraph_title", F.concat(F.lit("## "), F.col("text")))
-        .when(
-            F.col("label") == "display_formula",
-            F.concat(F.lit("$$"), F.col("text"), F.lit("$$")),
+    """Per-doc markdown assembly with the FULL per-label handler set
+    (to_markdown.py:90-448 semantics — headings, lists, figures, tables
+    with attribute repair, display formulas, code fences, boilerplate
+    skip list; functions/markdown.py). The per-block conversion runs as
+    an Arrow-batched pandas UDF (string → string, no kernel state); the
+    per-doc ordered concatenation stays JVM-side (one groupBy shuffle).
+
+    Input: doc_parse output (doc_id, label, text, reading_order,
+    custom_value). section_count is the block's 0-based position in the
+    doc's full ordered block list (reading_order − 1) — skipped blocks
+    still advance it, matching the reference's enumerate over
+    recognition_results (to_markdown.py:390)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    from openocr_spark.functions.markdown import block_markdown
+
+    @pandas_udf(StringType())
+    def md_udf(label: pd.Series, text: pd.Series, sec: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                block_markdown(lb, tx, int(s))
+                for lb, tx, s in zip(label, text, sec)
+            ]
         )
-        .otherwise(F.col("text"))
+
+    frag = blocks.select(
+        "doc_id",
+        "custom_value",
+        md_udf(F.col("label"), F.col("text"), F.col("reading_order") - 1).alias(
+            "md"
+        ),
     )
-    ordered = clean.select(
-        "doc_id", F.struct(F.col("custom_value"), body.alias("md")).alias("s")
+    ordered = frag.select(
+        "doc_id", F.struct(F.col("custom_value"), F.col("md")).alias("s")
     )
     return ordered.groupBy("doc_id").agg(
         F.array_join(
             F.transform(F.array_sort(F.collect_list("s")), lambda s: s["md"]),
-            "\n\n",
+            "",
         ).alias("markdown")
     )

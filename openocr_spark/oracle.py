@@ -152,13 +152,23 @@ def extract_media_text(media_ref: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> s
     )
 
 
-def doc_parse_oracle(blocks_pdf: pd.DataFrame, score_threshold: float = 0.4) -> dict:
+def doc_parse_full_oracle(
+    blocks_pdf: pd.DataFrame, score_threshold: float = 0.4
+) -> dict:
     """Independent re-implementation of the doc-parse flow (SURVEY §3.2):
-    per doc_id → ordered list of (kind, text, block_id, order)."""
-    from openocr_spark.functions.otsl import otsl_to_html
-    from openocr_spark.functions.text import truncate_repetitive_content
-    from openocr_spark.operators.doc_parse import surrogate_block_text
-    from openocr_spark.operators.layout import IGNORE_LABELS, NO_RECOGNIZE, ROUTE, ROUTE_DEFAULT
+    per doc_id → ordered list of ALL parsed blocks (label, text,
+    block_id), boilerplate included (the markdown converter applies its
+    own skip list, doc_spans applies IGNORE_LABELS). Text generation +
+    per-block post (surrogate_block_text / postprocess_block_text) are
+    shared with the Spark kernel by design — the oracle independently
+    re-derives the FLOW (dedup, merge, order, routing, figure
+    containment, assembly) with eager loops."""
+    from openocr_spark.operators.doc_parse import (
+        figure_markdown,
+        postprocess_block_text,
+        surrogate_block_text,
+    )
+    from openocr_spark.operators.layout import NO_RECOGNIZE, ROUTE, ROUTE_DEFAULT
 
     out: dict = {}
     for doc_id, grp in blocks_pdf.groupby("doc_id"):
@@ -211,6 +221,30 @@ def doc_parse_oracle(blocks_pdf: pd.DataFrame, score_threshold: float = 0.4) -> 
             cur["bbox"] = cb
             merged_rows.append(cur)
 
+        # J5: per-table contained-figure tokens (eager containment scan)
+        fig_of_table: dict[float, list[tuple[float, str, str]]] = {}
+        tables = [r for r in merged_rows if r["label"] == "table"]
+        figures = [r for r in merged_rows if r["label"] in ("image", "chart")]
+        for t in tables:
+            tb = t["bbox"]
+            contained = sorted(
+                (
+                    f for f in figures
+                    if f["bbox"][0] >= tb[0] and f["bbox"][1] >= tb[1]
+                    and f["bbox"][2] <= tb[2] and f["bbox"][3] <= tb[3]
+                ),
+                key=lambda f: f["custom_value"],
+            )
+            if contained:
+                fig_of_table[t["custom_value"]] = [
+                    (
+                        f["custom_value"],
+                        f"<figure_{k}>",
+                        figure_markdown(doc_id, f["custom_value"], k),
+                    )
+                    for k, f in enumerate(contained)
+                ]
+
         # W2/W3 order + numbering, routing, recognition, post, assembly
         merged_rows.sort(key=lambda r: r["custom_value"])
         label_counts: dict[str, int] = {}
@@ -219,22 +253,45 @@ def doc_parse_oracle(blocks_pdf: pd.DataFrame, score_threshold: float = 0.4) -> 
             label_counts[r["label"]] = label_counts.get(r["label"], 0) + 1
             block_id = f"{r['label']}_{label_counts[r['label']]:02d}"
             task = None if r["label"] in NO_RECOGNIZE else ROUTE.get(r["label"], ROUTE_DEFAULT)
-            text = surrogate_block_text(doc_id, block_id, task)
-            if text is not None:
-                text = truncate_repetitive_content(text)
-                if task == "table_rec":
-                    text = otsl_to_html(text)
-                if task == "formula_rec":
-                    text = text.replace("\\( ", "$").replace(" \\)", "$")
-                    text = text.replace("\\(", "$").replace("\\)", "$")
-            if r["label"] in IGNORE_LABELS:
-                continue
+            figs = fig_of_table.get(r["custom_value"]) if r["label"] == "table" else None
+            ftoks = [t for _, t, _ in figs] if figs else None
+            fmds = [m for _, _, m in figs] if figs else None
+            text = surrogate_block_text(doc_id, block_id, task, ftoks)
+            text = postprocess_block_text(text, task, doc_id, ftoks, fmds)
+            if text is not None and task == "formula_rec":
+                text = text.replace("\\( ", "$").replace(" \\)", "$")
+                text = text.replace("\\(", "$").replace("\\)", "$")
             spans.append((r["label"], text, block_id))
+        out[doc_id] = spans
+    return out
+
+
+def doc_parse_oracle(blocks_pdf: pd.DataFrame, score_threshold: float = 0.4) -> dict:
+    """Per doc_id → ordered span dicts (kind, text, block_id, order)
+    after the IGNORE_LABELS boilerplate strip — the doc_spans contract."""
+    from openocr_spark.operators.layout import IGNORE_LABELS
+
+    out = {}
+    for doc_id, rows in doc_parse_full_oracle(blocks_pdf, score_threshold).items():
+        kept = [(k, t, b) for k, t, b in rows if k not in IGNORE_LABELS]
         out[doc_id] = [
             {"kind": k, "text": t, "block_id": b, "order": i}
-            for i, (k, t, b) in enumerate(spans)
+            for i, (k, t, b) in enumerate(kept)
         ]
     return out
+
+
+def doc_markdown_oracle(
+    blocks_pdf: pd.DataFrame, score_threshold: float = 0.4
+) -> dict:
+    """Per doc_id → assembled markdown via the full F11 handler set
+    (functions/markdown.py) over the ordered parsed blocks."""
+    from openocr_spark.functions.markdown import doc_markdown
+
+    return {
+        doc_id: doc_markdown([(k, t) for k, t, _ in rows])
+        for doc_id, rows in doc_parse_full_oracle(blocks_pdf, score_threshold).items()
+    }
 
 
 def extract_oracle(docs_pdf: pd.DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> pd.DataFrame:

@@ -52,3 +52,34 @@ def test_doc_parse_contents(spark, blocks_pdf):
     n_text = sum(1 for r in parsed.values() if r["label"] == "text")
     n_text_in = (blocks_pdf["label"] == "text").sum()
     assert n_text < n_text_in
+
+
+def test_figure_in_table_untokenized(spark, blocks_pdf):
+    """J5 wiring: tables with contained figures embed the figure's
+    markdown image ref (tokenize → recognize → untokenize,
+    utils.py:478-556); no placeholder token survives."""
+    blocks = spark.createDataFrame(blocks_pdf, schema=LAYOUT_SCHEMA)
+    tables = [
+        r["text"] for r in doc_parse(blocks).collect() if r["label"] == "table"
+    ]
+    assert any("![Figure 0](figures/" in t for t in tables)
+    assert all("<figure_" not in t for t in tables)
+
+
+def test_ocr_blocks_use_ar_decode(spark, blocks_pdf):
+    """W6: ocr-routed block text comes from the greedy AR decode loop."""
+    from openocr_spark.kernels.ar_decode import ar_decode_text
+
+    blocks = spark.createDataFrame(blocks_pdf, schema=LAYOUT_SCHEMA)
+    rows = [
+        r for r in doc_parse(blocks).collect()
+        if r["task"] == "ocr" and r["label"] == "text"
+    ]
+    assert rows
+    from openocr_spark.functions.text import truncate_repetitive_content
+
+    for r in rows[:5]:
+        want = truncate_repetitive_content(
+            ar_decode_text(f"{r['doc_id']}/{r['block_id']}")
+        )
+        assert r["text"] == want

@@ -85,8 +85,12 @@ def test_route(blocks):
 
 
 def test_assemble_markdown(blocks):
-    keep = filter_overlap_blocks(score_filter(blocks, 0.4))
+    # assemble_markdown consumes ordered blocks (doc_parse output shape:
+    # reading_order present) — stage with order_and_label here
+    keep = order_and_label(filter_overlap_blocks(score_filter(blocks, 0.4)))
     md = {r["doc_id"]: r["markdown"] for r in assemble_markdown(keep).collect()}
     assert md["d1"].startswith("# My Title")
     assert "page 1" not in md["d1"]  # footer stripped (P7)
     assert "$$E=mc^2$$" in md["d2"]
+    # chart text routed through the figure handler (F11)
+    assert "![Figure" in md["d2"]
