@@ -1,0 +1,196 @@
+"""Oracle parquet tables for the kernel-space driver queries
+(VERDICT r1 item 4: give the rows-only queries real oracles).
+
+The five kernel-space queries (det_metric_fixture, rec_metric_fixture,
+doc_parse, doc_markdown, extract_spans) are not SQL-expressible from the
+driver's base tables — their inputs pass through numpy kernels
+(connected components, CTC/AR decode, layout geometry). The oracle side
+is therefore the INDEPENDENT single-node implementation (oracle.py:
+eager per-doc loops, BFS flood fill, per-timestep decode) materialized
+to parquet; the driver's DuckDB then reads these tables with
+read_parquet() and — where the remaining aggregation is relational
+(greedy det matching, acc/NED) — recomputes the metric in SQL, checking
+the Spark dataflow against an engine-independent computation.
+
+Everything derives from /root/testdata/sf0.01 — the driver's documented
+correctness SF ("runs YOUR Spark query AND your oracle SQL side-by-side
+at sf=0.01"). Generation is cached on disk keyed by a version stamp;
+`ensure()` is invoked from __spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pandas as pd
+
+ORACLE_DIR = os.environ.get("OPENOCR_ORACLE_DIR", "/tmp/openocr_oracle")
+CORRECTNESS_SF_DIR = "/root/testdata/sf0.01"
+# bump when any generating semantics change so stale caches regenerate
+VERSION = "r2-1"
+
+NULL = "\\N"
+FS = "\x1f"  # field separator
+RS = "\x1e"  # row separator
+
+
+def path(name: str) -> str:
+    return f"{ORACLE_DIR}/{name}.parquet"
+
+
+def span_seq_md5(rows: list[tuple]) -> str:
+    """Canonical hash of an ordered span tuple sequence. Mirrored by the
+    Spark queries with md5(array_join(transform(...), RS)) — the fields
+    are FS-joined per span with NULL for missing values."""
+    parts = [
+        FS.join(NULL if v is None else str(v) for v in row) for row in rows
+    ]
+    return hashlib.md5(RS.join(parts).encode()).hexdigest()
+
+
+def _doc_ids(sf_dir: str) -> list[str]:
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return sorted(str(d) for d in docs["doc_id"])
+
+
+def _gen_extract_spans(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_spans, n_media_spans, spans_md5) via the single-node
+    extraction oracle over the interleaved driver corpus."""
+    from openocr_spark.operators.ingest import _spans_for_text
+    from openocr_spark.oracle import extract_media_text, is_boilerplate
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        doc_id = str(doc_id)
+        spans = _spans_for_text(doc_id, text if isinstance(text, str) else "")
+        kept = []
+        for s in sorted(spans, key=lambda s: s["offset"]):
+            if s["kind"] == "text":
+                if is_boilerplate(s["text"]):
+                    continue
+                kept.append(("text", s["text"], None))
+            else:
+                kept.append(("media", extract_media_text(s["media_ref"]), s["media_ref"]))
+        rows = [(k, t, m, i) for i, (k, t, m) in enumerate(kept)]
+        out.append(
+            {
+                "doc_id": doc_id,
+                "n_spans": len(rows),
+                "n_media_spans": sum(1 for r in rows if r[0] == "media"),
+                "spans_md5": span_seq_md5(rows),
+            }
+        )
+    return pd.DataFrame(out)
+
+
+def _media_refs(sf_dir: str) -> list[str]:
+    from openocr_spark.operators.ingest import _spans_for_text
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    refs = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        for s in _spans_for_text(str(doc_id), text if isinstance(text, str) else ""):
+            if s["kind"] == "media":
+                refs.append(s["media_ref"])
+    return refs
+
+
+def _gen_det_tables(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """det_pred (media_ref, det_idx, x0..y1, conf), det_gt (media_ref,
+    gt_idx, x0..y1, ignore), rec_pairs (pred, gt) — from the single-node
+    oracle pipeline + the fixture payload generator."""
+    from openocr_spark.fixtures import payload_for_media_ref
+    from openocr_spark.oracle import media_detail
+
+    preds, gts, pairs = [], [], []
+    for ref in _media_refs(sf_dir):
+        for d in media_detail(ref):
+            pts = d["points"]
+            preds.append(
+                {
+                    "media_ref": ref,
+                    "det_idx": d["region_idx"],
+                    "x0": float(pts[0][0]), "y0": float(pts[0][1]),
+                    "x1": float(pts[2][0]), "y1": float(pts[2][1]),
+                    "conf": float(d["det_score"]),
+                }
+            )
+            if d["rec_score"] >= 0.5 and d["gt_text"] is not None:
+                pairs.append({"pred": d["transcription"], "gt": d["gt_text"]})
+        for gi, r in enumerate(payload_for_media_ref(ref)["regions"]):
+            p = r["points"]
+            gts.append(
+                {
+                    "media_ref": ref,
+                    "gt_idx": gi,
+                    "x0": float(p[0][0]), "y0": float(p[0][1]),
+                    "x1": float(p[2][0]), "y1": float(p[2][1]),
+                    "ignore": bool(r["ignore"]),
+                }
+            )
+    return pd.DataFrame(preds), pd.DataFrame(gts), pd.DataFrame(pairs)
+
+
+def _gen_doc_tables(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """doc_parse (doc_id, n_spans, n_tables, spans_md5) and doc_markdown
+    (doc_id, markdown_len, markdown_md5) via the single-node doc oracle
+    over the deterministic layout fixture."""
+    from openocr_spark.fixtures import layout_blocks_for_doc
+    from openocr_spark.oracle import doc_markdown_oracle, doc_parse_oracle
+
+    ids = _doc_ids(sf_dir)
+    blocks = pd.DataFrame(
+        [b for d in ids for b in layout_blocks_for_doc(d)]
+    )
+    parsed = doc_parse_oracle(blocks)
+    mds = doc_markdown_oracle(blocks)
+    p_rows, m_rows = [], []
+    for d in ids:
+        spans = parsed.get(d, [])
+        rows = [(s["kind"], s["text"], s["block_id"], s["order"]) for s in spans]
+        p_rows.append(
+            {
+                "doc_id": d,
+                "n_spans": len(rows),
+                "n_tables": sum(1 for r in rows if r[0] == "table"),
+                "spans_md5": span_seq_md5(rows),
+            }
+        )
+        md = mds.get(d, "")
+        m_rows.append(
+            {
+                "doc_id": d,
+                "markdown_len": len(md),
+                "markdown_md5": hashlib.md5(md.encode()).hexdigest(),
+            }
+        )
+    return pd.DataFrame(p_rows), pd.DataFrame(m_rows)
+
+
+def ensure(sf_dir: str = CORRECTNESS_SF_DIR, force: bool = False) -> str:
+    """Generate the oracle parquet tables if missing or stale; returns
+    ORACLE_DIR. Idempotent and cached (marker records version + sf)."""
+    marker = f"{ORACLE_DIR}/marker.json"
+    want = {"version": VERSION, "sf_dir": sf_dir}
+    if not force and os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f) == want:
+                    return ORACLE_DIR
+        except Exception:
+            pass
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    _gen_extract_spans(sf_dir).to_parquet(path("extract_spans"), index=False)
+    det_pred, det_gt, rec_pairs = _gen_det_tables(sf_dir)
+    det_pred.to_parquet(path("det_pred"), index=False)
+    det_gt.to_parquet(path("det_gt"), index=False)
+    rec_pairs.to_parquet(path("rec_pairs"), index=False)
+    doc_parse, doc_md = _gen_doc_tables(sf_dir)
+    doc_parse.to_parquet(path("doc_parse"), index=False)
+    doc_md.to_parquet(path("doc_markdown"), index=False)
+    with open(marker, "w") as f:
+        json.dump(want, f)
+    return ORACLE_DIR

@@ -138,6 +138,7 @@ def media_detail(media_ref: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[di
                 "det_score": det_score,
                 "transcription": text,
                 "rec_score": score,
+                "gt_text": hit["gt_text"] if hit is not None else None,
             }
         )
     return out

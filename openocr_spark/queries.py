@@ -894,7 +894,30 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# --------------------------------- fixture metrics (non-SQL, rows-only)
+# ------------------------------ fixture metrics (kernel-space queries)
+#
+# These queries pass through numpy kernels (connected components,
+# CTC/AR decode, layout geometry), so their oracles read the
+# INDEPENDENT single-node implementation's outputs materialized to
+# parquet (openocr_spark/fixture_oracle.py, generated by oracle_sql())
+# and — where the remaining computation is relational — recompute the
+# metric in DuckDB SQL over those tables.
+
+_ORA = "/tmp/openocr_oracle"
+
+_FS = "\x1f"
+_RS = "\x1e"
+_NULL = "\\N"
+
+
+def _span_md5(spans_col: str, fields: list[str]):
+    """Canonical span-sequence hash; mirrors fixture_oracle.span_seq_md5."""
+    def one(s):
+        return F.concat_ws(
+            _FS, *[F.coalesce(s[f].cast("string"), F.lit(_NULL)) for f in fields]
+        )
+
+    return F.md5(F.array_join(F.transform(spans_col, one), _RS))
 
 
 def _fixture_media_refs(spark: SparkSession, sf: str) -> DataFrame:
@@ -906,12 +929,64 @@ def _fixture_media_refs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q("det_metric_fixture", None)
+# rect intersection helpers shared by the det-metric oracle SQL
+_DET_INTER = (
+    "GREATEST(0, LEAST(g.x1,d.x1)-GREATEST(g.x0,d.x0))"
+    " * GREATEST(0, LEAST(g.y1,d.y1)-GREATEST(g.y0,d.y0))"
+)
+
+@q(
+    "det_metric_fixture",
+    f"""
+    WITH det_care AS (
+      SELECT p.* FROM read_parquet('{_ORA}/det_pred.parquet') p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM read_parquet('{_ORA}/det_gt.parquet') dc
+        WHERE dc.media_ref = p.media_ref AND dc.ignore
+          AND GREATEST(0, LEAST(p.x1,dc.x1)-GREATEST(p.x0,dc.x0))
+            * GREATEST(0, LEAST(p.y1,dc.y1)-GREATEST(p.y0,dc.y0))
+            / GREATEST((p.x1-p.x0)*(p.y1-p.y0), 1e-9) > 0.5)),
+    gt_care AS (
+      SELECT * FROM read_parquet('{_ORA}/det_gt.parquet') WHERE NOT ignore),
+    pairs AS (
+      SELECT g.media_ref, g.gt_idx, d.det_idx
+      FROM gt_care g JOIN det_care d ON g.media_ref = d.media_ref
+      WHERE {_DET_INTER}
+          / ((g.x1-g.x0)*(g.y1-g.y0) + (d.x1-d.x0)*(d.y1-d.y0)
+             - {_DET_INTER}) > 0.5),
+    m1 AS (SELECT * FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY media_ref, gt_idx
+                                   ORDER BY det_idx) rn FROM pairs)
+      WHERE rn = 1),
+    m2 AS (SELECT * FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY media_ref, det_idx
+                                   ORDER BY gt_idx) rn2 FROM m1)
+      WHERE rn2 = 1),
+    tot AS (SELECT (SELECT COUNT(*) FROM gt_care)  AS gt,
+                   (SELECT COUNT(*) FROM det_care) AS det,
+                   (SELECT COUNT(*) FROM m2)       AS m)
+    SELECT
+      ROUND(CASE WHEN det > 0 THEN CAST(m AS DOUBLE)/det ELSE 0.0 END, 6)
+        AS "precision",
+      ROUND(CASE WHEN gt  > 0 THEN CAST(m AS DOUBLE)/gt  ELSE 0.0 END, 6)
+        AS recall,
+      ROUND(CASE WHEN (CASE WHEN det > 0 THEN CAST(m AS DOUBLE)/det ELSE 0.0 END)
+                   + (CASE WHEN gt > 0 THEN CAST(m AS DOUBLE)/gt ELSE 0.0 END) > 0
+                 THEN 2 * (CASE WHEN det > 0 THEN CAST(m AS DOUBLE)/det ELSE 0.0 END)
+                        * (CASE WHEN gt  > 0 THEN CAST(m AS DOUBLE)/gt  ELSE 0.0 END)
+                      / ((CASE WHEN det > 0 THEN CAST(m AS DOUBLE)/det ELSE 0.0 END)
+                       + (CASE WHEN gt  > 0 THEN CAST(m AS DOUBLE)/gt  ELSE 0.0 END))
+                 ELSE 0.0 END, 6) AS hmean
+    FROM tot
+    """,
+)
 def q_det_metric_fixture(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end detection eval (SURVEY A4/J2/J3): detect regions on
     every fixture media payload, ICDAR-match vs GT, global
-    precision/recall/hmean. Kernel-space → rows-only check; formula
-    parity is pinned by tests/test_metrics.py."""
+    precision/recall/hmean. The oracle recomputes don't-care exclusion +
+    greedy 1:1 matching in SQL over the single-node oracle's detections
+    (window-rank emulation — verified exactly equal to the sequential
+    greedy on this fixture geometry: max IoU>0.5 multiplicity is 1)."""
     from openocr_spark.operators.metrics import det_metric, extract_detail, gt_regions
 
     refs = _fixture_media_refs(spark, sf)
@@ -920,10 +995,22 @@ def q_det_metric_fixture(spark: SparkSession, sf: str) -> DataFrame:
     return det_metric(pred, gt)
 
 
-@q("rec_metric_fixture", None)
+@q(
+    "rec_metric_fixture",
+    f"""
+    SELECT COUNT(*) AS all_num,
+           CAST(SUM(CASE WHEN pred = gt THEN 1 ELSE 0 END) AS BIGINT)
+             AS correct_num,
+           ROUND(AVG(CASE WHEN pred = gt THEN 1.0 ELSE 0.0 END), 6) AS acc,
+           ROUND(AVG(1.0 - levenshtein(pred, gt) /
+                     GREATEST(len(pred), len(gt), 1)), 6) AS one_minus_ned
+    FROM read_parquet('{_ORA}/rec_pairs.parquet')
+    """,
+)
 def q_rec_metric_fixture(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end recognition eval (SURVEY A5): confident decodes vs the
-    assigned region's GT text — exact acc + 1−NED."""
+    assigned region's GT text — exact acc + 1−NED. Oracle: the metric in
+    SQL over the single-node decode loop's (pred, gt) pairs."""
     from openocr_spark.operators.metrics import extract_detail, rec_metric
 
     detail = extract_detail(_fixture_media_refs(spark, sf))
@@ -933,14 +1020,20 @@ def q_rec_metric_fixture(spark: SparkSession, sf: str) -> DataFrame:
     return rec_metric(pairs)
 
 
-# ------------------------------------- the flagship (non-SQL, rows-only)
+# ----------------------------------- the flagship (kernel-space queries)
 
-@q("doc_parse", None)
+@q(
+    "doc_parse",
+    f"""
+    SELECT doc_id, n_spans, n_tables, spans_md5
+    FROM read_parquet('{_ORA}/doc_parse.parquet')
+    """,
+)
 def q_doc_parse(spark: SparkSession, sf: str) -> DataFrame:
     """The OpenDoc layout-parse → route → recognize → assemble flow
     (SURVEY §3.2) over deterministic layout blocks derived from the
-    driver doc ids. Kernel-space → rows-only; oracle equality is pinned
-    by tests/test_doc_parse.py."""
+    driver doc ids. Oracle: per-doc span-sequence content hashes from
+    the independent single-node parse."""
     from openocr_spark.fixtures import layout_blocks_df
     from openocr_spark.operators.doc_parse import doc_parse, doc_spans
 
@@ -950,17 +1043,27 @@ def q_doc_parse(spark: SparkSession, sf: str) -> DataFrame:
     spans = doc_spans(doc_parse(layout_blocks_df(ids)))
     return spans.select(
         "doc_id",
-        F.size("spans").alias("n_spans"),
-        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("table"))).alias(
-            "n_tables"
+        F.size("spans").cast("long").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("table")))
+        .cast("long")
+        .alias("n_tables"),
+        _span_md5("spans", ["kind", "text", "block_id", "order"]).alias(
+            "spans_md5"
         ),
     )
 
 
-@q("doc_markdown", None)
+@q(
+    "doc_markdown",
+    f"""
+    SELECT doc_id, markdown_len, markdown_md5
+    FROM read_parquet('{_ORA}/doc_markdown.parquet')
+    """,
+)
 def q_doc_markdown(spark: SparkSession, sf: str) -> DataFrame:
-    """Markdown assembly with boilerplate-label strip (SURVEY F11/P7,
-    to_markdown.py:90-440) over the parsed layout blocks."""
+    """Markdown assembly with the full F11 handler set
+    (to_markdown.py:90-448) over the parsed layout blocks. Oracle:
+    per-doc markdown content hashes from the single-node converter."""
     from openocr_spark.fixtures import layout_blocks_df
     from openocr_spark.operators.doc_parse import doc_parse
     from openocr_spark.operators.layout import assemble_markdown
@@ -969,24 +1072,36 @@ def q_doc_markdown(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id")
     )
     md = assemble_markdown(doc_parse(layout_blocks_df(ids)))
-    return md.select("doc_id", F.length("markdown").alias("markdown_len"))
+    return md.select(
+        "doc_id",
+        F.length("markdown").cast("long").alias("markdown_len"),
+        F.md5(F.col("markdown").cast("binary")).alias("markdown_md5"),
+    )
 
 
-@q("extract_spans", None)
+@q(
+    "extract_spans",
+    f"""
+    SELECT doc_id, n_spans, n_media_spans, spans_md5
+    FROM read_parquet('{_ORA}/extract_spans.parquet')
+    """,
+)
 def q_extract_spans(spark: SparkSession, sf: str) -> DataFrame:
     """The flagship extraction pipeline: flat driver docs → interleaved
     spans → boilerplate strip + detect/recognize kernels → ordered span
-    assembly. Not SQL-expressible (kernel space) — driver records a
-    rows-only check; span-level correctness is pytest's oracle-equality
-    suite."""
+    assembly. Oracle: per-doc span-sequence content hashes (kind, text,
+    media_ref, order) from the independent single-node extraction."""
     docs = interleave(load(spark, sf, "documents"))
     # lineage includes the mapInPandas generator → persist the exploded
     # spans so the text and media branches don't re-run ingestion
     out = extract(docs, persist_spans=True)
     return out.select(
         "doc_id",
-        F.size("spans").alias("n_spans"),
-        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("media"))).alias(
-            "n_media_spans"
+        F.size("spans").cast("long").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("media")))
+        .cast("long")
+        .alias("n_media_spans"),
+        _span_md5("spans", ["kind", "text", "media_ref", "order"]).alias(
+            "spans_md5"
         ),
     )
