@@ -29,7 +29,7 @@ import pandas as pd
 ORACLE_DIR = os.environ.get("OPENOCR_ORACLE_DIR", "/tmp/openocr_oracle")
 CORRECTNESS_SF_DIR = "/root/testdata/sf0.01"
 # bump when any generating semantics change so stale caches regenerate
-VERSION = "r2-1"
+VERSION = "r2-3"
 
 NULL = "\\N"
 FS = "\x1f"  # field separator
@@ -98,40 +98,113 @@ def _media_refs(sf_dir: str) -> list[str]:
     return refs
 
 
-def _gen_det_tables(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+def _gen_det_tables(
+    sf_dir: str,
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """det_pred (media_ref, det_idx, x0..y1, conf), det_gt (media_ref,
-    gt_idx, x0..y1, ignore), rec_pairs (pred, gt) — from the single-node
-    oracle pipeline + the fixture payload generator."""
+    gt_idx, x0..y1, ignore), rec_pairs (pred, gt), det_flags (media_ref,
+    det_idx, conf, matched — the eager greedy don't-care exclusion +
+    1:1 IoU>0.5 matching, eval_det_iou.py semantics) — from the
+    single-node oracle pipeline + the fixture payload generator."""
     from openocr_spark.fixtures import payload_for_media_ref
     from openocr_spark.oracle import media_detail
 
-    preds, gts, pairs = [], [], []
+    def inter(a, b):
+        return max(0.0, min(a[2], b[2]) - max(a[0], b[0])) * max(
+            0.0, min(a[3], b[3]) - max(a[1], b[1])
+        )
+
+    preds, gts, pairs, flags = [], [], [], []
     for ref in _media_refs(sf_dir):
+        m_pred = []
         for d in media_detail(ref):
             pts = d["points"]
+            rect = (
+                float(pts[0][0]), float(pts[0][1]),
+                float(pts[2][0]), float(pts[2][1]),
+            )
+            m_pred.append((d["region_idx"], rect, float(d["det_score"])))
             preds.append(
                 {
                     "media_ref": ref,
                     "det_idx": d["region_idx"],
-                    "x0": float(pts[0][0]), "y0": float(pts[0][1]),
-                    "x1": float(pts[2][0]), "y1": float(pts[2][1]),
+                    "x0": rect[0], "y0": rect[1], "x1": rect[2], "y1": rect[3],
                     "conf": float(d["det_score"]),
                 }
             )
             if d["rec_score"] >= 0.5 and d["gt_text"] is not None:
                 pairs.append({"pred": d["transcription"], "gt": d["gt_text"]})
+        m_gt = []
         for gi, r in enumerate(payload_for_media_ref(ref)["regions"]):
             p = r["points"]
+            rect = (float(p[0][0]), float(p[0][1]), float(p[2][0]), float(p[2][1]))
+            m_gt.append((rect, bool(r["ignore"])))
             gts.append(
                 {
                     "media_ref": ref,
                     "gt_idx": gi,
-                    "x0": float(p[0][0]), "y0": float(p[0][1]),
-                    "x1": float(p[2][0]), "y1": float(p[2][1]),
+                    "x0": rect[0], "y0": rect[1], "x1": rect[2], "y1": rect[3],
                     "ignore": bool(r["ignore"]),
                 }
             )
-    return pd.DataFrame(preds), pd.DataFrame(gts), pd.DataFrame(pairs)
+        # eager don't-care exclusion + greedy matching for AP flags
+        gt_care = [r for r, ig in m_gt if not ig]
+        gt_dc = [r for r, ig in m_gt if ig]
+        det_care = []
+        for idx, pr, conf in m_pred:
+            area = max((pr[2] - pr[0]) * (pr[3] - pr[1]), 1e-9)
+            if any(inter(pr, dc) / area > 0.5 for dc in gt_dc):
+                continue
+            det_care.append((idx, pr, conf))
+        used: set[int] = set()
+        for gr in gt_care:
+            for di, (idx, dr, _c) in enumerate(det_care):
+                if di in used:
+                    continue
+                i = inter(gr, dr)
+                ua = (
+                    (gr[2] - gr[0]) * (gr[3] - gr[1])
+                    + (dr[2] - dr[0]) * (dr[3] - dr[1])
+                    - i
+                )
+                if ua > 0 and i / ua > 0.5:
+                    used.add(di)
+                    break
+        for di, (idx, _dr, conf) in enumerate(det_care):
+            flags.append(
+                {
+                    "media_ref": ref,
+                    "det_idx": idx,
+                    "conf": conf,
+                    "matched": di in used,
+                }
+            )
+    return (
+        pd.DataFrame(preds),
+        pd.DataFrame(gts),
+        pd.DataFrame(pairs),
+        pd.DataFrame(flags),
+    )
+
+
+def _gen_rec_long_pairs(
+    sf_dir: str, window: int = 48, stride: int = 40
+) -> pd.DataFrame:
+    """(doc_id, pred, gt): eager slicing + suffix/prefix-overlap merge
+    per document (rec_metric_long flow; merge kernel shared with the
+    streaming operator by design)."""
+    import math
+
+    from openocr_spark.functions.text import stream_match
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        t = text if isinstance(text, str) else ""
+        n = max(1, math.ceil((len(t) - window) / stride) + 1)
+        slices = [t[i * stride : i * stride + window] for i in range(n)]
+        rows.append({"doc_id": str(doc_id), "pred": stream_match(slices), "gt": t})
+    return pd.DataFrame(rows)
 
 
 def _gen_doc_tables(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame]:
@@ -184,10 +257,12 @@ def ensure(sf_dir: str = CORRECTNESS_SF_DIR, force: bool = False) -> str:
             pass
     os.makedirs(ORACLE_DIR, exist_ok=True)
     _gen_extract_spans(sf_dir).to_parquet(path("extract_spans"), index=False)
-    det_pred, det_gt, rec_pairs = _gen_det_tables(sf_dir)
+    det_pred, det_gt, rec_pairs, det_flags = _gen_det_tables(sf_dir)
     det_pred.to_parquet(path("det_pred"), index=False)
     det_gt.to_parquet(path("det_gt"), index=False)
     rec_pairs.to_parquet(path("rec_pairs"), index=False)
+    det_flags.to_parquet(path("det_flags"), index=False)
+    _gen_rec_long_pairs(sf_dir).to_parquet(path("rec_long_pairs"), index=False)
     doc_parse, doc_md = _gen_doc_tables(sf_dir)
     doc_parse.to_parquet(path("doc_parse"), index=False)
     doc_md.to_parquet(path("doc_markdown"), index=False)

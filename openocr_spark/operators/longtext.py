@@ -1,0 +1,92 @@
+"""Long-text recognition via sliding windows + stream-merge (SURVEY
+§2.8 F6 composed into the A5 metric — the reference's rec_metric_long
+flow: openrec/metrics/rec_metric_long.py slices out-of-length text into
+overlapping crops, recognizes each, merges by longest suffix/prefix
+overlap, then scores accuracy/NED against the full label).
+
+Here the "recognition" of each slice is the identity (the fixture has
+no long-image model); what is real and tested is the DATAFLOW: JVM-side
+slicing (sequence + substr, no Python), a per-key grouped merge via the
+same stream_match kernel the stateful streaming operator uses (batch/
+stream parity by shared code), and the metric aggregation. Slices may
+over-merge when the text is repetitive (the overlap detector finds a
+longer-than-structural overlap) — exactly the reference's failure mode
+for repetitive long lines — so the fixture metric is non-vacuous."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_WINDOW = 48
+DEFAULT_STRIDE = 40
+
+
+def slice_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = DEFAULT_WINDOW,
+    stride: int = DEFAULT_STRIDE,
+) -> DataFrame:
+    """(id, text) → (id, slice_idx, slice) overlapping windows, pure
+    column expressions: n = max(1, ceil((len−window)/stride)+1),
+    slice_i = substr(i·stride+1, window)."""
+    n = F.greatest(
+        (F.ceil((F.length(F.col(text_col)) - window) / F.lit(stride)) + 1).cast(
+            "int"
+        ),
+        F.lit(1),
+    )
+    idxs = F.sequence(F.lit(0), n - 1)
+    slices = F.transform(
+        idxs,
+        lambda i: F.substr(
+            F.col(text_col), i * stride + 1, F.lit(window)
+        ),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(slices).alias("slice_idx", "slice"),
+        )
+    )
+
+
+def merge_slices(slices: DataFrame) -> DataFrame:
+    """(id, slice_idx, slice) → (id, merged) via the longest
+    suffix/prefix-overlap merge (functions/text.py stream_match — the
+    same kernel the applyInPandasWithState streaming operator runs, so
+    batch and streaming merges agree by construction). One groupBy(id)
+    shuffle; per-group work is O(slices·window)."""
+    from openocr_spark.functions.text import stream_match
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("slice_idx")
+        return pd.DataFrame(
+            {"id": [pdf["id"].iloc[0]], "merged": [stream_match(pdf["slice"].tolist())]}
+        )
+
+    return slices.groupBy("id").applyInPandas(fn, schema="id string, merged string")
+
+
+def rec_metric_long(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = DEFAULT_WINDOW,
+    stride: int = DEFAULT_STRIDE,
+) -> DataFrame:
+    """Full composed metric: slice → merge → exact acc + 1−NED vs the
+    original text (rec_metric_long.py semantics)."""
+    from openocr_spark.operators.metrics import rec_metric
+
+    base = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("gt")
+    )
+    merged = merge_slices(
+        slice_text(base, "doc_id", "gt", window, stride)
+    ).select(F.col("id").alias("doc_id"), F.col("merged").alias("pred"))
+    pairs = base.join(merged, "doc_id").select("pred", "gt")
+    return rec_metric(pairs)

@@ -121,6 +121,130 @@ def det_partials(pred: DataFrame, gt: DataFrame) -> DataFrame:
     return both.mapInPandas(fn, schema=out_schema)
 
 
+def det_match_flags(pred: DataFrame, gt: DataFrame) -> DataFrame:
+    """Per-CARE-detection match flags for AP (SURVEY A8,
+    eval_det_iou.py:144-161 + the confList/matchList collection):
+    don't-care-overlapping detections are excluded; the remaining
+    detections carry (conf, matched) where matched comes from the same
+    greedy 1:1 IoU>0.5 matching as det_partials.
+
+    pred: (media_ref, det_idx, points, conf)
+    gt:   (media_ref, points, ignore)
+    out:  (media_ref, det_idx, conf, matched)
+    """
+    p = pred.groupBy("media_ref").agg(
+        F.collect_list(F.struct("det_idx", "points", "conf")).alias("p_list")
+    )
+    g = gt.groupBy("media_ref").agg(
+        F.collect_list(F.struct("points", "ignore")).alias("g_list")
+    )
+    both = p.join(g, "media_ref", "full_outer")
+    out_schema = "media_ref string, det_idx long, conf double, matched boolean"
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for ref, p_list, g_list in zip(
+                pdf["media_ref"], pdf["p_list"], pdf["g_list"]
+            ):
+                preds = (
+                    sorted(
+                        (
+                            (int(r["det_idx"]), _quad_to_rect(r["points"]), float(r["conf"]))
+                            for r in p_list
+                        ),
+                        key=lambda t: t[0],
+                    )
+                    if p_list is not None
+                    else []
+                )
+                gts = (
+                    [(_quad_to_rect(r["points"]), bool(r["ignore"])) for r in g_list]
+                    if g_list is not None
+                    else []
+                )
+                gt_care = [r for r, ig in gts if not ig]
+                gt_dc = [r for r, ig in gts if ig]
+                det_care = []
+                for idx, pr, conf in preds:
+                    area = max((pr[2] - pr[0]) * (pr[3] - pr[1]), 1e-9)
+                    if any(
+                        max(0.0, min(pr[2], dc[2]) - max(pr[0], dc[0]))
+                        * max(0.0, min(pr[3], dc[3]) - max(pr[1], dc[1]))
+                        / area
+                        > 0.5
+                        for dc in gt_dc
+                    ):
+                        continue
+                    det_care.append((idx, pr, conf))
+                matched_idx: set[int] = set()
+                for gr in gt_care:
+                    for di, (idx, dr, _c) in enumerate(det_care):
+                        if di in matched_idx:
+                            continue
+                        if _iou(gr, dr) > 0.5:
+                            matched_idx.add(di)
+                            break
+                for di, (idx, _dr, conf) in enumerate(det_care):
+                    rows.append(
+                        {
+                            "media_ref": ref,
+                            "det_idx": idx,
+                            "conf": conf,
+                            "matched": di in matched_idx,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "det_idx", "conf", "matched"]
+            )
+
+    return both.mapInPandas(fn, schema=out_schema)
+
+
+def det_ap(pred: DataFrame, gt: DataFrame) -> DataFrame:
+    """Per-media average precision over confidence-ranked detections
+    (eval_det_iou.py:27-45 compute_ap): walk detections by conf desc;
+    at each matched one add cum_matched/rank; divide by n_gt_care.
+    The ranking + cumulative sums are pure window expressions (the A8
+    window query); only the match flags come from the kernel."""
+    from pyspark.sql.window import Window
+
+    flags = det_match_flags(pred, gt)
+    care = gt.filter(~F.col("ignore")).groupBy("media_ref").agg(
+        F.count("*").alias("n_gt_care")
+    )
+    w = Window.partitionBy("media_ref").orderBy(
+        F.col("conf").desc(), F.col("det_idx")
+    )
+    cum = (
+        F.sum(F.col("matched").cast("int"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    terms = flags.select(
+        "media_ref",
+        F.when(
+            F.col("matched"), cum / F.row_number().over(w)
+        ).otherwise(F.lit(0.0)).alias("term"),
+    )
+    per_media = terms.groupBy("media_ref").agg(
+        F.sum("term").alias("ap_sum"), F.count("*").alias("n_det_care")
+    )
+    return (
+        per_media.join(care, "media_ref", "left")
+        .select(
+            "media_ref",
+            "n_det_care",
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_gt_care"), F.lit(0)) > 0,
+                    F.col("ap_sum") / F.col("n_gt_care"),
+                ).otherwise(0.0),
+                6,
+            ).alias("ap"),
+        )
+    )
+
+
 def det_metric(pred: DataFrame, gt: DataFrame) -> DataFrame:
     """Global precision/recall/hmean from per-media partials — the
     partial/final aggregation contract of det_metric.py:24-74."""

@@ -82,6 +82,63 @@ def cosine_topk_ivf(
     )
 
 
+def ivf_cell(vec: Column) -> Column:
+    """Coarse-quantizer cell assignment: argmin_j ‖v − c_j‖² over the
+    trained centroid artifact (operators/ivf_centroids.py), computed as
+    argmin_j (‖c_j‖² − 2 v·c_j) — the v·v term is constant per row.
+    Ties break to the smallest j (struct array_min compares (dist, j))."""
+    from openocr_spark.operators.ivf_centroids import CENTROIDS, NORMS_SQ
+
+    structs = []
+    for j, (c, n2) in enumerate(zip(CENTROIDS, NORMS_SQ)):
+        cj = F.array(*[F.lit(float(x)) for x in c])
+        dist = F.lit(float(n2)) - 2.0 * dot(vec, cj)
+        structs.append(F.struct(dist.alias("d"), F.lit(j).alias("j")))
+    return F.array_min(F.array(*structs))["j"]
+
+
+def probe_cells(query_vec: list[float], nprobe: int) -> list[int]:
+    """The nprobe cells nearest the query vector (driver-side, tiny)."""
+    from openocr_spark.operators.ivf_centroids import CENTROIDS, NORMS_SQ
+
+    dists = [
+        (n2 - 2.0 * sum(float(q) * float(c) for q, c in zip(query_vec, cj)), j)
+        for j, (cj, n2) in enumerate(zip(CENTROIDS, NORMS_SQ))
+    ]
+    return [j for _, j in sorted(dists)[:nprobe]]
+
+
+def cosine_topk_ivf_trained(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer + multi-probe: assign
+    each corpus vector to its nearest centroid cell, scan only the
+    nprobe cells nearest the query, exact-score the survivors, take a
+    distributed top-k.
+
+    At 100 TB the cell is the Iceberg partition key (write-time
+    assignment), so the probe-set filter is partition pruning — the
+    scan reads nprobe/k_cells of the corpus and nothing else shuffles.
+
+    Recall honesty note: the driver's fixture embeddings are near-
+    isotropic (k-means purity ≈ 0.17 against the latent labels), the
+    hardest case for IVF — nprobe=5 of 8 cells reaches recall@10 ≥ 0.9
+    on the sf0.01 fixture (pinned in tests). On real corpora with
+    cluster structure the same index prunes far harder at equal recall;
+    scaling knobs are k_cells (∝ √N) and nprobe."""
+    vec = F.col(vec_col).cast("array<double>")
+    probes = probe_cells(query_vec, nprobe)
+    pruned = emb.withColumn("_cell", ivf_cell(vec)).filter(
+        F.col("_cell").isin(*probes)
+    )
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
 def near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.3,

@@ -839,6 +839,73 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _ivf_trained_sql(k: int = 10, nprobe: int = 5) -> str:
+    """Oracle SQL for the trained-centroid IVF ANN: centroid literals
+    from the shipped artifact, per-row argmin cell assignment (ties to
+    smallest j, matching Spark's struct array_min), nprobe nearest
+    cells to the query, exact cosine + ranked top-k."""
+    from openocr_spark.operators.ivf_centroids import CENTROIDS, NORMS_SQ
+
+    d_cols = ",\n             ".join(
+        f"({n2!r} - 2*list_dot_product(v, ["
+        + ", ".join(f"{x:.6f}" for x in c)
+        + f"])) AS d{j}"
+        for j, (c, n2) in enumerate(zip(CENTROIDS, NORMS_SQ))
+    )
+    nj = len(CENTROIDS)
+    least = "LEAST(" + ", ".join(f"d{j}" for j in range(nj)) + ")"
+    cell_case = (
+        "CASE "
+        + " ".join(f"WHEN d{j} = m THEN {j}" for j in range(nj))
+        + " END"
+    )
+    probe_case = (
+        "CASE t.j "
+        + " ".join(f"WHEN {j} THEN qd.d{j}" for j in range(nj))
+        + " END"
+    )
+    vals = ", ".join(f"({j})" for j in range(nj))
+    return f"""
+    WITH d AS (
+      SELECT vec_id, v,
+             {d_cols}
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+    cells AS (
+      SELECT vec_id, v, {cell_case} AS cell
+      FROM (SELECT *, {least} AS m FROM d)),
+    qd AS (SELECT * FROM d WHERE vec_id = 0),
+    probes AS (
+      SELECT t.j FROM (VALUES {vals}) t(j), qd
+      ORDER BY {probe_case}, t.j LIMIT {nprobe}),
+    qv AS (SELECT v AS qv FROM d WHERE vec_id = 0),
+    scored AS (
+      SELECT c.vec_id,
+             ROUND(list_dot_product(c.v, q.qv) /
+                   (sqrt(list_dot_product(c.v, c.v)) *
+                    sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+      FROM cells c, qv q
+      WHERE c.cell IN (SELECT j FROM probes))
+    SELECT vec_id, cos_sim, rank FROM (
+      SELECT vec_id, cos_sim,
+             ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@q("ann_ivf_trained", _ivf_trained_sql())
+def q_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN with trained coarse-quantizer cells + multi-probe
+    (nprobe=5 of 8 cells; see similarity.cosine_topk_ivf_trained for
+    the recall/pruning notes). At scale the cell is the Iceberg
+    partition key, so the probe filter is partition pruning."""
+    vec, _ = _query_vec(spark, sf)
+    out = similarity.cosine_topk_ivf_trained(
+        load(spark, sf, "embeddings"), vec, k=10, nprobe=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @q(
     "near_dup_embeddings",
     """
@@ -996,6 +1063,53 @@ def q_det_metric_fixture(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "det_ap",
+    f"""
+    WITH ranked AS (
+      SELECT media_ref, det_idx, matched,
+             ROW_NUMBER() OVER (PARTITION BY media_ref
+                                ORDER BY conf DESC, det_idx) AS rn,
+             SUM(CASE WHEN matched THEN 1 ELSE 0 END)
+               OVER (PARTITION BY media_ref ORDER BY conf DESC, det_idx
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM read_parquet('{_ORA}/det_flags.parquet')),
+    per_media AS (
+      SELECT media_ref,
+             COUNT(*) AS n_det_care,
+             SUM(CASE WHEN matched THEN CAST(cum AS DOUBLE)/rn ELSE 0.0 END)
+               AS ap_sum
+      FROM ranked GROUP BY media_ref),
+    care AS (
+      SELECT media_ref, COUNT(*) AS n_gt_care
+      FROM read_parquet('{_ORA}/det_gt.parquet') WHERE NOT ignore
+      GROUP BY media_ref)
+    SELECT p.media_ref, p.n_det_care,
+           ROUND(CASE WHEN COALESCE(c.n_gt_care, 0) > 0
+                      THEN p.ap_sum / c.n_gt_care ELSE 0.0 END, 6) AS ap
+    FROM per_media p LEFT JOIN care c ON p.media_ref = c.media_ref
+    """,
+)
+def q_det_ap(spark: SparkSession, sf: str) -> DataFrame:
+    """Detection average precision (SURVEY A8, eval_det_iou.py:27-45):
+    confidence-ranked cumulative precision over the kernel's per-det
+    match flags — the ranking/cumsum is a pure window query; the oracle
+    recomputes it in SQL over the single-node greedy matcher's flags."""
+    from openocr_spark.operators.metrics import det_ap, extract_detail, gt_regions
+
+    refs = _fixture_media_refs(spark, sf)
+    pred = extract_detail(refs).select(
+        "media_ref",
+        F.col("region_idx").cast("long").alias("det_idx"),
+        "points",
+        F.col("det_score").alias("conf"),
+    )
+    gt = gt_regions(refs).select("media_ref", "points", "ignore")
+    return det_ap(pred, gt).withColumn(
+        "n_det_care", F.col("n_det_care").cast("long")
+    )
+
+
+@q(
     "rec_metric_fixture",
     f"""
     SELECT COUNT(*) AS all_num,
@@ -1018,6 +1132,27 @@ def q_rec_metric_fixture(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("rec_score") >= 0.5) & F.col("gt_text").isNotNull()
     ).select(F.col("transcription").alias("pred"), F.col("gt_text").alias("gt"))
     return rec_metric(pairs)
+
+
+@q(
+    "rec_metric_long",
+    f"""
+    SELECT COUNT(*) AS all_num,
+           CAST(SUM(CASE WHEN pred = gt THEN 1 ELSE 0 END) AS BIGINT)
+             AS correct_num,
+           ROUND(AVG(CASE WHEN pred = gt THEN 1.0 ELSE 0.0 END), 6) AS acc,
+           ROUND(AVG(1.0 - levenshtein(pred, gt) /
+                     GREATEST(len(pred), len(gt), 1)), 6) AS one_minus_ned
+    FROM read_parquet('{_ORA}/rec_long_pairs.parquet')
+    """,
+)
+def q_rec_metric_long(spark: SparkSession, sf: str) -> DataFrame:
+    """Long-text metric (rec_metric_long flow): JVM-side sliding-window
+    slicing → grouped stream_match merge → acc/NED vs the full text.
+    Oracle: the metric in SQL over the eager single-node slice+merge."""
+    from openocr_spark.operators.longtext import rec_metric_long
+
+    return rec_metric_long(load(spark, sf, "documents"))
 
 
 # ----------------------------------- the flagship (kernel-space queries)

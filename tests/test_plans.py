@@ -64,6 +64,12 @@ def test_ann_ivf_is_distributed_takeordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_ann_ivf_trained_is_distributed_takeordered(spark):
+    df = SPARK_Q["ann_ivf_trained"](spark, SF)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_extract_spans_scan_prunes_columns(spark):
     """The flagship over the driver table must only read doc_id+text."""
     from openocr_spark.operators.ingest import interleave
