@@ -29,7 +29,7 @@ import pandas as pd
 ORACLE_DIR = os.environ.get("OPENOCR_ORACLE_DIR", "/tmp/openocr_oracle")
 CORRECTNESS_SF_DIR = "/root/testdata/sf0.01"
 # bump when any generating semantics change so stale caches regenerate
-VERSION = "r2-3"
+VERSION = "r2-4"
 
 NULL = "\\N"
 FS = "\x1f"  # field separator
@@ -243,6 +243,79 @@ def _gen_doc_tables(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame]:
     return pd.DataFrame(p_rows), pd.DataFrame(m_rows)
 
 
+def _gen_preproc_stats(
+    sf_dir: str,
+    limit_side_len: int = 64,
+    rec_h: int = 32,
+    rec_w: int = 128,
+    h: int = 96,
+    w: int = 160,
+) -> pd.DataFrame:
+    """Closed-form preprocessing/training-target statistics per media —
+    pure arithmetic from the region geometry, NO rasterization, so it
+    independently checks the kernel's pixel semantics:
+      resize: DetResize type0 rounding math
+      shrink_pos: Σ care-rect inset counts (regions are disjoint)
+      mask_zero: Σ ignored/too-small rect extents
+      crop: union bbox of the painted (shrunk-paint) rects
+      pad_valid_ratio: keep-ratio width / target width
+    """
+    import math
+
+    from openocr_spark.fixtures import payload_for_media_ref
+
+    # DetResize type0 (resize_long) closed form — constant-shape media
+    ratio = float(limit_side_len) / max(h, w)
+    resized_h = max(int(round(int(h * ratio) / 32) * 32), 32)
+    resized_w = max(int(round(int(w * ratio) / 32) * 32), 32)
+    ratio_h = round(resized_h / float(h), 6)
+    ratio_w = round(resized_w / float(w), 6)
+    pad_valid = round(min(math.ceil(rec_h * w / h), rec_w) / float(rec_w), 6)
+
+    rows = []
+    for ref in _media_refs(sf_dir):
+        regions = payload_for_media_ref(ref)["regions"]
+        shrink_pos = 0
+        mask_zero = 0
+        crop_rows: list[tuple[int, int]] = []
+        crop_cols: list[tuple[int, int]] = []
+        for r in regions:
+            p = r["points"]
+            x0, y0, x1, y1 = p[0][0], p[0][1], p[2][0], p[2][1]
+            bw, bh = x1 - x0, y1 - y0
+            # G15 shrink target math (ratio 0.4)
+            if r["ignore"] or min(bw, bh) < 8:
+                mask_zero += (bw + 1) * (bh + 1)
+            else:
+                d = int(round(bw * bh * (1 - 0.4**2) / (2.0 * (bw + bh))))
+                ih, iw = bh - 2 * d + 1, bw - 2 * d + 1
+                if ih > 0 and iw > 0:
+                    shrink_pos += ih * iw
+                else:
+                    mask_zero += (bw + 1) * (bh + 1)
+            # paint extent (fixtures.py shrink-paint pairing)
+            area = float((bw + 1) * (bh + 1))
+            perim = 2.0 * (bw + bh + 2)
+            dp = int(round(area * 0.84 / perim))
+            dp = max(0, min(dp, (bw - 4) // 2, (bh - 4) // 2))
+            crop_rows.append((y0 + dp, y1 - dp))
+            crop_cols.append((x0 + dp, x1 - dp))
+        crop_h = max(r1 for _, r1 in crop_rows) - min(r0 for r0, _ in crop_rows) + 1
+        crop_w = max(c1 for _, c1 in crop_cols) - min(c0 for c0, _ in crop_cols) + 1
+        rows.append(
+            {
+                "media_ref": ref,
+                "h": h, "w": w,
+                "resized_h": resized_h, "resized_w": resized_w,
+                "ratio_h": ratio_h, "ratio_w": ratio_w,
+                "shrink_pos": shrink_pos, "mask_zero": mask_zero,
+                "crop_h": crop_h, "crop_w": crop_w,
+                "pad_valid_ratio": pad_valid,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def ensure(sf_dir: str = CORRECTNESS_SF_DIR, force: bool = False) -> str:
     """Generate the oracle parquet tables if missing or stale; returns
     ORACLE_DIR. Idempotent and cached (marker records version + sf)."""
@@ -263,6 +336,7 @@ def ensure(sf_dir: str = CORRECTNESS_SF_DIR, force: bool = False) -> str:
     rec_pairs.to_parquet(path("rec_pairs"), index=False)
     det_flags.to_parquet(path("det_flags"), index=False)
     _gen_rec_long_pairs(sf_dir).to_parquet(path("rec_long_pairs"), index=False)
+    _gen_preproc_stats(sf_dir).to_parquet(path("preproc_stats"), index=False)
     doc_parse, doc_md = _gen_doc_tables(sf_dir)
     doc_parse.to_parquet(path("doc_parse"), index=False)
     doc_md.to_parquet(path("doc_markdown"), index=False)

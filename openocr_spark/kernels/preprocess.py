@@ -1,0 +1,224 @@
+"""Pixel preprocessing + training-target kernels (SURVEY §2.8 G7, G8,
+G11, G15, G16/G17) — numpy from scratch, no cv2/shapely/pyclipper.
+
+Semantics follow the reference, specialized to our surrogate media
+(single-channel float maps, axis-aligned rect regions — SURVEY §7.0
+design stance):
+
+  det_resize        — DetResizeForTest type0
+                      (opendet/preprocess/db_resize_for_test.py:67-115):
+                      limit-side ratio, round sides to multiples of 32
+                      (min 32), bilinear resample, return (img, rh, rw)
+  normalize_image   — scale/mean/std normalize
+                      (opendet/preprocess/__init__.py:19-45)
+  crop_margin       — min/max-normalize to u8, inverse-threshold at 200,
+                      crop to the bounding rect of content pixels
+                      (tools/utils/opendoc_onnx_utils/utils.py:1023-1052)
+  make_shrink_map   — DBNet probability-map target: each care region
+                      inset by d = area·(1−r²)/perimeter, r=0.4; small
+                      or ignored regions zero the loss mask
+                      (opendet/preprocess/db_label_encode.py:218-283)
+  make_border_map   — DBNet threshold-map target: pad each care region
+                      by d, ramp 1−min_edge_distance/d inside the band,
+                      scale to [thresh_min, thresh_max]
+                      (db_label_encode.py:66-165)
+  resize_norm_pad   — keep-ratio resize + zero pad to (H, W), the
+                      recognition batch shape normalizer (G16/G17,
+                      openrec/preprocess resize family)
+
+Rect edge distances use the standard point-to-segment projection
+(clamped parametric t) rather than the reference's law-of-cosines
+formulation — same quantity, independent derivation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """2-D bilinear resample with half-pixel centers."""
+    h, w = img.shape
+    if (h, w) == (out_h, out_w):
+        return img.astype(np.float32, copy=True)
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    img = img.astype(np.float64)
+    out = (
+        img[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
+        + img[np.ix_(y0, x1)] * (1 - wy) * wx
+        + img[np.ix_(y1, x0)] * wy * (1 - wx)
+        + img[np.ix_(y1, x1)] * wy * wx
+    )
+    return out.astype(np.float32)
+
+
+def det_resize(
+    img: np.ndarray,
+    limit_side_len: int = 736,
+    limit_type: str = "min",
+) -> tuple[np.ndarray, float, float]:
+    """G7: resize to a multiple-of-32 shape under a side-length limit;
+    returns (resized, ratio_h, ratio_w) with the post-rounding ratios
+    (db_resize_for_test.py:113-114)."""
+    h, w = img.shape
+    if limit_type == "max":
+        ratio = float(limit_side_len) / max(h, w) if max(h, w) > limit_side_len else 1.0
+    elif limit_type == "min":
+        ratio = float(limit_side_len) / min(h, w) if min(h, w) < limit_side_len else 1.0
+    elif limit_type == "resize_long":
+        ratio = float(limit_side_len) / max(h, w)
+    else:
+        raise ValueError(f"unsupported limit_type {limit_type!r}")
+    resize_h = max(int(round(int(h * ratio) / 32) * 32), 32)
+    resize_w = max(int(round(int(w * ratio) / 32) * 32), 32)
+    return bilinear_resize(img, resize_h, resize_w), resize_h / float(h), resize_w / float(w)
+
+
+def normalize_image(
+    img: np.ndarray,
+    scale: float = 1.0 / 255.0,
+    mean: float = 0.485,
+    std: float = 0.229,
+) -> np.ndarray:
+    """G8: (img·scale − mean) / std (single-channel form of
+    opendet/preprocess/__init__.py:40-44)."""
+    return ((img.astype(np.float32) * np.float32(scale)) - np.float32(mean)) / np.float32(std)
+
+
+def crop_margin(img: np.ndarray, thresh: int = 200) -> np.ndarray:
+    """G11: crop to the content bounding box. Gray is min/max-normalized
+    to u8; pixels ≤ thresh after normalization are content
+    (THRESH_BINARY_INV semantics — content is DARK on a light page,
+    utils.py:1040-1050); uniform images return unchanged."""
+    gray = img
+    if gray.dtype != np.uint8:
+        gray = gray.astype(np.uint8)
+    mx, mn = int(gray.max()), int(gray.min())
+    if mx == mn:
+        return img
+    data = ((gray.astype(np.float64) - mn) / (mx - mn) * 255).astype(np.uint8)
+    content = data <= thresh
+    if not content.any():
+        return img
+    ys, xs = np.nonzero(content)
+    return img[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+
+
+def _rect_shrink_distance(x0: float, y0: float, x1: float, y1: float, ratio: float) -> float:
+    """d = area·(1−r²)/perimeter for the axis-aligned rect polygon."""
+    w = x1 - x0
+    h = y1 - y0
+    area = w * h
+    perim = 2.0 * (w + h)
+    return area * (1.0 - ratio**2) / max(perim, 1e-9)
+
+
+def make_shrink_map(
+    rects: list[tuple[float, float, float, float]],
+    ignore: list[bool],
+    h: int,
+    w: int,
+    shrink_ratio: float = 0.4,
+    min_text_size: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """G15a: DBNet probability-map training target for rect regions.
+    Returns (gt, mask): gt=1 inside each care rect inset by d; ignored
+    or too-small rects zero the loss mask over their full extent."""
+    gt = np.zeros((h, w), dtype=np.float32)
+    mask = np.ones((h, w), dtype=np.float32)
+    for (x0, y0, x1, y1), ig in zip(rects, ignore):
+        rw, rh = x1 - x0, y1 - y0
+        ix0, iy0 = int(round(x0)), int(round(y0))
+        ix1, iy1 = int(round(x1)), int(round(y1))
+        if ig or min(rw, rh) < min_text_size:
+            mask[max(iy0, 0) : iy1 + 1, max(ix0, 0) : ix1 + 1] = 0.0
+            continue
+        d = int(round(_rect_shrink_distance(x0, y0, x1, y1, shrink_ratio)))
+        sx0, sy0 = ix0 + d, iy0 + d
+        sx1, sy1 = ix1 - d, iy1 - d
+        if sx1 >= sx0 and sy1 >= sy0:
+            gt[max(sy0, 0) : sy1 + 1, max(sx0, 0) : sx1 + 1] = 1.0
+        else:
+            mask[max(iy0, 0) : iy1 + 1, max(ix0, 0) : ix1 + 1] = 0.0
+    return gt, mask
+
+
+def _segment_distance(
+    xs: np.ndarray, ys: np.ndarray, p1: tuple[float, float], p2: tuple[float, float]
+) -> np.ndarray:
+    """Distance from each (xs, ys) grid point to segment p1→p2 via the
+    clamped projection t = ((P−p1)·(p2−p1))/|p2−p1|²."""
+    dx, dy = p2[0] - p1[0], p2[1] - p1[1]
+    denom = dx * dx + dy * dy
+    if denom <= 0:
+        return np.sqrt((xs - p1[0]) ** 2 + (ys - p1[1]) ** 2)
+    t = np.clip(((xs - p1[0]) * dx + (ys - p1[1]) * dy) / denom, 0.0, 1.0)
+    cx = p1[0] + t * dx
+    cy = p1[1] + t * dy
+    return np.sqrt((xs - cx) ** 2 + (ys - cy) ** 2)
+
+
+def make_border_map(
+    rects: list[tuple[float, float, float, float]],
+    ignore: list[bool],
+    h: int,
+    w: int,
+    shrink_ratio: float = 0.4,
+    thresh_min: float = 0.3,
+    thresh_max: float = 0.7,
+) -> tuple[np.ndarray, np.ndarray]:
+    """G15b: DBNet threshold-map training target. For each care rect,
+    pad by d; inside the padded box the value is max(1 − min distance
+    to the rect's 4 edges / d, existing); finally scale the canvas to
+    [thresh_min, thresh_max]. mask=1 over padded extents."""
+    canvas = np.zeros((h, w), dtype=np.float32)
+    mask = np.zeros((h, w), dtype=np.float32)
+    for (x0, y0, x1, y1), ig in zip(rects, ignore):
+        if ig:
+            continue
+        d = _rect_shrink_distance(x0, y0, x1, y1, shrink_ratio)
+        if d <= 0:
+            continue
+        px0, py0 = int(np.floor(x0 - d)), int(np.floor(y0 - d))
+        px1, py1 = int(np.ceil(x1 + d)), int(np.ceil(y1 + d))
+        vx0, vy0 = max(px0, 0), max(py0, 0)
+        vx1, vy1 = min(px1, w - 1), min(py1, h - 1)
+        if vx1 < vx0 or vy1 < vy0:
+            continue
+        mask[vy0 : vy1 + 1, vx0 : vx1 + 1] = 1.0
+        gy, gx = np.mgrid[vy0 : vy1 + 1, vx0 : vx1 + 1]
+        corners = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        dist = np.min(
+            [
+                _segment_distance(gx, gy, corners[i], corners[(i + 1) % 4])
+                for i in range(4)
+            ],
+            axis=0,
+        )
+        ramp = 1.0 - np.clip(dist / d, 0.0, 1.0)
+        region = canvas[vy0 : vy1 + 1, vx0 : vx1 + 1]
+        canvas[vy0 : vy1 + 1, vx0 : vx1 + 1] = np.fmax(region, ramp)
+    canvas = canvas * (thresh_max - thresh_min) + thresh_min
+    return canvas, mask
+
+
+def resize_norm_pad(
+    img: np.ndarray, target_h: int, target_w: int
+) -> tuple[np.ndarray, float]:
+    """G16/G17: keep-ratio resize to height target_h (width capped at
+    target_w), zero-pad right to the full width; returns (padded,
+    valid_ratio = used_width / target_w) — the recognition batch shape
+    normalizer."""
+    h, w = img.shape
+    new_w = min(int(np.ceil(target_h * w / h)), target_w)
+    resized = bilinear_resize(img, target_h, max(new_w, 1))
+    out = np.zeros((target_h, target_w), dtype=np.float32)
+    out[:, : resized.shape[1]] = resized
+    return out, resized.shape[1] / float(target_w)

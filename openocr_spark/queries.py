@@ -1135,6 +1135,32 @@ def q_rec_metric_fixture(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "preproc_targets",
+    f"""
+    SELECT media_ref, h, w, resized_h, resized_w, ratio_h, ratio_w,
+           shrink_pos, mask_zero, crop_h, crop_w, pad_valid_ratio
+    FROM read_parquet('{_ORA}/preproc_stats.parquet')
+    """,
+)
+def q_preproc_targets(spark: SparkSession, sf: str) -> DataFrame:
+    """Pixel preprocessing + DBNet training-target stats per media
+    (G7/G8/G11/G15/G16-17): the kernels rasterize; the oracle checks
+    them against closed-form arithmetic on the region geometry (no
+    rasterization) — inset counts, union bboxes, resize rounding."""
+    from openocr_spark.operators.preprocess import det_training_targets
+
+    out = det_training_targets(_fixture_media_refs(spark, sf))
+    return out.select(
+        "media_ref",
+        F.col("h").cast("long"), F.col("w").cast("long"),
+        F.col("resized_h").cast("long"), F.col("resized_w").cast("long"),
+        "ratio_h", "ratio_w", "shrink_pos", "mask_zero",
+        F.col("crop_h").cast("long"), F.col("crop_w").cast("long"),
+        "pad_valid_ratio",
+    )
+
+
+@q(
     "rec_metric_long",
     f"""
     SELECT COUNT(*) AS all_num,
