@@ -112,11 +112,36 @@ def webdataset_samples(members: DataFrame) -> DataFrame:
 
 
 def seeded_shuffle(df: DataFrame, seed: int, epoch: int = 0) -> DataFrame:
-    """Deterministic per-epoch reshuffle (SURVEY §2.9 ST4,
+    """Deterministic per-epoch TOTAL reshuffle (SURVEY §2.9 ST4,
     ratio_sampler.py:178-185): global order by a seeded hash of the row —
-    reproducible across runs, different per epoch. Uses a rangepartition
-    sort; for scale-out sampling prefer `.sample(fraction, seed)`."""
+    reproducible across runs, different per epoch.
+
+    Scale note: this is a full range-partitioned sort (sample pass +
+    shuffle of every row) — the right semantics when a single global
+    order is required, but at 10^12 rows per epoch prefer
+    `seeded_shuffle_local`: hash-repartition on the seeded key then
+    sort within partitions — same key math, one hash exchange, no
+    range sampling, and consumers that read partition-by-partition see
+    an equally reproducible epoch order."""
     return df.orderBy(F.xxhash64(F.lit(seed + epoch), *[F.col(c) for c in df.columns]))
+
+
+def seeded_shuffle_local(
+    df: DataFrame, seed: int, epoch: int = 0, partitions: int | None = None
+) -> DataFrame:
+    """Scale-path reshuffle: repartition by the seeded row hash, then
+    sort within partitions by it. Deterministic (hash → partition and
+    intra-partition order are both pure functions of row+seed+epoch),
+    one exchange, no global sort. The concatenation of partitions in
+    index order IS a reproducible epoch permutation."""
+    key = F.xxhash64(F.lit(seed + epoch), *[F.col(c) for c in df.columns])
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.withColumn("_shufkey", key)
+        .repartition(n, F.col("_shufkey"))
+        .sortWithinPartitions("_shufkey")
+        .drop("_shufkey")
+    )
 
 
 def union_suites(parts: list[tuple[str, DataFrame]]) -> DataFrame:

@@ -40,3 +40,22 @@ def test_seeded_shuffle_deterministic(spark):
     assert a == b
     assert a != c
     assert sorted(a) == list(range(100))
+
+
+def test_seeded_shuffle_local_deterministic_one_exchange(spark):
+    """Scale-path reshuffle: reproducible permutation, different per
+    epoch, and exactly ONE shuffle exchange (no range-partition sort)."""
+    from openocr_spark import plans
+    from openocr_spark.sources.readers import seeded_shuffle_local
+
+    df = spark.range(100)
+    out = seeded_shuffle_local(df, seed=7, partitions=4)
+    a = [r["id"] for r in out.collect()]
+    b = [r["id"] for r in seeded_shuffle_local(df, seed=7, partitions=4).collect()]
+    c = [r["id"] for r in seeded_shuffle_local(df, seed=7, epoch=1, partitions=4).collect()]
+    assert a == b and a != c and sorted(a) == list(range(100))
+    plan = plans.physical_plan(out)
+    # one hash exchange; AQE's executed-plan string prints it in both
+    # the initial and final trees, so the line count is ≤ 2
+    assert plans.count_exchanges(out) <= 2, plan
+    assert "rangepartitioning" not in plan.lower()
