@@ -40,8 +40,11 @@ HEADLINE = [
     "lsh_pairs",
     "simhash",
     "cosine_topk",
+    "ann_ivf_trained",
     "near_dup_embeddings",
     "sessionize",
+    "rec_metric_long",
+    "preproc_targets",
     "extract_spans",
     "extract_fixture",
     "extract_joined",

@@ -209,6 +209,81 @@ def make_border_map(
     return canvas, mask
 
 
+def perspective_matrix(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """3×3 homography H with H·[x,y,1]ᵀ ∝ [u,v,1]ᵀ for the 4 point
+    pairs, via the standard 8×8 DLT linear system (the from-scratch
+    equivalent of getPerspectiveTransform)."""
+    A = np.zeros((8, 8), dtype=np.float64)
+    b = np.zeros(8, dtype=np.float64)
+    for i in range(4):
+        x, y = float(src[i][0]), float(src[i][1])
+        u, v = float(dst[i][0]), float(dst[i][1])
+        A[2 * i] = [x, y, 1, 0, 0, 0, -x * u, -y * u]
+        A[2 * i + 1] = [0, 0, 0, x, y, 1, -x * v, -y * v]
+        b[2 * i] = u
+        b[2 * i + 1] = v
+    h = np.linalg.solve(A, b)
+    return np.array(
+        [[h[0], h[1], h[2]], [h[3], h[4], h[5]], [h[6], h[7], 1.0]]
+    )
+
+
+def warp_perspective(
+    img: np.ndarray, H: np.ndarray, out_h: int, out_w: int
+) -> np.ndarray:
+    """Inverse-map warp: for every destination pixel, solve back to the
+    source via H⁻¹ and bilinearly sample with border-replicate (clip).
+    Vectorized over the whole destination grid."""
+    Hinv = np.linalg.inv(H)
+    gy, gx = np.mgrid[0:out_h, 0:out_w]
+    ones = np.ones_like(gx, dtype=np.float64)
+    pts = np.stack([gx.astype(np.float64), gy.astype(np.float64), ones])
+    src = Hinv @ pts.reshape(3, -1)
+    sx = (src[0] / src[2]).reshape(out_h, out_w)
+    sy = (src[1] / src[2]).reshape(out_h, out_w)
+    h, w = img.shape
+    x0 = np.clip(np.floor(sx).astype(np.int64), 0, w - 1)
+    y0 = np.clip(np.floor(sy).astype(np.int64), 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    wx = np.clip(sx - x0, 0.0, 1.0)
+    wy = np.clip(sy - y0, 0.0, 1.0)
+    im = img.astype(np.float64)
+    out = (
+        im[y0, x0] * (1 - wy) * (1 - wx)
+        + im[y0, x1] * (1 - wy) * wx
+        + im[y1, x0] * wy * (1 - wx)
+        + im[y1, x1] * wy * wx
+    )
+    return out.astype(np.float32)
+
+
+def rotate_crop(img: np.ndarray, points: np.ndarray) -> np.ndarray:
+    """G5: perspective quad crop (tools/infer/utility.py:177-202
+    get_rotate_crop_image): destination size from the quad's side
+    lengths, homography quad→upright rect, warp (bilinear here vs the
+    reference's INTER_CUBIC — same geometry, smoother-kernel detail
+    differs), then rotate 90° when the crop is tall (h/w ≥ 1.5) so the
+    recognizer always sees near-horizontal text."""
+    pts = np.asarray(points, dtype=np.float64)
+    assert pts.shape == (4, 2), "quad required"
+    out_w = int(
+        max(np.linalg.norm(pts[0] - pts[1]), np.linalg.norm(pts[2] - pts[3]))
+    )
+    out_h = int(
+        max(np.linalg.norm(pts[0] - pts[3]), np.linalg.norm(pts[1] - pts[2]))
+    )
+    out_w, out_h = max(out_w, 1), max(out_h, 1)
+    dst = np.array(
+        [[0, 0], [out_w, 0], [out_w, out_h], [0, out_h]], dtype=np.float64
+    )
+    H = perspective_matrix(pts, dst)
+    crop = warp_perspective(img, H, out_h, out_w)
+    if out_h / max(out_w, 1) >= 1.5:
+        crop = np.rot90(crop)
+    return crop
+
+
 def resize_norm_pad(
     img: np.ndarray, target_h: int, target_w: int
 ) -> tuple[np.ndarray, float]:

@@ -170,6 +170,67 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over candidate duplicate pairs → per-doc
+    canonical id (the final step of MinHash dedup at corpus scale: LSH
+    emits pairs; the dedup decision needs the transitive closure, since
+    A~B and B~C must collapse to one canonical even when A,C never
+    share a band).
+
+    Algorithm: hash-min label propagation. Each node starts with
+    comp = its own id; each round every node takes the min of its
+    component label and its neighbors' labels; stop when a round
+    changes nothing. Rounds needed = graph diameter ≤ O(log n) after
+    the first few rounds on near-duplicate clusters (which are small
+    and dense). Each round is one self-contained aggregation on the
+    edge relation — shuffle on node id only; no collect of the graph.
+    The driver-side convergence check is one count() per round —
+    iterative algorithms are actions-per-iteration by nature (same
+    structure as GraphFrames' connected components).
+
+    pairs: (id_a, id_b) candidate edges. Output: (id, canonical_id)
+    for every node that appears in at least one pair.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias(
+                    "new_comp"
+                ),
+                "comp",
+            )
+        ).persist()
+        changed = new_labels.filter(F.col("new_comp") < F.col("comp")).count()
+        labels = new_labels.select("id", F.col("new_comp").alias("comp"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("comp").alias("canonical_id"))
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over word tokens. Bit i of a token = parity of the
     ascii code of hex digit i of md5(token) — engine-portable (ascii/substr

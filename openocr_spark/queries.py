@@ -725,6 +725,47 @@ def q_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+    sig AS (
+      SELECT id,
+             MIN(md5(shingle || '#0')) AS h0, MIN(md5(shingle || '#1')) AS h1,
+             MIN(md5(shingle || '#2')) AS h2, MIN(md5(shingle || '#3')) AS h3,
+             MIN(md5(shingle || '#4')) AS h4, MIN(md5(shingle || '#5')) AS h5,
+             MIN(md5(shingle || '#6')) AS h6, MIN(md5(shingle || '#7')) AS h7
+      FROM sh GROUP BY id),
+    bands AS (
+      SELECT id, 0 AS band_idx, md5(h0 || h1) AS band_key FROM sig
+      UNION ALL SELECT id, 1, md5(h2 || h3) FROM sig
+      UNION ALL SELECT id, 2, md5(h4 || h5) FROM sig
+      UNION ALL SELECT id, 3, md5(h6 || h7) FROM sig),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION SELECT id_b, id_a FROM cand),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS id, LEAST(src, MIN(dst)) AS canonical_id
+    FROM reach GROUP BY src
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive dedup clustering: connected components over the
+    MinHash-LSH candidate pairs via hash-min label propagation
+    (dedup.dedup_components). The oracle computes the same components
+    through a recursive-CTE transitive closure + group-min."""
+    d = load(spark, sf, "documents")
+    pairs = dedup.lsh_candidate_pairs(d, "doc_id", "text").select("id_a", "id_b")
+    return dedup.dedup_components(pairs)
+
+
+@q(
     "ngram_jaccard",
     f"""
     WITH raw AS ({_SHINGLE_SQL}),

@@ -40,6 +40,27 @@ def test_ngram_jaccard_cap_keeps_real_dups(spark):
     assert len(pairs) == 1
 
 
+def test_dedup_components_transitive_chain(spark):
+    """A~B and B~C collapse to one canonical even though A,C never
+    paired; disjoint components stay separate."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.id: r.canonical_id for r in dedup.dedup_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_dedup_components_converges_on_ring(spark):
+    """Worst-case diameter: a ring of 8 nodes needs several propagation
+    rounds; the loop must converge to the global min everywhere."""
+    n = 8
+    pairs = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "id_a long, id_b long"
+    )
+    out = {r.id: r.canonical_id for r in dedup.dedup_components(pairs).collect()}
+    assert out == {i: 0 for i in range(n)}
+
+
 def test_near_dup_pairs_known_pairs(spark):
     """Constructed cell with one near-identical pair and one orthogonal
     vector: exactly the near pair survives the threshold."""

@@ -67,6 +67,37 @@ def test_make_border_map_ramp():
     assert mask[16, 16] == 1.0 and mask[0, 0] == 0.0
 
 
+def test_perspective_matrix_roundtrip():
+    src = np.array([[3, 2], [40, 5], [38, 24], [1, 20]], dtype=np.float64)
+    dst = np.array([[0, 0], [37, 0], [37, 20], [0, 20]], dtype=np.float64)
+    H = pp.perspective_matrix(src, dst)
+    for s, d in zip(src, dst):
+        v = H @ np.array([s[0], s[1], 1.0])
+        assert np.allclose(v[:2] / v[2], d, atol=1e-8)
+
+
+def test_rotate_crop_axis_aligned_identity():
+    """An axis-aligned quad crop equals the plain slice (up to the
+    sampling grid): constant regions come back exactly."""
+    img = np.zeros((40, 60), dtype=np.float32)
+    img[10:30, 20:50] = 7.0
+    quad = [[20, 10], [50, 10], [50, 30], [20, 30]]
+    crop = pp.rotate_crop(img, quad)
+    assert crop.shape == (20, 30)
+    assert np.allclose(crop[5:15, 5:25], 7.0, atol=1e-5)
+
+
+def test_rotate_crop_rotated_quad_uprights_text():
+    """A 90°-rotated quad (points walking down the image) produces an
+    upright crop; tall crops are rotated to near-horizontal."""
+    img = np.arange(40 * 60, dtype=np.float32).reshape(40, 60)
+    # quad whose first edge runs vertically: width small, height big
+    quad = [[30, 5], [34, 5], [34, 35], [30, 35]]
+    crop = pp.rotate_crop(img, quad)
+    # raw crop would be 30 tall x 4 wide (ratio 7.5 >= 1.5) -> rot90
+    assert crop.shape == (4, 30)
+
+
 def test_resize_norm_pad_keep_ratio():
     img = np.ones((96, 160), dtype=np.float32)
     out, valid = pp.resize_norm_pad(img, 32, 128)
