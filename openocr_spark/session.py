@@ -55,6 +55,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # saveAsTable targets (bucketed-join tests / local catalogs) go
+        # to tmp, never the repo cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(os.environ.get("TMPDIR", "/tmp"), "openocr_warehouse"),
+        )
         # kernel batch size: bounds per-batch memory in mapInPandas kernels
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         # payload tables carry ~60KB binary cells; the default 4096-row

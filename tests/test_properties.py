@@ -90,3 +90,50 @@ def test_stream_match_contains_tail_segment(segs):
 def test_otsl_never_crashes(s):
     html = otsl_to_html(s)
     assert html.startswith("<table>") and html.endswith("</table>")
+
+
+@given(st.integers(min_value=0, max_value=10**9), st.integers(min_value=4, max_value=128))
+@settings(max_examples=60, deadline=None)
+def test_ar_decode_bounded_and_deterministic(seed, max_len):
+    from openocr_spark.kernels import ar_decode as ar
+
+    ids = ar.ar_greedy_decode(seed, max_length=max_len)
+    assert ids[0] == ar.BOS_ID
+    assert 1 <= len(ids) <= max_len
+    # EOS, when present, is terminal and unique
+    if ar.EOS_ID in ids:
+        assert ids.index(ar.EOS_ID) == len(ids) - 1
+    assert ids == ar.ar_greedy_decode(seed, max_length=max_len)
+    text = ar.decode_tokens(ids)
+    assert "<|" not in text and "|>" not in text
+
+
+@given(st.text(max_size=200), st.integers(min_value=0, max_value=50))
+@settings(max_examples=80, deadline=None)
+def test_block_markdown_total_and_terminated(text, sec):
+    """The markdown dispatcher never raises on arbitrary text and every
+    non-empty fragment is newline-terminated (to_markdown emits \n or
+    \n\n per handler)."""
+    from openocr_spark.functions.markdown import block_markdown
+
+    for label in ("text", "doc_title", "list", "table", "display_formula",
+                  "image", "code", "header"):
+        out = block_markdown(label, text, sec)
+        assert isinstance(out, str)
+        if out:
+            assert out.endswith("\n")
+
+
+@given(st.integers(min_value=33, max_value=200), st.integers(min_value=16, max_value=96))
+@settings(max_examples=40, deadline=None)
+def test_det_resize_multiple_of_32(h, w):
+    import numpy as np
+
+    from openocr_spark.kernels.preprocess import det_resize
+
+    out, rh, rw = det_resize(np.zeros((h, w), dtype=np.float32),
+                             limit_side_len=64, limit_type="resize_long")
+    assert out.shape[0] % 32 == 0 and out.shape[1] % 32 == 0
+    assert out.shape[0] >= 32 and out.shape[1] >= 32
+    assert abs(rh - out.shape[0] / h) < 1e-9
+    assert abs(rw - out.shape[1] / w) < 1e-9
