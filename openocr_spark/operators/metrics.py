@@ -24,20 +24,28 @@ from openocr_spark.functions.exprs import normalized_levenshtein
 
 
 def _iou(a: np.ndarray, b: np.ndarray) -> float:
-    """Axis-aligned IoU (the shapely polygon intersection/union of
-    eval_det_iou.py:18-25, specialized to rects)."""
-    ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
-    iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
-    inter = ix * iy
-    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
-    return inter / ua if ua > 0 else 0.0
+    """Exact convex-polygon IoU (eval_det_iou.py:18-25 semantics;
+    kernels/geometry.py clipping — reduces exactly to the rect formula
+    on axis-aligned quads, so the rect-math SQL oracle stays valid on
+    the rect fixtures while rotated quads are now scored exactly)."""
+    from openocr_spark.kernels.geometry import polygon_iou
+
+    return polygon_iou(a, b)
 
 
-def _quad_to_rect(points) -> np.ndarray:
+def _inter_over_area(pred: np.ndarray, dc: np.ndarray) -> float:
+    """intersection(pred, dc) / area(pred) — the don't-care exclusion
+    criterion (eval_det_iou.py:101-110), exact polygon form."""
+    from openocr_spark.kernels.geometry import polygon_area, polygon_intersection_area
+
+    area = max(polygon_area(pred), 1e-9)
+    return polygon_intersection_area(pred, dc) / area
+
+
+def _quad(points) -> np.ndarray:
     # Arrow hands nested arrays to pandas as object-dtype ndarrays of
     # ndarrays; build the (N,2) array explicitly
-    pts = np.array([[float(p[0]), float(p[1])] for p in points])
-    return np.array([pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()])
+    return np.array([[float(p[0]), float(p[1])] for p in points])
 
 
 def det_partials(pred: DataFrame, gt: DataFrame) -> DataFrame:
@@ -73,11 +81,9 @@ def det_partials(pred: DataFrame, gt: DataFrame) -> DataFrame:
             for ref, p_list, g_list in zip(
                 pdf["media_ref"], pdf["p_list"], pdf["g_list"]
             ):
-                preds = (
-                    [_quad_to_rect(x) for x in p_list] if p_list is not None else []
-                )
+                preds = [_quad(x) for x in p_list] if p_list is not None else []
                 gts = (
-                    [(_quad_to_rect(r["points"]), bool(r["ignore"])) for r in g_list]
+                    [(_quad(r["points"]), bool(r["ignore"])) for r in g_list]
                     if g_list is not None
                     else []
                 )
@@ -85,15 +91,7 @@ def det_partials(pred: DataFrame, gt: DataFrame) -> DataFrame:
                 gt_dc = [r for r, ig in gts if ig]
                 det_care = []
                 for pr in preds:
-                    area = max((pr[2] - pr[0]) * (pr[3] - pr[1]), 1e-9)
-                    excl = False
-                    for dc in gt_dc:
-                        ix = max(0.0, min(pr[2], dc[2]) - max(pr[0], dc[0]))
-                        iy = max(0.0, min(pr[3], dc[3]) - max(pr[1], dc[1]))
-                        if ix * iy / area > 0.5:
-                            excl = True
-                            break
-                    if not excl:
+                    if not any(_inter_over_area(pr, dc) > 0.5 for dc in gt_dc):
                         det_care.append(pr)
                 matched = 0
                 used_det: set[int] = set()
@@ -150,7 +148,7 @@ def det_match_flags(pred: DataFrame, gt: DataFrame) -> DataFrame:
                 preds = (
                     sorted(
                         (
-                            (int(r["det_idx"]), _quad_to_rect(r["points"]), float(r["conf"]))
+                            (int(r["det_idx"]), _quad(r["points"]), float(r["conf"]))
                             for r in p_list
                         ),
                         key=lambda t: t[0],
@@ -159,7 +157,7 @@ def det_match_flags(pred: DataFrame, gt: DataFrame) -> DataFrame:
                     else []
                 )
                 gts = (
-                    [(_quad_to_rect(r["points"]), bool(r["ignore"])) for r in g_list]
+                    [(_quad(r["points"]), bool(r["ignore"])) for r in g_list]
                     if g_list is not None
                     else []
                 )
@@ -167,14 +165,7 @@ def det_match_flags(pred: DataFrame, gt: DataFrame) -> DataFrame:
                 gt_dc = [r for r, ig in gts if ig]
                 det_care = []
                 for idx, pr, conf in preds:
-                    area = max((pr[2] - pr[0]) * (pr[3] - pr[1]), 1e-9)
-                    if any(
-                        max(0.0, min(pr[2], dc[2]) - max(pr[0], dc[0]))
-                        * max(0.0, min(pr[3], dc[3]) - max(pr[1], dc[1]))
-                        / area
-                        > 0.5
-                        for dc in gt_dc
-                    ):
+                    if any(_inter_over_area(pr, dc) > 0.5 for dc in gt_dc):
                         continue
                     det_care.append((idx, pr, conf))
                 matched_idx: set[int] = set()

@@ -75,6 +75,32 @@ def charset_ok(text: Column, allowed_re: str = r"^[a-z0-9 ]*$") -> Column:
     return text.rlike(allowed_re)
 
 
+# scrub patterns (training-data hygiene): order matters — URLs before
+# emails (a URL may embed an @), digit runs last so scrubbed tokens
+# don't re-trigger. Each is a plain Java regex so the DuckDB oracle can
+# mirror it with regexp_replace.
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_DIGITS_RE = r"\d{9,}"
+
+
+def scrub_text(text: Column) -> Column:
+    """PII/URL scrub for training corpora: URLs → <URL>, emails →
+    <EMAIL>, long digit runs (phone/account numbers) → <NUM>. Pure
+    column expressions — codegen'd, no Python."""
+    out = F.regexp_replace(text, URL_RE, "<URL>")
+    out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, LONG_DIGITS_RE, "<NUM>")
+
+
+def scrub_counts(text: Column) -> tuple[Column, Column, Column]:
+    """How many of each scrub target the text contains (audit columns)."""
+    def n(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+
+    return n(URL_RE), n(EMAIL_RE), n(LONG_DIGITS_RE)
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.select(

@@ -634,6 +634,54 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "scrub_pii",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+             '@example.com via https://ex.org/p/' || CAST(doc_id AS VARCHAR) ||
+             ' ref 1234567890' AS contaminated
+      FROM documents)
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(contaminated,
+               'https?://[^\\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\d{9,}', '<NUM>', 'g')) AS scrubbed_md5,
+           CAST(len(regexp_extract_all(contaminated, 'https?://[^\\s]+'))
+             AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(contaminated,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+             AS BIGINT) AS n_emails
+    FROM c
+    """,
+)
+def q_scrub_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII/URL scrub (training-data hygiene): the driver corpus is
+    synthetic vocab text with no real PII, so the query injects a
+    deterministic contamination per doc (email + URL + long digit run)
+    and scrubs it — both engines reproduce the construction, making the
+    check non-vacuous (every doc has exactly one of each)."""
+    d = load(spark, sf, "documents")
+    contaminated = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.org/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" ref 1234567890"),
+    )
+    base = d.select("doc_id", contaminated.alias("contaminated"))
+    n_urls, n_emails, _ = textstats.scrub_counts(F.col("contaminated"))
+    return base.select(
+        "doc_id",
+        F.md5(textstats.scrub_text(F.col("contaminated")).cast("binary")).alias(
+            "scrubbed_md5"
+        ),
+        n_urls.cast("long").alias("n_urls"),
+        n_emails.cast("long").alias("n_emails"),
+    )
+
+
+@q(
     "fingerprint",
     """
     SELECT doc_id, md5(text) AS fingerprint,
