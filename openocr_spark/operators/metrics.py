@@ -350,6 +350,52 @@ def extract_detail(
     )
 
 
+def latency_profile(
+    media_refs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-media kernel latency instrumentation (SURVEY A10 — the
+    reference logs per-image elapse and prints a latency profile,
+    tools/infer_e2e.py timing): wall-time the detect+recognize kernel
+    per payload inside the executor, emit (media_ref, n_regions,
+    elapsed_us), then aggregate driver-side with percentile_approx by
+    region count. Timing is inherently nondeterministic → test-pinned
+    invariants only (positive, monotone-ish in n_regions), no SQL
+    oracle."""
+    import time
+
+    from openocr_spark.fixtures import payload_for_media_ref
+    from openocr_spark.operators.extract import _process_media_arrays
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"].tolist():
+                p = payload_for_media_ref(ref)
+                t0 = time.perf_counter_ns()
+                _process_media_arrays(p["score_map"], p["regions"], cfg)
+                dt = (time.perf_counter_ns() - t0) // 1000
+                rows.append(
+                    {
+                        "media_ref": ref,
+                        "n_regions": len(p["regions"]),
+                        "elapsed_us": int(dt),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "n_regions", "elapsed_us"]
+            )
+
+    detail = media_refs.select("media_ref").mapInPandas(
+        kernel, schema="media_ref string, n_regions int, elapsed_us long"
+    )
+    return detail.groupBy("n_regions").agg(
+        F.count("*").alias("n_media"),
+        F.percentile_approx("elapsed_us", 0.5).alias("p50_us"),
+        F.percentile_approx("elapsed_us", 0.99).alias("p99_us"),
+        F.round(F.avg("elapsed_us"), 1).alias("mean_us"),
+    )
+
+
 def gt_regions(media_refs: DataFrame) -> DataFrame:
     """GT region rows (media_ref, points, ignore, gt_text) from the
     synthesized payloads — the labels side for det/rec eval."""

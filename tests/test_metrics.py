@@ -152,3 +152,19 @@ def test_fixture_rec_eval(spark, fixture_refs):
     assert m["all_num"] > 0
     assert m["acc"] == 1.0
     assert m["one_minus_ned"] == 1.0
+
+
+def test_latency_profile_shape_and_positive(spark):
+    """A10: per-region-count kernel latency percentiles — timing values
+    are nondeterministic, so the pins are structural: every fixture
+    region count 1..5 appears, all latencies positive, p99 >= p50."""
+    from openocr_spark.operators.metrics import latency_profile
+
+    refs = spark.createDataFrame(
+        [(f"media://lat/{i}",) for i in range(60)], "media_ref string"
+    )
+    rows = {r["n_regions"]: r for r in latency_profile(refs).collect()}
+    assert set(rows) <= set(range(1, 6)) and len(rows) >= 3
+    for r in rows.values():
+        assert r["p50_us"] > 0 and r["p99_us"] >= r["p50_us"]
+        assert r["n_media"] > 0
