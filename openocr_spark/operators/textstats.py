@@ -24,6 +24,22 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(text, " "))
 
 
+# GPT-2-style pre-tokenizer pattern, simplified to the RE2/Java common
+# subset (no lookaheads): contractions, letter runs, digit runs,
+# punctuation runs, whitespace runs — the "BPE-ish" token boundary rule
+BPE_TOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: how many pre-tokenizer pieces the text
+    splits into under the GPT-2-style boundary regex (whitespace runs
+    merge into the following word via the leading ' ?'). The honest
+    cost-estimation proxy a training pipeline bills by."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
 def stopword_ratio(text: Column) -> Column:
     toks = F.split(text, " ")
     stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))

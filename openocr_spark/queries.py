@@ -634,6 +634,70 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "bpe_tokens",
+    r"""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')))
+             AS BIGINT) AS total_bpe_tokens,
+           ROUND(AVG(len(regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))), 4)
+             AS avg_bpe_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish token counting (GPT-2-style pre-tokenizer boundary
+    regex) — the cost-estimation counterpart of the whitespace
+    token_count query."""
+    d = load(spark, sf, "documents")
+    tc = textstats.bpe_token_count(F.col("text"))
+    return d.groupBy("source").agg(
+        F.sum(tc).alias("total_bpe_tokens"),
+        F.round(F.avg(tc), 4).alias("avg_bpe_tokens"),
+    )
+
+
+@q(
+    "table_profile",
+    """
+    SELECT 'n_chars' AS column_name,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(MIN(n_chars) AS DOUBLE) AS min_val,
+           CAST(MAX(n_chars) AS DOUBLE) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'doc_id', COUNT(*),
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(doc_id) AS DOUBLE), CAST(MAX(doc_id) AS DOUBLE)
+    FROM documents
+    """,
+)
+def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-profiling sweep (training-data quality audit): per numeric
+    column — row count, exact distinct, null count, min/max. One
+    aggregation pass per column, unioned."""
+    d = load(spark, sf, "documents")
+
+    def prof(col: str) -> DataFrame:
+        return d.agg(
+            F.lit(col).alias("column_name"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("n_nulls"),
+            F.min(col).cast("double").alias("min_val"),
+            F.max(col).cast("double").alias("max_val"),
+        )
+
+    return prof("n_chars").unionByName(prof("doc_id"))
+
+
+@q(
     "scrub_pii",
     """
     WITH c AS (
