@@ -164,6 +164,30 @@ def merge_text_slices_stream(
     )
 
 
+def dedup_stream(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    watermark_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: content-fingerprint each document and
+    keep the first arrival across micro-batches (Spark keeps the seen-
+    fingerprint set in state). With an event-time watermark the state
+    is BOUNDED — fingerprints older than the watermark are evicted, so
+    this runs forever on an unbounded corpus; without one, state grows
+    with the distinct count (use only for bounded backfills). The
+    streaming face of dedup.exact_dedup_stats."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    fp = docs_stream.withColumn("fingerprint", F.md5(F.col(text_col)))
+    if watermark_col is not None:
+        return fp.withWatermark(watermark_col, watermark).dropDuplicates(
+            ["fingerprint", watermark_col]
+        )
+    return fp.dropDuplicates(["fingerprint"])
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "10 minutes",

@@ -117,6 +117,42 @@ def test_stateful_stream_match_merge(spark, tmp_path):
     assert got["m2"] == ("abcde", 2)
 
 
+def test_dedup_stream_across_microbatches(spark, tmp_path):
+    """Exact-dedup state spans micro-batches: a duplicate text arriving
+    in a LATER batch is dropped; distinct texts all survive."""
+    from openocr_spark.streaming.jobs import dedup_stream
+
+    in_dir = str(tmp_path / "docs")
+    schema = "doc_id string, text string"
+    spark.createDataFrame(
+        [("d1", "alpha beta"), ("d2", "gamma delta")], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(
+        [("d3", "alpha beta"), ("d4", "epsilon zeta")], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force two micro-batches
+        .parquet(in_dir)
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_docs").collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
+    # the duplicate kept is the FIRST arrival
+    kept = {r["text"]: r["doc_id"] for r in rows}
+    assert kept["alpha beta"] == "d1"
+
+
 def test_windowed_event_counts_with_watermark(spark, tmp_path):
     in_dir = str(tmp_path / "ev")
     rows = [
