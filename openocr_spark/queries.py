@@ -390,6 +390,40 @@ def q_running_sum(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "sliding_window",
+    """
+    SELECT CAST(ws AS VARCHAR) AS window_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM (
+      SELECT event_type, value,
+             make_timestamp(CAST(FLOOR(epoch(ts) / 300) * 300 - 300 * u.k
+                                 AS BIGINT) * 1000000) AS ws
+      FROM events, (SELECT unnest(range(2)) AS k) u
+      WHERE FLOOR(epoch(ts) / 300) * 300 - 300 * u.k
+            > epoch(ts) - 600)
+    GROUP BY ws, event_type
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding event-time windows (10-minute window, 5-minute slide) in
+    batch — each event lands in the ≤2 windows covering it (the batch
+    face of the streaming windowed_event_counts; F.window explodes, the
+    oracle reproduces the window starts with grid arithmetic)."""
+    ev = load(spark, sf, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 # ----------------------------------------------------- rollups / unions
 
 @q(
