@@ -41,6 +41,72 @@ def ctc_greedy_decode(logits: np.ndarray) -> tuple[str, float]:
     return text, float(conf[keep].mean())
 
 
+NRTR_SPECIALS = ("blank", "<unk>", "<s>", "</s>")
+
+
+def nrtr_greedy_decode(
+    logits: np.ndarray, charset: str | None = None
+) -> tuple[str, float]:
+    """NRTR/ABINet/CPPD-family decode (openrec/postprocess/
+    nrtr_postprocess.py:50-74): per-position argmax over a vocabulary
+    with [blank, <unk>, <s>, </s>] PREPENDED, break at '</s>', NO
+    adjacent-duplicate removal (AR models emit each char once);
+    confidence = mean of kept position probabilities (0.0 when nothing
+    decodes — the reference's np.mean([]) NaN is not propagated)."""
+    from openocr_spark.config import CHARSET
+
+    vocab = list(NRTR_SPECIALS) + list(charset or CHARSET)
+    if logits.size == 0:
+        return "", 0.0
+    probs = softmax(logits.astype(np.float64), axis=1)
+    ids = probs.argmax(axis=1)
+    conf = probs.max(axis=1)
+    chars: list[str] = []
+    confs: list[float] = []
+    for i, k in enumerate(ids):
+        if int(k) >= len(vocab):
+            continue
+        ch = vocab[int(k)]
+        if ch == "</s>":
+            break
+        chars.append(ch)
+        confs.append(float(conf[i]))
+    if not chars:
+        return "", 0.0
+    return "".join(chars), float(np.mean(confs))
+
+
+def srn_fixed_decode(
+    logits: np.ndarray, max_len: int = 25, charset: str | None = None
+) -> tuple[str, float]:
+    """SRN fixed-length decode (openrec/postprocess/
+    srn_postprocess.py:18-55): vocabulary with <BOS>/<EOS> APPENDED,
+    exactly max_len positions, BOS/EOS positions skipped via the
+    ignored-token check. Faithful quirk: because end_idx is in
+    ignored_tokens and that check precedes the break, decoding does NOT
+    stop at EOS — characters after an EOS position are kept (srn_
+    postprocess.py:34-41 control flow)."""
+    from openocr_spark.config import CHARSET
+
+    vocab = list(charset or CHARSET) + ["<BOS>", "<EOS>"]
+    ignored = {len(vocab) - 2, len(vocab) - 1}
+    if logits.size == 0:
+        return "", 0.0
+    probs = softmax(logits.astype(np.float64), axis=1)
+    ids = probs.argmax(axis=1)[:max_len]
+    conf = probs.max(axis=1)[:max_len]
+    chars: list[str] = []
+    confs: list[float] = []
+    for i, k in enumerate(ids):
+        if int(k) in ignored:
+            continue
+        chars.append(vocab[int(k)])
+        confs.append(float(conf[i]))
+    if not chars:
+        return "", 0.0
+    return "".join(chars), float(np.mean(confs))
+
+
 def ctc_greedy_decode_batch(
     logits_batch: list[np.ndarray],
 ) -> tuple[list[str], list[float]]:

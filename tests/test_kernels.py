@@ -102,3 +102,45 @@ def test_payload_determinism():
     b = payload_for_media_ref("media://doc-1/0")
     assert np.array_equal(a["score_map"], b["score_map"])
     assert [r["gt_text"] for r in a["regions"]] == [r["gt_text"] for r in b["regions"]]
+
+
+def _onehot_rows(ids, vocab_size, peak=8.0):
+    import numpy as np
+
+    m = np.zeros((len(ids), vocab_size), dtype=np.float32)
+    m[np.arange(len(ids)), ids] = peak
+    return m
+
+
+def test_nrtr_decode_breaks_at_eos_no_dedup():
+    """NRTR-family: specials prepended (ids 0-3), break at </s> (id 3),
+    NO adjacent-dup removal — 'aa' survives (unlike CTC)."""
+    import numpy as np
+
+    from openocr_spark.config import CHARSET
+    from openocr_spark.kernels.recognition import NRTR_SPECIALS, nrtr_greedy_decode
+
+    vocab = list(NRTR_SPECIALS) + list(CHARSET)
+    a = vocab.index("a")
+    b = vocab.index("b")
+    text, conf = nrtr_greedy_decode(_onehot_rows([a, a, b, 3, b], len(vocab)))
+    assert text == "aab"  # duplicate kept, content after </s> dropped
+    assert 0.9 < conf <= 1.0
+
+
+def test_srn_decode_skips_eos_and_keeps_tail():
+    """SRN fixed-length quirk: EOS is in ignored_tokens so decoding
+    SKIPS it and keeps later characters (srn_postprocess.py:34-41)."""
+    from openocr_spark.config import CHARSET
+    from openocr_spark.kernels.recognition import srn_fixed_decode
+
+    vocab = list(CHARSET) + ["<BOS>", "<EOS>"]
+    a = vocab.index("a")
+    c = vocab.index("c")
+    eos = len(vocab) - 1
+    bos = len(vocab) - 2
+    text, conf = srn_fixed_decode(_onehot_rows([bos, a, eos, c], len(vocab)))
+    assert text == "ac"
+    # fixed-length cap: only the first max_len positions are read
+    text2, _ = srn_fixed_decode(_onehot_rows([a] * 30, len(vocab)), max_len=25)
+    assert text2 == "a" * 25
