@@ -61,11 +61,20 @@ def oracle_sql() -> dict[str, str]:
     # the kernel-space queries' oracles read the single-node oracle's
     # outputs as parquet (fixture_oracle.py docstring explains why) —
     # materialize them for the driver's correctness SF before the SQL
-    # can run; cached + idempotent (~9s cold)
+    # can run; cached + idempotent (~20s cold)
     from openocr_spark import fixture_oracle
 
     try:
         fixture_oracle.ensure()
-    except Exception:
-        pass  # driver still gets the base-table oracles
+    except Exception as e:  # noqa: BLE001
+        # report the root cause and WITHHOLD the file-backed oracle
+        # entries — handing the driver SQL that reads parquet ensure()
+        # failed to write would surface as an opaque DuckDB error; the
+        # affected queries degrade to the rows-only check instead
+        print(f"fixture_oracle.ensure() failed: {e!r}", file=sys.stderr)
+        return {
+            name: sql
+            for name, sql in ORACLE_Q.items()
+            if fixture_oracle.ORACLE_DIR not in sql
+        }
     return dict(ORACLE_Q)

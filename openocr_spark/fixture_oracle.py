@@ -29,7 +29,7 @@ import pandas as pd
 ORACLE_DIR = os.environ.get("OPENOCR_ORACLE_DIR", "/tmp/openocr_oracle")
 CORRECTNESS_SF_DIR = "/root/testdata/sf0.01"
 # bump when any generating semantics change so stale caches regenerate
-VERSION = "r2-4"
+VERSION = "r2-5"
 
 NULL = "\\N"
 FS = "\x1f"  # field separator

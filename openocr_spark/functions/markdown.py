@@ -52,6 +52,14 @@ _RULES = (
     (re.compile(r"\.{4,}"), "..."),
 )
 
+# the table handler applies a REDUCED rule set \u2014 no '-<|sn|>' join rule
+# (to_markdown.py:304-308 lists only <|sn|>/<|unk|>/U+FFFF/____/....)
+_TABLE_RULES = _RULES[1:]
+
+# the formula handler applies neither '-<|sn|>' nor the dot squeeze
+# (to_markdown.py:347-350: <|sn|>/<|unk|>/U+FFFF/____ only)
+_FORMULA_RULES = _RULES[1:5]
+
 # sequential str.replace pairs (to_markdown.py:111-123); order matters
 _FORMULA_REPLACEMENTS = (
     ("\\bm", "\\mathbf "),
@@ -97,8 +105,8 @@ def fix_latex_brackets(text: str) -> str:
     return _BIG_BRACKET.sub(r"\\\1\2", text)
 
 
-def apply_rules(text: str) -> str:
-    for rx, repl in _RULES:
+def apply_rules(text: str, rules=_RULES) -> str:
+    for rx, repl in rules:
         text = rx.sub(repl, text)
     return text
 
@@ -117,7 +125,11 @@ def handle_text(text: str) -> str:
         return ""
     text = apply_rules(text)
     text = process_formulas_in_text(text)
-    text = text.replace("$\\bullet$", "•")
+    # bug-for-bug fidelity: the reference's replace argument is the
+    # Python literal '$\bullet$' whose \b is a BACKSPACE escape
+    # (to_markdown.py:185), so it matches '$\x08ullet$' — i.e. real
+    # '$\bullet$' text is never rewritten
+    text = text.replace("$\x08ullet$", "•")
     if "<table>" in text:
         text = _HTML_TABLE_STRIP.sub("", text)
         text = _BLANK_LINES.sub("\n", text)
@@ -158,7 +170,7 @@ def handle_table(text: str) -> str:
     t = t.replace("<tdcolspan=", "<td colspan=")
     t = t.replace("<tdrowspan=", "<td rowspan=")
     t = t.replace('"colspan=', '" colspan=')
-    t = apply_rules(t)
+    t = apply_rules(t, _TABLE_RULES)
     for rx in _CLOSE_SPAN:
         t = rx.sub(lambda m: m.group(0)[:4] + ">", t)
     t = t.replace("\\(", "$").replace("\\)", "$")
@@ -169,7 +181,7 @@ def handle_table(text: str) -> str:
 def handle_formula(text: str) -> str:
     text = text.replace(r"\upmu", r"\mu")
     text = _FORMULA_NUMBER.sub(r"\\]", text)
-    text = apply_rules(text)
+    text = apply_rules(text, _FORMULA_RULES)
     text = text.replace("\\]\n*\\[", "\\\\")
     text = text.replace("\n\n\\[", "")
     text = text.replace("\\]\n\n", "")

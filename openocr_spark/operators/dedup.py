@@ -185,11 +185,14 @@ def dedup_components(
     Algorithm: hash-min label propagation. Each node starts with
     comp = its own id; each round every node takes the min of its
     component label and its neighbors' labels; stop when a round
-    changes nothing. Rounds needed = graph diameter ≤ O(log n) after
-    the first few rounds on near-duplicate clusters (which are small
-    and dense). Each round is one self-contained aggregation on the
-    edge relation — shuffle on node id only; no collect of the graph.
-    The driver-side convergence check is one count() per round —
+    changes nothing. Rounds needed = eccentricity of the min-id node ≈
+    component diameter — near-duplicate clusters are small and dense,
+    so a handful of rounds suffices; a non-converged run RAISES rather
+    than silently returning non-canonical labels (at web scale switch
+    to the large-star/small-star contraction, which is O(log n) rounds
+    on any topology). Each round is one self-contained aggregation on
+    the edge relation — shuffle on node id only; no collect of the
+    graph. The driver-side convergence check is one count() per round —
     iterative algorithms are actions-per-iteration by nature (same
     structure as GraphFrames' connected components).
 
@@ -207,6 +210,8 @@ def dedup_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "comp", F.col("id")
     )
+    prev_cached = None
+    changed = 1
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -224,10 +229,23 @@ def dedup_components(
             )
         ).persist()
         changed = new_labels.filter(F.col("new_comp") < F.col("comp")).count()
+        if prev_cached is not None:
+            # the count() above materialized new_labels; the previous
+            # round's cache is dead weight from here on
+            prev_cached.unpersist()
+        prev_cached = new_labels
         labels = new_labels.select("id", F.col("new_comp").alias("comp"))
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # silently returning non-canonical labels would mean silent
+        # under-deduplication at scale; the caller must raise max_iters
+        # (rounds needed = component diameter)
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters"
+        )
     return labels.select("id", F.col("comp").alias("canonical_id"))
 
 

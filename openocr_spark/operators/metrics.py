@@ -23,21 +23,56 @@ from openocr_spark.config import DEFAULT_CONFIG, ExtractConfig
 from openocr_spark.functions.exprs import normalized_levenshtein
 
 
-def _iou(a: np.ndarray, b: np.ndarray) -> float:
-    """Exact convex-polygon IoU (eval_det_iou.py:18-25 semantics;
-    kernels/geometry.py clipping — reduces exactly to the rect formula
-    on axis-aligned quads, so the rect-math SQL oracle stays valid on
-    the rect fixtures while rotated quads are now scored exactly)."""
-    from openocr_spark.kernels.geometry import polygon_iou
+from openocr_spark.kernels.geometry import (  # noqa: E402
+    polygon_area,
+    polygon_intersection_area,
+    polygon_iou,
+)
 
+
+def _axis_rect(q: np.ndarray) -> tuple | None:
+    """(x0, y0, x1, y1) when the 4-point quad is an axis-aligned rect in
+    the canonical corner order, else None — the fast path for the
+    common case (detection emits axis-aligned boxes)."""
+    if len(q) != 4:
+        return None
+    (x0, y0), (x1, y1b), (x2, y2), (x3, y3) = q
+    if y0 == y1b and x1 == x2 and y2 == y3 and x3 == x0 and x0 < x1 and y0 < y2:
+        return (x0, y0, x1, y2)
+    return None
+
+
+def _iou(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact convex-polygon IoU (eval_det_iou.py:18-25 semantics).
+    Axis-aligned quad pairs — the overwhelmingly common case — take the
+    6-op rect formula; anything else goes through the clipping kernel
+    (kernels/geometry.py), which reduces to the same values on rects,
+    so the rect-math SQL oracle stays valid while rotated quads are
+    scored exactly."""
+    ra, rb = _axis_rect(a), _axis_rect(b)
+    if ra is not None and rb is not None:
+        ix = max(0.0, min(ra[2], rb[2]) - max(ra[0], rb[0]))
+        iy = max(0.0, min(ra[3], rb[3]) - max(ra[1], rb[1]))
+        inter = ix * iy
+        ua = (
+            (ra[2] - ra[0]) * (ra[3] - ra[1])
+            + (rb[2] - rb[0]) * (rb[3] - rb[1])
+            - inter
+        )
+        return inter / ua if ua > 0 else 0.0
     return polygon_iou(a, b)
 
 
 def _inter_over_area(pred: np.ndarray, dc: np.ndarray) -> float:
     """intersection(pred, dc) / area(pred) — the don't-care exclusion
-    criterion (eval_det_iou.py:101-110), exact polygon form."""
-    from openocr_spark.kernels.geometry import polygon_area, polygon_intersection_area
-
+    criterion (eval_det_iou.py:101-110), exact polygon form with the
+    same axis-aligned fast path as _iou."""
+    ra, rb = _axis_rect(pred), _axis_rect(dc)
+    if ra is not None and rb is not None:
+        ix = max(0.0, min(ra[2], rb[2]) - max(ra[0], rb[0]))
+        iy = max(0.0, min(ra[3], rb[3]) - max(ra[1], rb[1]))
+        area = max((ra[2] - ra[0]) * (ra[3] - ra[1]), 1e-9)
+        return ix * iy / area
     area = max(polygon_area(pred), 1e-9)
     return polygon_intersection_area(pred, dc) / area
 
@@ -220,15 +255,19 @@ def det_ap(pred: DataFrame, gt: DataFrame) -> DataFrame:
     per_media = terms.groupBy("media_ref").agg(
         F.sum("term").alias("ap_sum"), F.count("*").alias("n_det_care")
     )
+    # FULL outer: media with care GT but zero care detections must
+    # still score (AP = 0) — the reference computes AP for every image
+    # (eval_det_iou.py evaluate_image), so dropping them would inflate
+    # any mean over the output
     return (
-        per_media.join(care, "media_ref", "left")
+        per_media.join(care, "media_ref", "full_outer")
         .select(
             "media_ref",
-            "n_det_care",
+            F.coalesce(F.col("n_det_care"), F.lit(0)).alias("n_det_care"),
             F.round(
                 F.when(
                     F.coalesce(F.col("n_gt_care"), F.lit(0)) > 0,
-                    F.col("ap_sum") / F.col("n_gt_care"),
+                    F.coalesce(F.col("ap_sum"), F.lit(0.0)) / F.col("n_gt_care"),
                 ).otherwise(0.0),
                 6,
             ).alias("ap"),

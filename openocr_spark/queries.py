@@ -1157,7 +1157,7 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 # and — where the remaining computation is relational — recompute the
 # metric in DuckDB SQL over those tables.
 
-_ORA = "/tmp/openocr_oracle"
+from openocr_spark.fixture_oracle import ORACLE_DIR as _ORA  # noqa: E402
 
 _FS = "\x1f"
 _RS = "\x1e"
@@ -1270,10 +1270,12 @@ def q_det_metric_fixture(spark: SparkSession, sf: str) -> DataFrame:
       SELECT media_ref, COUNT(*) AS n_gt_care
       FROM read_parquet('{_ORA}/det_gt.parquet') WHERE NOT ignore
       GROUP BY media_ref)
-    SELECT p.media_ref, p.n_det_care,
+    SELECT COALESCE(p.media_ref, c.media_ref) AS media_ref,
+           COALESCE(p.n_det_care, 0) AS n_det_care,
            ROUND(CASE WHEN COALESCE(c.n_gt_care, 0) > 0
-                      THEN p.ap_sum / c.n_gt_care ELSE 0.0 END, 6) AS ap
-    FROM per_media p LEFT JOIN care c ON p.media_ref = c.media_ref
+                      THEN COALESCE(p.ap_sum, 0.0) / c.n_gt_care
+                      ELSE 0.0 END, 6) AS ap
+    FROM per_media p FULL OUTER JOIN care c ON p.media_ref = c.media_ref
     """,
 )
 def q_det_ap(spark: SparkSession, sf: str) -> DataFrame:

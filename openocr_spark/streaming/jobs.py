@@ -182,9 +182,14 @@ def dedup_stream(
 
     fp = docs_stream.withColumn("fingerprint", F.md5(F.col(text_col)))
     if watermark_col is not None:
-        return fp.withWatermark(watermark_col, watermark).dropDuplicates(
-            ["fingerprint", watermark_col]
-        )
+        # dropDuplicatesWithinWatermark keys state on the FINGERPRINT
+        # alone and evicts entries older than the watermark — the
+        # documented semantics. (dropDuplicates(['fingerprint', ts])
+        # would key on the pair, letting same-content docs with
+        # different timestamps both through.)
+        return fp.withWatermark(
+            watermark_col, watermark
+        ).dropDuplicatesWithinWatermark(["fingerprint"])
     return fp.dropDuplicates(["fingerprint"])
 
 

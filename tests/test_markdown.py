@@ -27,9 +27,26 @@ def test_skip_labels_and_empty():
 def test_handle_text_rules():
     out = md.block_markdown("text", "a-<|sn|>b <|unk|>c ____ d .....", 0)
     assert out == "ab c ___ d ...\n\n"
-    # inline formula delimiters rewritten, bullet replaced
+    # inline formula delimiters rewritten; '$\bullet$' stays LITERAL —
+    # the reference's replace key contains a backspace escape
+    # (to_markdown.py:185), so real backslash-b text never matches
     out = md.block_markdown("text", "x \\(a+b\\) y $\\bullet$ z", 0)
-    assert out == "x $a+b$ y • z\n\n"
+    assert out == "x $a+b$ y $\\bullet$ z\n\n"
+    # ...while the backspace form IS rewritten (bug-for-bug)
+    out = md.block_markdown("text", "q $\x08ullet$ r", 0)
+    assert out == "q • r\n\n"
+
+
+def test_table_and_formula_rule_subsets():
+    """to_markdown.py:304-308 (table) has no '-<|sn|>' rule;
+    :347-350 (formula) has neither '-<|sn|>' nor the dot squeeze."""
+    t = "<table><tr><td>foo-<|sn|>bar</td></tr></table>"
+    out = md.block_markdown("table", t, 0)
+    assert "foo-bar" in out and "foobar" not in out
+    out = md.block_markdown("display_formula", "a ..... b", 0)
+    assert "....." in out
+    # text handler DOES squeeze dots and join '-<|sn|>'
+    assert md.block_markdown("text", "a-<|sn|>b .....", 0) == "ab ...\n\n"
 
 
 def test_handle_text_strips_stray_table_tags():

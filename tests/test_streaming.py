@@ -153,6 +153,46 @@ def test_dedup_stream_across_microbatches(spark, tmp_path):
     assert kept["alpha beta"] == "d1"
 
 
+def test_dedup_stream_watermarked_same_content_different_ts(spark, tmp_path):
+    """Watermarked dedup keys state on the FINGERPRINT alone: the same
+    content arriving later with a different event time (within the
+    watermark) is still dropped."""
+    from openocr_spark.streaming.jobs import dedup_stream
+
+    import datetime as dt
+
+    in_dir = str(tmp_path / "docs")
+    schema = "doc_id string, text string, ts timestamp"
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 10, m)
+
+    spark.createDataFrame(
+        [("d1", "alpha beta", t(0))], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(
+        [("d2", "alpha beta", t(5)), ("d3", "gamma", t(6))], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        dedup_stream(stream, watermark_col="ts", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_wm").collect()
+    assert sorted(r["text"] for r in rows) == ["alpha beta", "gamma"]
+    assert {r["doc_id"] for r in rows} == {"d1", "d3"}
+
+
 def test_windowed_event_counts_with_watermark(spark, tmp_path):
     in_dir = str(tmp_path / "ev")
     rows = [
