@@ -107,6 +107,22 @@ def srn_fixed_decode(
     return "".join(chars), float(np.mean(confs))
 
 
+def gtc_decode(
+    gtc_logits: np.ndarray,
+    ctc_logits: np.ndarray,
+    only_gtc: bool = False,
+) -> tuple[tuple[str, float], tuple[str, float] | None]:
+    """GTC dual-head decode (openrec/postprocess/__init__.py:49-88):
+    the guidance branch decodes with the NRTR-family head, the CTC
+    branch with greedy CTC; both results are returned (the trainer
+    supervises both; inference usually reads the guidance branch —
+    only_gtc)."""
+    gtc = nrtr_greedy_decode(gtc_logits)
+    if only_gtc:
+        return gtc, None
+    return gtc, ctc_greedy_decode(ctc_logits)
+
+
 def ctc_greedy_decode_batch(
     logits_batch: list[np.ndarray],
 ) -> tuple[list[str], list[float]]:

@@ -144,3 +144,23 @@ def test_srn_decode_skips_eos_and_keeps_tail():
     # fixed-length cap: only the first max_len positions are read
     text2, _ = srn_fixed_decode(_onehot_rows([a] * 30, len(vocab)), max_len=25)
     assert text2 == "a" * 25
+
+
+def test_gtc_dual_head_decode():
+    """GTC: guidance branch uses the NRTR head, CTC branch the greedy
+    CTC head; only_gtc suppresses the second result."""
+    import numpy as np
+
+    from openocr_spark.config import CHARSET, CHAR_TO_ID
+    from openocr_spark.kernels.recognition import NRTR_SPECIALS, gtc_decode
+
+    vocab = list(NRTR_SPECIALS) + list(CHARSET)
+    g = _onehot_rows([vocab.index("h"), vocab.index("i"), 3], len(vocab))
+    # CTC: blank=0, dedup: h h <blank> i -> "hi"
+    ctc_ids = [CHAR_TO_ID["h"], CHAR_TO_ID["h"], 0, CHAR_TO_ID["i"]]
+    c = _onehot_rows(ctc_ids, len(CHARSET) + 1)
+    (gt, gs), ctc = gtc_decode(g, c)
+    assert gt == "hi" and ctc[0] == "hi"
+    assert gs > 0.9 and ctc[1] > 0.9
+    (gt2, _), none = gtc_decode(g, c, only_gtc=True)
+    assert gt2 == "hi" and none is None
