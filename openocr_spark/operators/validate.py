@@ -26,6 +26,25 @@ def offset_violations(documents: DataFrame) -> DataFrame:
     )
 
 
+def missing_payloads(documents: DataFrame, media_payloads: DataFrame) -> DataFrame:
+    """Media refs the payload table does NOT cover — run this audit
+    before the joined-payload extraction: the pipeline's payload join
+    is inner (a media span without its payload row cannot be decoded),
+    so uncovered refs would silently vanish from the output spans.
+    One anti-join on media_ref; at Iceberg scale it prunes to the same
+    buckets the extraction reads.
+
+    Returns (doc_id, media_ref) of uncovered spans; empty = safe."""
+    refs = (
+        documents.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    )
+    return refs.join(
+        media_payloads.select("media_ref"), "media_ref", "left_anti"
+    )
+
+
 def repair_offsets(documents: DataFrame) -> DataFrame:
     """Rewrite offsets to the span's array position (stable, unique) —
     use when upstream offsets are untrusted."""

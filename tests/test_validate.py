@@ -39,3 +39,29 @@ def test_repair_offsets_makes_extractable(spark):
     # repaired order = original array position
     assert out["dup"] == [f"span number {i} with words" for i in range(3)]
     assert out["desc"] == [f"span number {i} with words" for i in range(3)]
+
+
+def test_missing_payloads_audit(spark):
+    """The joined-payload path drops media spans whose payload row is
+    absent (inner join) — the audit must surface exactly those refs
+    BEFORE extraction runs."""
+    from openocr_spark.fixtures import documents_df, media_payloads_df
+    from openocr_spark.operators.extract import extract
+    from openocr_spark.operators.validate import missing_payloads
+    from pyspark.sql import functions as F
+
+    docs = documents_df(spark, 12)
+    payloads = media_payloads_df(spark, docs)
+    # full coverage -> empty audit
+    assert missing_payloads(docs, payloads).count() == 0
+    # drop one payload row -> the audit names it, and extraction over
+    # the holey table loses exactly that span
+    victim = payloads.select("media_ref").first()[0]
+    holey = payloads.filter(F.col("media_ref") != victim)
+    missing = missing_payloads(docs, holey).collect()
+    assert [r["media_ref"] for r in missing] == [victim]
+    n_full = extract(docs, payloads).select(
+        F.sum(F.size("spans"))).first()[0]
+    n_holey = extract(docs, holey).select(
+        F.sum(F.size("spans"))).first()[0]
+    assert n_full - n_holey == 1
