@@ -139,6 +139,55 @@ def cosine_topk_ivf_trained(
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
 
 
+def quantize_i8(vec: Column) -> Column:
+    """Per-vector symmetric int8 quantization: q_i = floor(v_i·s + 0.5)
+    with s = 127 / max|v| (explicit half-up rounding so Spark and the
+    DuckDB oracle produce bit-identical codes). Cosine of the quantized
+    vectors approximates cosine of the originals — the per-vector scale
+    cancels in the ratio."""
+    s = 127.0 / F.greatest(
+        F.array_max(F.transform(vec, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    return F.transform(vec, lambda x: F.floor(x * s + 0.5))
+
+
+def cosine_topk_quantized(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage scan-and-rerank ANN: score the whole corpus with int8
+    codes (4× less memory traffic than float32 and integer dot
+    products — at 100 TB the codes live in their own narrow column /
+    index file and the full-precision vectors are only fetched for the
+    `rerank` survivors), then exact-score the top-`rerank` candidates
+    and keep the top-k. Both stages are distributed top-ks
+    (TakeOrderedAndProject); stage 2 touches `rerank` rows."""
+    import math
+
+    qarr = [float(x) for x in query_vec]
+    s = 127.0 / max(max(abs(x) for x in qarr), 1e-12)
+    q8 = [float(math.floor(x * s + 0.5)) for x in qarr]
+    q8_col = F.array(*[F.lit(x) for x in q8])
+    vec = F.col(vec_col).cast("array<double>")
+    coarse = emb.select(
+        F.col(id_col),
+        vec.alias("_v"),
+        F.round(cosine(quantize_i8(vec), q8_col), 6).alias("approx_sim"),
+    )
+    cand = coarse.orderBy(F.col("approx_sim").desc(), F.col(id_col)).limit(rerank)
+    qcol = F.array(*[F.lit(x) for x in qarr])
+    scored = cand.select(
+        F.col(id_col), F.round(cosine(F.col("_v"), qcol), 6).alias("cos_sim")
+    )
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.3,

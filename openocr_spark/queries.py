@@ -1026,6 +1026,59 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@q(
+    "ann_quantized",
+    f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scaled AS (
+      SELECT vec_id, v,
+             127.0 / GREATEST(
+               list_aggregate(list_transform(v, y -> abs(y)), 'max'),
+               1e-12) AS sc
+      FROM base),
+    q8 AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> FLOOR(x * sc + 0.5)) AS qv
+      FROM scaled),
+    qq AS (SELECT qv AS query_q8, v AS query_v FROM q8 WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, v FROM (
+        SELECT e.vec_id, e.v,
+               ROW_NUMBER() OVER (ORDER BY
+                 ROUND(list_dot_product(e.qv, q.query_q8) /
+                       (sqrt(list_dot_product(e.qv, e.qv)) *
+                        sqrt(list_dot_product(q.query_q8, q.query_q8))), 6)
+                 DESC, e.vec_id) AS rn
+        FROM q8 e, qq q)
+      WHERE rn <= 50)
+    SELECT vec_id, cos_sim, rank FROM (
+      SELECT c.vec_id,
+             ROUND(list_dot_product(c.v, q.query_v) /
+                   (sqrt(list_dot_product(c.v, c.v)) *
+                    sqrt(list_dot_product(q.query_v, q.query_v))), 6)
+               AS cos_sim,
+             ROW_NUMBER() OVER (ORDER BY
+               ROUND(list_dot_product(c.v, q.query_v) /
+                     (sqrt(list_dot_product(c.v, c.v)) *
+                      sqrt(list_dot_product(q.query_v, q.query_v))), 6)
+               DESC, c.vec_id) AS rank
+      FROM cand c, qq q)
+    WHERE rank <= 10
+    """,
+)
+def q_ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    """int8 scan-and-rerank ANN: coarse pass over per-vector symmetric
+    int8 codes (4× narrower scan at 100 TB), exact rerank of the top-50
+    survivors. Quantization uses explicit half-up floor so both engines
+    produce identical codes."""
+    vec, _ = _query_vec(spark, sf)
+    out = similarity.cosine_topk_quantized(
+        load(spark, sf, "embeddings"), vec, k=10, rerank=50
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _ivf_trained_sql(k: int = 10, nprobe: int = 5) -> str:
     """Oracle SQL for the trained-centroid IVF ANN: centroid literals
     from the shipped artifact, per-row argmin cell assignment (ties to

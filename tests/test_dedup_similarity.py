@@ -116,6 +116,29 @@ def test_ivf_cell_assignment_partitions_corpus(spark):
     assert sum(counts.values()) == emb.count()
 
 
+def test_quantized_rerank_matches_exact(spark):
+    """int8 scan + exact rerank: on the fixture the rerank-50 buffer
+    absorbs all quantization reordering, so the final top-10 equals the
+    exact brute force."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row[0]]
+    exact = [(r.vec_id, r.cos_sim) for r in
+             similarity.cosine_topk(emb, qv, k=10).orderBy("rank").collect()]
+    quant = [(r.vec_id, r.cos_sim) for r in
+             similarity.cosine_topk_quantized(emb, qv, k=10).orderBy("rank").collect()]
+    assert quant == exact
+
+
+def test_quantized_rerank_plan_is_two_distributed_topks(spark):
+    from openocr_spark import plans
+    from openocr_spark.queries import SPARK_Q
+
+    df = SPARK_Q["ann_quantized"](spark, "/root/testdata/sf0.01")
+    plan = plans.physical_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
 def test_cosine_topk_values_match_bruteforce(spark):
     """TakeOrderedAndProject top-k returns the same set/order as a full
     sort."""
