@@ -249,6 +249,42 @@ def dedup_components(
     return labels.select("id", F.col("comp").alias("canonical_id"))
 
 
+def deduplicate_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.5,
+    max_df: int = 50,
+) -> DataFrame:
+    """The full MinHash dedup decision, composed end-to-end (the
+    pipeline every large-corpus dedup runs):
+
+      LSH candidates  (bucket self-join — never all-pairs)
+      → exact n-gram-Jaccard VERIFY of candidates only (LSH produces
+        false positives by design; the verify join touches candidate
+        pairs, not the corpus²)
+      → transitive components over verified duplicate pairs
+      → per-doc verdict: (id, canonical_id, keep) — keep=false means
+        the doc is a duplicate of a lower-id canonical.
+
+    Docs in no verified pair are their own canonical (keep=true)."""
+    cand = lsh_candidate_pairs(df, id_col, text_col).select("id_a", "id_b")
+    jac = ngram_jaccard_pairs(
+        df, id_col, text_col, threshold=jaccard_threshold, max_df=max_df
+    ).select("id_a", "id_b")
+    verified = cand.join(jac, ["id_a", "id_b"], "left_semi")
+    comp = dedup_components(verified)
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("canonical_id"), F.col("id")).alias("canonical_id"),
+        )
+        .withColumn("keep", F.col("canonical_id") == F.col("id"))
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over word tokens. Bit i of a token = parity of the
     ascii code of hex digit i of md5(token) — engine-portable (ascii/substr

@@ -912,6 +912,72 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "deduplicate_corpus",
+    f"""
+    WITH RECURSIVE raw AS ({_SHINGLE_SQL}),
+    sh AS (
+      SELECT * FROM raw
+      WHERE shingle NOT IN (
+        SELECT shingle FROM raw GROUP BY shingle HAVING COUNT(*) > 50)),
+    sig AS (
+      SELECT id,
+             MIN(md5(shingle || '#0')) AS h0, MIN(md5(shingle || '#1')) AS h1,
+             MIN(md5(shingle || '#2')) AS h2, MIN(md5(shingle || '#3')) AS h3,
+             MIN(md5(shingle || '#4')) AS h4, MIN(md5(shingle || '#5')) AS h5,
+             MIN(md5(shingle || '#6')) AS h6, MIN(md5(shingle || '#7')) AS h7
+      FROM raw GROUP BY id),
+    bands AS (
+      SELECT id, 0 AS band_idx, md5(h0 || h1) AS band_key FROM sig
+      UNION ALL SELECT id, 1, md5(h2 || h3) FROM sig
+      UNION ALL SELECT id, 2, md5(h4 || h5) FROM sig
+      UNION ALL SELECT id, 3, md5(h6 || h7) FROM sig),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id),
+    jac AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.5),
+    verified AS (SELECT c.* FROM cand c SEMI JOIN jac j
+                 ON c.id_a = j.id_a AND c.id_b = j.id_b),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION SELECT id_b, id_a FROM verified),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS canonical_id
+      FROM reach GROUP BY src)
+    SELECT d.doc_id AS id,
+           COALESCE(c.canonical_id, d.doc_id) AS canonical_id,
+           COALESCE(c.canonical_id, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def q_deduplicate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end MinHash dedup decision: LSH candidates → exact-Jaccard
+    verify (candidates only) → transitive components → per-doc
+    (id, canonical_id, keep). The composition every corpus dedup runs;
+    oracle recomputes the whole chain incl. the recursive closure.
+
+    NOTE: the LSH signature uses the UNCAPPED shingle set (signatures
+    must hash the document's full content); the Jaccard VERIFY uses the
+    df-capped universe (stop-shingles carry no evidence) — both sides
+    mirror this split (raw vs sh CTEs)."""
+    d = load(spark, sf, "documents")
+    return dedup.deduplicate_corpus(d, "doc_id", "text", jaccard_threshold=0.5)
+
+
+@q(
     "ngram_jaccard",
     f"""
     WITH raw AS ({_SHINGLE_SQL}),

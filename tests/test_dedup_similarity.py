@@ -61,6 +61,28 @@ def test_dedup_components_converges_on_ring(spark):
     assert out == {i: 0 for i in range(n)}
 
 
+def test_deduplicate_corpus_end_to_end(spark):
+    """LSH → verify → components → verdicts on a constructed corpus:
+    two exact near-dups collapse to the lower id; a doc that shares a
+    few shingles but fails the Jaccard verify survives; singletons are
+    their own canonical."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " extra"),                # near-dup of 1 (J >= 0.5)
+        (3, base.replace("alpha beta gamma delta epsilon ", "") +
+            " one two three four five six seven eight"),  # weak overlap
+        (4, "completely different words nothing shared here at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: (r.canonical_id, r.keep)
+           for r in dedup.deduplicate_corpus(df, "doc_id", "text", 0.5).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)   # dropped as duplicate of 1
+    assert out[3] == (3, True)    # candidate maybe, but verify fails
+    assert out[4] == (4, True)
+
+
 def test_near_dup_pairs_known_pairs(spark):
     """Constructed cell with one near-identical pair and one orthogonal
     vector: exactly the near pair survives the threshold."""
