@@ -26,10 +26,39 @@ import os
 
 import pandas as pd
 
-ORACLE_DIR = os.environ.get("OPENOCR_ORACLE_DIR", "/tmp/openocr_oracle")
+_ORACLE_BASE = os.environ.get("OPENOCR_ORACLE_DIR", "/tmp/openocr_oracle")
 CORRECTNESS_SF_DIR = "/root/testdata/sf0.01"
-# bump when any generating semantics change so stale caches regenerate
-VERSION = "r2-5"
+# manual stamp for intentional invalidation; the cache key ALSO folds in
+# a hash of the generating modules' sources, so semantics changes
+# regenerate even without a bump
+VERSION = "r3-1"
+
+# modules whose code determines the oracle tables' contents
+_GEN_SOURCES = (
+    "fixture_oracle.py",
+    "oracle.py",
+    "fixtures.py",
+    "functions/text.py",
+    "operators/ingest.py",
+)
+
+
+def _src_stamp() -> str:
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.md5()
+    for rel in _GEN_SOURCES:
+        try:
+            with open(os.path.join(root, rel), "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(rel.encode())
+    return h.hexdigest()[:10]
+
+
+# version-keyed directory: a semantics change lands in a NEW directory,
+# so a concurrent driver still reading the old version's tables is
+# never served a half-regenerated mix
+ORACLE_DIR = f"{_ORACLE_BASE}/{VERSION}-{_src_stamp()}"
 
 NULL = "\\N"
 FS = "\x1f"  # field separator
@@ -156,6 +185,39 @@ def _gen_det_tables(
             if any(inter(pr, dc) / area > 0.5 for dc in gt_dc):
                 continue
             det_care.append((idx, pr, conf))
+
+        # INVARIANT the det_metric_fixture SQL oracle depends on: its
+        # mutual-first window emulation (m1/m2) equals sequential greedy
+        # matching only when no det has IoU>0.5 with >1 GT and vice
+        # versa. Check the precondition here, loudly, so a fixture or
+        # geometry change fails generation instead of desynchronizing
+        # Spark vs oracle with a confusing metric mismatch.
+        def _iou_r(a, b):
+            i = inter(a, b)
+            ua = (
+                (a[2] - a[0]) * (a[3] - a[1])
+                + (b[2] - b[0]) * (b[3] - b[1])
+                - i
+            )
+            return i / ua if ua > 0 else 0.0
+
+        for _idx, dr, _c in det_care:
+            n = sum(1 for gr in gt_care if _iou_r(gr, dr) > 0.5)
+            if n > 1:
+                raise ValueError(
+                    f"fixture invariant violated on {ref}: detection "
+                    f"{_idx} overlaps {n} care GTs at IoU>0.5 — the SQL "
+                    "greedy-match emulation requires multiplicity 1"
+                )
+        for gi, gr in enumerate(gt_care):
+            n = sum(1 for _i, dr, _c in det_care if _iou_r(gr, dr) > 0.5)
+            if n > 1:
+                raise ValueError(
+                    f"fixture invariant violated on {ref}: care GT {gi} "
+                    f"overlaps {n} care detections at IoU>0.5 — the SQL "
+                    "greedy-match emulation requires multiplicity 1"
+                )
+
         used: set[int] = set()
         for gr in gt_care:
             for di, (idx, dr, _c) in enumerate(det_care):
@@ -184,6 +246,20 @@ def _gen_det_tables(
         pd.DataFrame(gts),
         pd.DataFrame(pairs),
         pd.DataFrame(flags),
+    )
+
+
+def _gen_rec_heads(sf_dir: str) -> pd.DataFrame:
+    """(media_ref, region_idx, head, text, conf) — every region's logits
+    decoded under each head family by the independent eager oracle
+    (oracle.rec_heads_rows)."""
+    from openocr_spark.oracle import rec_heads_rows
+
+    rows = []
+    for ref in _media_refs(sf_dir):
+        rows.extend(rec_heads_rows(ref))
+    return pd.DataFrame(
+        rows, columns=["media_ref", "region_idx", "head", "text", "conf"]
     )
 
 
@@ -318,7 +394,12 @@ def _gen_preproc_stats(
 
 def ensure(sf_dir: str = CORRECTNESS_SF_DIR, force: bool = False) -> str:
     """Generate the oracle parquet tables if missing or stale; returns
-    ORACLE_DIR. Idempotent and cached (marker records version + sf)."""
+    ORACLE_DIR. Idempotent, cached, and ATOMIC: tables are written into
+    a private temp directory and renamed into place in one step, so a
+    concurrent reader either sees the complete version-keyed directory
+    or none at all — never partially written tables."""
+    import shutil
+
     marker = f"{ORACLE_DIR}/marker.json"
     want = {"version": VERSION, "sf_dir": sf_dir}
     if not force and os.path.exists(marker):
@@ -328,18 +409,33 @@ def ensure(sf_dir: str = CORRECTNESS_SF_DIR, force: bool = False) -> str:
                     return ORACLE_DIR
         except Exception:
             pass
-    os.makedirs(ORACLE_DIR, exist_ok=True)
-    _gen_extract_spans(sf_dir).to_parquet(path("extract_spans"), index=False)
+    tmp = f"{ORACLE_DIR}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+
+    def p(name: str) -> str:
+        return f"{tmp}/{name}.parquet"
+
+    _gen_extract_spans(sf_dir).to_parquet(p("extract_spans"), index=False)
     det_pred, det_gt, rec_pairs, det_flags = _gen_det_tables(sf_dir)
-    det_pred.to_parquet(path("det_pred"), index=False)
-    det_gt.to_parquet(path("det_gt"), index=False)
-    rec_pairs.to_parquet(path("rec_pairs"), index=False)
-    det_flags.to_parquet(path("det_flags"), index=False)
-    _gen_rec_long_pairs(sf_dir).to_parquet(path("rec_long_pairs"), index=False)
-    _gen_preproc_stats(sf_dir).to_parquet(path("preproc_stats"), index=False)
+    det_pred.to_parquet(p("det_pred"), index=False)
+    det_gt.to_parquet(p("det_gt"), index=False)
+    rec_pairs.to_parquet(p("rec_pairs"), index=False)
+    det_flags.to_parquet(p("det_flags"), index=False)
+    _gen_rec_long_pairs(sf_dir).to_parquet(p("rec_long_pairs"), index=False)
+    _gen_rec_heads(sf_dir).to_parquet(p("rec_heads"), index=False)
+    _gen_preproc_stats(sf_dir).to_parquet(p("preproc_stats"), index=False)
     doc_parse, doc_md = _gen_doc_tables(sf_dir)
-    doc_parse.to_parquet(path("doc_parse"), index=False)
-    doc_md.to_parquet(path("doc_markdown"), index=False)
-    with open(marker, "w") as f:
+    doc_parse.to_parquet(p("doc_parse"), index=False)
+    doc_md.to_parquet(p("doc_markdown"), index=False)
+    with open(f"{tmp}/marker.json", "w") as f:
         json.dump(want, f)
+    if force:
+        shutil.rmtree(ORACLE_DIR, ignore_errors=True)
+    try:
+        os.rename(tmp, ORACLE_DIR)
+    except OSError:
+        # another process renamed its complete copy first (renames are
+        # atomic and the directory is version-keyed) — keep theirs
+        shutil.rmtree(tmp, ignore_errors=True)
     return ORACLE_DIR

@@ -105,10 +105,13 @@ def polygon_mask(pts: np.ndarray, h: int, w: int) -> np.ndarray:
                 xs.append(x1 + (y - y1) * (x2 - x1) / (y2 - y1))
         xs.sort()
         for k in range(0, len(xs) - 1, 2):
-            lo = int(np.ceil(xs[k]))
-            hi = int(np.floor(xs[k + 1]))
+            # clamp BEFORE slicing: a span entirely off-image (hi < 0 or
+            # lo > w-1) must be skipped, never wrap around via negative
+            # slice ends
+            lo = max(int(np.ceil(xs[k])), 0)
+            hi = min(int(np.floor(xs[k + 1])), w - 1)
             if hi >= lo:
-                mask[yi, max(lo, 0) : min(hi, w - 1) + 1] = True
+                mask[yi, lo : hi + 1] = True
     return mask
 
 

@@ -170,6 +170,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.1,
+    max_df: int = 50,
+) -> DataFrame:
+    """Exact n-gram Jaccard for a GIVEN candidate pair set — the verify
+    stage of LSH dedup. Unlike ngram_jaccard_pairs (whose inverted-index
+    self-join touches every co-shingled pair in the corpus), this joins
+    each candidate pair to its two docs' shingle sets, so the quadratic
+    surface scales with |pairs|, not |corpus|: the only full-corpus work
+    left is the LINEAR stop-shingle document-frequency aggregation,
+    which must stay global so the Jaccard values are bit-identical to
+    the global computation (the df cap defines the shingle universe).
+
+    pairs: (id_a, id_b). Output: (id_a, id_b, jaccard) for candidate
+    pairs with J ≥ threshold. Values equal ngram_jaccard_pairs' for the
+    same pairs (pinned by deduplicate_corpus's unchanged oracle)."""
+    raw = shingles(df, id_col, text_col, n)
+    stop = (
+        raw.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # narrow the shingle relation to candidate docs BEFORE any join —
+    # this is the row-count bound tests/test_dedup_similarity asserts
+    sh = (
+        raw.join(F.broadcast(stop), "shingle", "left_anti")
+        .join(cand_ids, "id", "left_semi")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def dedup_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -188,13 +252,22 @@ def dedup_components(
     changes nothing. Rounds needed = eccentricity of the min-id node ≈
     component diameter — near-duplicate clusters are small and dense,
     so a handful of rounds suffices; a non-converged run RAISES rather
-    than silently returning non-canonical labels (at web scale switch
-    to the large-star/small-star contraction, which is O(log n) rounds
-    on any topology). Each round is one self-contained aggregation on
-    the edge relation — shuffle on node id only; no collect of the
-    graph. The driver-side convergence check is one count() per round —
-    iterative algorithms are actions-per-iteration by nature (same
-    structure as GraphFrames' connected components).
+    than silently returning non-canonical labels (for adversarial
+    topologies dedup_components_star is the O(log n)-round variant).
+    Each round is ONE join+aggregation: the edge set carries self-loops
+    so a node reads its own label through the same join that reads its
+    neighbors'. Every round's labels are localCheckpoint-ed (eager) —
+    iterative lineage MUST be truncated: the round plan references the
+    previous round's frame twice (propagation join + convergence
+    compare), so without truncation the plan tree doubles per round and
+    the driver dies in Catalyst plan-string generation near ~10 rounds
+    (caught by the ring-16 test). Checkpointing also means NO
+    CacheManager entries leak (ADVICE r2): old checkpoint RDD storage
+    is GC-managed by ContextCleaner as the loop drops references.
+    Shuffle is on node id only; no collect of the graph. The
+    driver-side convergence check is one count() per round — iterative
+    algorithms are actions-per-iteration by nature (same structure as
+    GraphFrames' connected components).
 
     pairs: (id_a, id_b) candidate edges. Output: (id, canonical_id)
     for every node that appears in at least one pair.
@@ -205,39 +278,34 @@ def dedup_components(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
-        .persist()
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "comp", F.col("id")
-    )
-    prev_cached = None
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    # self-loops: a node reads its OWN label through the same join that
+    # reads its neighbors' — one reference to `labels` per round
+    edges2 = edges.unionByName(
+        nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = nodes.withColumn("comp", F.col("id")).localCheckpoint(eager=True)
     changed = 1
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("comp").alias("n_comp"))
-        )
         new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias(
-                    "new_comp"
-                ),
-                "comp",
-            )
-        ).persist()
-        changed = new_labels.filter(F.col("new_comp") < F.col("comp")).count()
-        if prev_cached is not None:
-            # the count() above materialized new_labels; the previous
-            # round's cache is dead weight from here on
-            prev_cached.unpersist()
-        prev_cached = new_labels
-        labels = new_labels.select("id", F.col("new_comp").alias("comp"))
+            edges2.join(labels, edges2["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("comp"))
+            .select(F.col("src").alias("id"), "comp")
+            .localCheckpoint(eager=True)
+        )
+        # the self-loop guarantees comp is monotone non-increasing, so
+        # "changed" = any id whose comp dropped this round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") < F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     if changed != 0:
         # silently returning non-canonical labels would mean silent
         # under-deduplication at scale; the caller must raise max_iters
@@ -247,6 +315,106 @@ def dedup_components(
             f"({changed} labels still changing); raise max_iters"
         )
     return labels.select("id", F.col("comp").alias("canonical_id"))
+
+
+def dedup_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components via LARGE-STAR / SMALL-STAR alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-round contraction for ADVERSARIAL
+    topologies where hash-min's O(diameter) rounds would be the
+    bottleneck (long paths, giant sparse components). Same output
+    contract as dedup_components (property-tested equivalent on random
+    graphs in tests/test_dedup_similarity.py).
+
+      large-star: every node u routes its LARGER neighbors to
+                  m(u) = min(N(u) ∪ {u})
+      small-star: every node u routes its smaller-or-equal neighbors
+                  (and itself) to the minimum of those
+
+    Each operation is one groupBy-min plus one join on the edge
+    relation — shuffle on node id. The edge set is localCheckpoint-ed
+    every round: both stars reference it twice, so without lineage
+    truncation the plan would double per round (the same exponential
+    blowup hash-min hit before its self-loop restructure).
+    Converges when the edge set is a fixed point (a star forest);
+    raises if max_iters rounds don't reach it.
+    """
+    u, v = F.col("u"), F.col("v")
+    base = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = base.select(u.alias("id")).unionByName(
+        base.select(v.alias("id"))
+    ).distinct()
+    e = base.filter(u != v)
+
+    def large_star(e: DataFrame) -> DataFrame:
+        bi = e.unionByName(e.select(v.alias("u"), u.alias("v")))
+        mins = bi.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least(F.col("mn"), u).alias("m"))
+        return (
+            bi.join(mins, "u")
+            .filter(v > u)
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .filter(u != v)
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        ori = e.select(
+            F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
+        ).distinct()
+        mins = ori.groupBy("u").agg(F.min("v").alias("m"))
+        routed = (
+            ori.join(mins, "u")
+            .filter(v != F.col("m"))
+            .select(v.alias("u"), F.col("m").alias("v"))
+        )
+        self_edge = mins.select(u, F.col("m").alias("v"))
+        return routed.unionByName(self_edge).filter(u != v).distinct()
+
+    def canon(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
+        ).distinct()
+
+    converged = False
+    for _ in range(max_iters):
+        nxt = small_star(large_star(e)).localCheckpoint(eager=True)
+        ca, cb = canon(e), canon(nxt)
+        diff = (
+            ca.exceptAll(cb).unionByName(cb.exceptAll(ca)).limit(1).count()
+        )
+        e = nxt
+        if diff == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_components_star did not converge in {max_iters} rounds"
+        )
+    # fixed point is a star forest: every non-root points at its
+    # component min; roots appear only on the v side
+    bi = e.unionByName(e.select(v.alias("u"), u.alias("v")))
+    labels = bi.groupBy("u").agg(F.min("v").alias("mn")).select(
+        u.alias("id"), F.least(F.col("mn"), u).alias("canonical_id")
+    )
+    # nodes whose every pair was a self-loop vanish from the edge set
+    # but are still their own canonical
+    return (
+        all_nodes.join(labels, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("canonical_id"), F.col("id")).alias("canonical_id"),
+        )
+    )
 
 
 def deduplicate_corpus(
@@ -260,20 +428,27 @@ def deduplicate_corpus(
     pipeline every large-corpus dedup runs):
 
       LSH candidates  (bucket self-join — never all-pairs)
-      → exact n-gram-Jaccard VERIFY of candidates only (LSH produces
-        false positives by design; the verify join touches candidate
-        pairs, not the corpus²)
+      → exact n-gram-Jaccard VERIFY of the candidate pairs ONLY
+        (jaccard_verify_pairs: each candidate pair joins to its two
+        docs' shingle sets, so verify cost scales with |candidates|;
+        the only corpus-wide verify work is the linear stop-shingle df
+        aggregation that defines the shingle universe)
       → transitive components over verified duplicate pairs
       → per-doc verdict: (id, canonical_id, keep) — keep=false means
         the doc is a duplicate of a lower-id canonical.
 
     Docs in no verified pair are their own canonical (keep=true)."""
-    cand = lsh_candidate_pairs(df, id_col, text_col).select("id_a", "id_b")
-    jac = ngram_jaccard_pairs(
-        df, id_col, text_col, threshold=jaccard_threshold, max_df=max_df
+    cand = (
+        lsh_candidate_pairs(df, id_col, text_col)
+        .select("id_a", "id_b")
+        .persist()  # read twice: candidate-id derivation + pair join
+    )
+    verified = jaccard_verify_pairs(
+        df, cand, id_col, text_col,
+        threshold=jaccard_threshold, max_df=max_df,
     ).select("id_a", "id_b")
-    verified = cand.join(jac, ["id_a", "id_b"], "left_semi")
     comp = dedup_components(verified)
+    cand.unpersist()
     ids = df.select(F.col(id_col).alias("id"))
     return (
         ids.join(comp, "id", "left")

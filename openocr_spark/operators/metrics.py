@@ -83,6 +83,15 @@ def _quad(points) -> np.ndarray:
     return np.array([[float(p[0]), float(p[1])] for p in points])
 
 
+def _pts_key(points) -> tuple:
+    """Content-based deterministic sort key for a quad — collect_list
+    order is NOT guaranteed stable across runs, and greedy 1:1 matching
+    is order-dependent whenever one detection overlaps several GTs, so
+    every list is sorted before the greedy loop (explicit gt_idx/det_idx
+    when the caller provides one, this content key otherwise)."""
+    return tuple(tuple(float(v) for v in p) for p in points)
+
+
 def det_partials(pred: DataFrame, gt: DataFrame) -> DataFrame:
     """Per-media partial counts {n_gt_care, n_det_care, n_matched}
     (eval_det_iou.py:144-161 semantics):
@@ -100,9 +109,11 @@ def det_partials(pred: DataFrame, gt: DataFrame) -> DataFrame:
     grouped matcher — the N×M greedy loop stays inside one row's arrays
     (N,M ≈ dozens), never a relational cross product.
     """
+    has_gt_idx = "gt_idx" in gt.columns
     p = pred.groupBy("media_ref").agg(F.collect_list("points").alias("p_list"))
+    g_cols = (["gt_idx"] if has_gt_idx else []) + ["points", "ignore"]
     g = gt.groupBy("media_ref").agg(
-        F.collect_list(F.struct("points", "ignore")).alias("g_list")
+        F.collect_list(F.struct(*g_cols)).alias("g_list")
     )
     both = p.join(g, "media_ref", "full_outer")
 
@@ -116,12 +127,17 @@ def det_partials(pred: DataFrame, gt: DataFrame) -> DataFrame:
             for ref, p_list, g_list in zip(
                 pdf["media_ref"], pdf["p_list"], pdf["g_list"]
             ):
-                preds = [_quad(x) for x in p_list] if p_list is not None else []
-                gts = (
-                    [(_quad(r["points"]), bool(r["ignore"])) for r in g_list]
-                    if g_list is not None
+                preds = (
+                    sorted((_quad(x) for x in p_list), key=_pts_key)
+                    if p_list is not None
                     else []
                 )
+                g_recs = list(g_list) if g_list is not None else []
+                if has_gt_idx:
+                    g_recs.sort(key=lambda r: int(r["gt_idx"]))
+                else:
+                    g_recs.sort(key=lambda r: _pts_key(r["points"]))
+                gts = [(_quad(r["points"]), bool(r["ignore"])) for r in g_recs]
                 gt_care = [r for r, ig in gts if not ig]
                 gt_dc = [r for r, ig in gts if ig]
                 det_care = []
@@ -165,11 +181,13 @@ def det_match_flags(pred: DataFrame, gt: DataFrame) -> DataFrame:
     gt:   (media_ref, points, ignore)
     out:  (media_ref, det_idx, conf, matched)
     """
+    has_gt_idx = "gt_idx" in gt.columns
     p = pred.groupBy("media_ref").agg(
         F.collect_list(F.struct("det_idx", "points", "conf")).alias("p_list")
     )
+    g_cols = (["gt_idx"] if has_gt_idx else []) + ["points", "ignore"]
     g = gt.groupBy("media_ref").agg(
-        F.collect_list(F.struct("points", "ignore")).alias("g_list")
+        F.collect_list(F.struct(*g_cols)).alias("g_list")
     )
     both = p.join(g, "media_ref", "full_outer")
     out_schema = "media_ref string, det_idx long, conf double, matched boolean"
@@ -191,11 +209,12 @@ def det_match_flags(pred: DataFrame, gt: DataFrame) -> DataFrame:
                     if p_list is not None
                     else []
                 )
-                gts = (
-                    [(_quad(r["points"]), bool(r["ignore"])) for r in g_list]
-                    if g_list is not None
-                    else []
-                )
+                g_recs = list(g_list) if g_list is not None else []
+                if has_gt_idx:
+                    g_recs.sort(key=lambda r: int(r["gt_idx"]))
+                else:
+                    g_recs.sort(key=lambda r: _pts_key(r["points"]))
+                gts = [(_quad(r["points"]), bool(r["ignore"])) for r in g_recs]
                 gt_care = [r for r, ig in gts if not ig]
                 gt_dc = [r for r, ig in gts if ig]
                 det_care = []
@@ -435,30 +454,86 @@ def latency_profile(
     )
 
 
+def rec_heads_matrix(media_refs: DataFrame) -> DataFrame:
+    """Per-region decode under EVERY head family (SURVEY F1 — the
+    reference's 16 postprocess variants; kernels/decode_heads.py): the
+    same fixture logits decoded under each vocabulary/stop/skip/conf
+    permutation, emitted as (media_ref, region_idx, head, text, conf).
+    Exercises the per-architecture heads through the distributed
+    surface; the oracle is oracle.rec_heads_rows (independent eager
+    derivation) materialized to parquet."""
+    from openocr_spark.fixtures import payload_for_media_ref
+    from openocr_spark.kernels import decode_heads as H
+    from openocr_spark.kernels.recognition import ctc_greedy_decode
+
+    cols = ["media_ref", "region_idx", "head", "text", "conf"]
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"].tolist():
+                p = payload_for_media_ref(ref)
+                for ridx, reg in enumerate(p["regions"]):
+                    lg = np.asarray(reg["logits"], dtype=np.float64)
+                    res = {
+                        "ctc": ctc_greedy_decode(lg),
+                        "abinet": H.abinet_decode(lg),
+                        "smtr": H.smtr_decode(lg),
+                        "lister": H.lister_decode(lg),
+                        "igtr": H.igtr_decode(lg),
+                        "visionlan": H.visionlan_decode(lg),
+                        "mgp_char": H.mgp_char_decode(lg),
+                        "ce": H.ce_decode(lg[0] if len(lg) else lg),
+                    }
+                    for head, (text, conf) in res.items():
+                        rows.append(
+                            {
+                                "media_ref": ref,
+                                "region_idx": ridx,
+                                "head": head,
+                                "text": text,
+                                "conf": round(float(conf), 6),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media_refs.select("media_ref").mapInPandas(
+        kernel,
+        schema=(
+            "media_ref string, region_idx int, head string, "
+            "text string, conf double"
+        ),
+    )
+
+
 def gt_regions(media_refs: DataFrame) -> DataFrame:
-    """GT region rows (media_ref, points, ignore, gt_text) from the
-    synthesized payloads — the labels side for det/rec eval."""
+    """GT region rows (media_ref, gt_idx, points, ignore, gt_text) from
+    the synthesized payloads — the labels side for det/rec eval.
+    gt_idx is the payload annotation order (the order the reference
+    iterates GT boxes in) so the greedy matcher is deterministic."""
     from openocr_spark.fixtures import payload_for_media_ref
 
     def kernel(batches):
         for pdf in batches:
             rows = []
             for ref in pdf["media_ref"].tolist():
-                for r in payload_for_media_ref(ref)["regions"]:
+                for gi, r in enumerate(payload_for_media_ref(ref)["regions"]):
                     rows.append(
                         {
                             "media_ref": ref,
+                            "gt_idx": gi,
                             "points": r["points"],
                             "ignore": r["ignore"],
                             "gt_text": r["gt_text"],
                         }
                     )
             yield pd.DataFrame(
-                rows, columns=["media_ref", "points", "ignore", "gt_text"]
+                rows,
+                columns=["media_ref", "gt_idx", "points", "ignore", "gt_text"],
             )
 
     schema = (
-        "media_ref string, points array<array<int>>, ignore boolean, "
-        "gt_text string"
+        "media_ref string, gt_idx int, points array<array<int>>, "
+        "ignore boolean, gt_text string"
     )
     return media_refs.select("media_ref").mapInPandas(kernel, schema=schema)

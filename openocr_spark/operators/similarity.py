@@ -151,6 +151,53 @@ def quantize_i8(vec: Column) -> Column:
     return F.transform(vec, lambda x: F.floor(x * s + 0.5))
 
 
+def with_i8_codes(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+) -> DataFrame:
+    """The narrow (id, int8-codes) relation — the code WRITER for
+    scan-and-rerank ANN. At scale this is materialized to its own
+    parquet/index file (array<tinyint>: 1 byte/dim on disk and in
+    memory vs 4 for float32), so the coarse scan reads ~4× fewer bytes
+    and never touches the float column. Codes fit [-127, 127] exactly."""
+    vec = F.col(vec_col).cast("array<double>")
+    return emb.select(
+        F.col(id_col), quantize_i8(vec).cast("array<tinyint>").alias(code_col)
+    )
+
+
+def ensure_i8_codes(
+    spark,
+    sf_dir: str,
+    base_dir: str = "/tmp/openocr_i8codes",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize the embeddings table's int8 code column to parquet
+    (idempotent, atomic rename — same discipline as fixture_oracle);
+    returns the code table path. This is the offline index-build step
+    a production deployment runs once per corpus version."""
+    import os
+    import re
+    import shutil
+
+    slug = re.sub(r"[^A-Za-z0-9._-]+", "_", sf_dir.strip("/"))
+    out = f"{base_dir}/{slug}"
+    if os.path.exists(f"{out}/_SUCCESS"):
+        return out
+    tmp = f"{out}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with_i8_codes(emb, id_col, vec_col).write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+    return out
+
+
 def cosine_topk_quantized(
     emb: DataFrame,
     query_vec: list[float],
@@ -158,29 +205,42 @@ def cosine_topk_quantized(
     rerank: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+    code_col: str = "codes",
 ) -> DataFrame:
-    """Two-stage scan-and-rerank ANN: score the whole corpus with int8
-    codes (4× less memory traffic than float32 and integer dot
-    products — at 100 TB the codes live in their own narrow column /
-    index file and the full-precision vectors are only fetched for the
-    `rerank` survivors), then exact-score the top-`rerank` candidates
-    and keep the top-k. Both stages are distributed top-ks
-    (TakeOrderedAndProject); stage 2 touches `rerank` rows."""
+    """Two-stage scan-and-rerank ANN: coarse-score the corpus with int8
+    codes, then exact-score the top-`rerank` survivors and keep the
+    top-k. Both stages are distributed top-ks (TakeOrderedAndProject).
+
+    Pass `codes` = the materialized (id, codes) relation from
+    with_i8_codes/ensure_i8_codes to get the real memory-traffic win:
+    stage 1 then scans ONLY the narrow code table (plan-asserted: its
+    scan schema excludes the float column) and the full-precision
+    vectors are fetched for just the `rerank` survivors via a
+    broadcast-able k-row join. With codes=None the codes are computed
+    on the fly from the float column — correct but scanning the same
+    bytes as brute force; use the materialized path at scale."""
     import math
 
     qarr = [float(x) for x in query_vec]
     s = 127.0 / max(max(abs(x) for x in qarr), 1e-12)
     q8 = [float(math.floor(x * s + 0.5)) for x in qarr]
     q8_col = F.array(*[F.lit(x) for x in q8])
-    vec = F.col(vec_col).cast("array<double>")
-    coarse = emb.select(
+    if codes is None:
+        codes = with_i8_codes(emb, id_col, vec_col, code_col)
+    coarse = codes.select(
         F.col(id_col),
-        vec.alias("_v"),
-        F.round(cosine(quantize_i8(vec), q8_col), 6).alias("approx_sim"),
+        F.round(
+            cosine(F.col(code_col).cast("array<double>"), q8_col), 6
+        ).alias("approx_sim"),
     )
     cand = coarse.orderBy(F.col("approx_sim").desc(), F.col(id_col)).limit(rerank)
+    # floats only for the survivors: `cand` is rerank rows, so AQE
+    # broadcasts it and the float fetch touches rerank rows of `emb`
+    vec = F.col(vec_col).cast("array<double>")
+    floats = emb.select(F.col(id_col), vec.alias("_v"))
     qcol = F.array(*[F.lit(x) for x in qarr])
-    scored = cand.select(
+    scored = cand.join(floats, id_col).select(
         F.col(id_col), F.round(cosine(F.col("_v"), qcol), 6).alias("cos_sim")
     )
     top = scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)

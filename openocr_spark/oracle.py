@@ -153,6 +153,114 @@ def extract_media_text(media_ref: str, cfg: ExtractConfig = DEFAULT_CONFIG) -> s
     )
 
 
+def rec_heads_rows(media_ref: str) -> list[dict]:
+    """Independent single-node decode-head matrix: every fixture region's
+    logits decoded under each head family's vocabulary/stop/skip/conf
+    rules (semantics of openrec/postprocess/*_postprocess.py; the Spark
+    side runs kernels/decode_heads.py — this is a separate eager
+    derivation using masks/comprehensions over the softmax table).
+    Rows: (region_idx, head, text, conf round 6)."""
+    from openocr_spark.config import CHARSET
+
+    cs = CHARSET
+    p = payload_for_media_ref(media_ref)
+    out: list[dict] = []
+
+    def _softmax_table(lg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        e = np.exp(lg - lg.max(axis=1, keepdims=True))
+        pr = e / e.sum(axis=1, keepdims=True)
+        return pr.argmax(axis=1), pr.max(axis=1)
+
+    def eos_family(ids, conf, vocab, skip):
+        """break at '</s>', drop skip tokens and out-of-range ids."""
+        kept = []
+        for k, c in zip(ids, conf):
+            k = int(k)
+            if k >= len(vocab):
+                continue
+            if vocab[k] == "</s>":
+                break
+            if vocab[k] in skip:
+                continue
+            kept.append((vocab[k], float(c)))
+        if not kept:
+            return "", 0.0
+        return "".join(t for t, _ in kept), float(np.mean([c for _, c in kept]))
+
+    for ridx, reg in enumerate(p["regions"]):
+        lg = np.asarray(reg["logits"], dtype=np.float64)
+        ids, conf = _softmax_table(lg)
+        rows: dict[str, tuple[str, float]] = {}
+        # ctc: lag-dedup + blank drop
+        keep = np.ones(len(ids), dtype=bool)
+        keep[1:] = ids[1:] != ids[:-1]
+        keep &= ids != 0
+        if keep.any():
+            rows["ctc"] = (
+                "".join(cs[k - 1] for k in ids[keep] if 1 <= k <= len(cs)),
+                float(conf[keep].mean()),
+            )
+        else:
+            rows["ctc"] = ("", 0.0)
+        rows["abinet"] = eos_family(ids, conf, ["</s>"] + list(cs), set())
+        rows["smtr"] = eos_family(
+            ids, conf,
+            ["</s>"] + list(cs) + ["<s>", "<INF>", "<INB>", "<pad>"],
+            {"<s>", "<pad>"},
+        )
+        rows["lister"] = eos_family(
+            ids, conf, ["</s>"] + list(cs) + ["<pad>"], {"<s>", "<pad>"}
+        )
+        rows["igtr"] = eos_family(
+            ids, conf, ["</s>"] + list(cs) + ["<s>", "<pad>"], {"<s>", "<pad>"}
+        )
+        # visionlan: 1-based ids, geometric-mean confidence
+        vl_text = "".join(
+            cs[int(k) - 1] if 0 < int(k) <= len(cs) else "" for k in ids
+        )
+        vl_conf = (
+            float(np.exp(np.log(np.maximum(conf, 1e-300)).sum() / (len(conf) + 1e-6)))
+            if len(conf)
+            else 0.0
+        )
+        rows["visionlan"] = (vl_text, vl_conf)
+        # mgp char head: ['[GO]','[s]'] + charset, BOS slot dropped,
+        # product confidence including the EOS position
+        mg_vocab = ["[GO]", "[s]"] + list(cs)
+        mg_chars: list[str] = []
+        mg_score = 1.0
+        for k, c in zip(ids[1:], conf[1:]):
+            k = int(k)
+            if k >= len(mg_vocab):
+                continue
+            mg_score *= float(c)
+            if mg_vocab[k] == "[s]":
+                break
+            if mg_vocab[k] == "[GO]":
+                continue
+            mg_chars.append(mg_vocab[k])
+        rows["mgp_char"] = ("".join(mg_chars), mg_score if len(ids) > 1 else 1.0)
+        # ce: single-position classification on the first timestep
+        if len(ids):
+            k0 = int(ids[0])
+            rows["ce"] = (
+                (cs[k0], float(conf[0])) if k0 < len(cs) else ("", 0.0)
+            )
+        else:
+            rows["ce"] = ("", 0.0)
+        for head, (text, c) in rows.items():
+            out.append(
+                {
+                    "media_ref": media_ref,
+                    "region_idx": ridx,
+                    "head": head,
+                    "text": text,
+                    "conf": round(float(c), 6),
+                }
+            )
+    return out
+
+
 def doc_parse_full_oracle(
     blocks_pdf: pd.DataFrame, score_threshold: float = 0.4
 ) -> dict:

@@ -1134,13 +1134,16 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q_ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
-    """int8 scan-and-rerank ANN: coarse pass over per-vector symmetric
-    int8 codes (4× narrower scan at 100 TB), exact rerank of the top-50
-    survivors. Quantization uses explicit half-up floor so both engines
-    produce identical codes."""
+    """int8 scan-and-rerank ANN over a MATERIALIZED code table: the
+    coarse pass scans only the narrow (vec_id, codes array<tinyint>)
+    parquet (4× fewer bytes than the float column — plan-asserted in
+    tests), floats are fetched for the 50 rerank survivors via a
+    broadcast join. Quantization uses explicit half-up floor so both
+    engines produce identical codes."""
     vec, _ = _query_vec(spark, sf)
+    codes = spark.read.parquet(similarity.ensure_i8_codes(spark, sf))
     out = similarity.cosine_topk_quantized(
-        load(spark, sf, "embeddings"), vec, k=10, rerank=50
+        load(spark, sf, "embeddings"), vec, k=10, rerank=50, codes=codes
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -1364,7 +1367,7 @@ def q_det_metric_fixture(spark: SparkSession, sf: str) -> DataFrame:
 
     refs = _fixture_media_refs(spark, sf)
     pred = extract_detail(refs).select("media_ref", "points")
-    gt = gt_regions(refs).select("media_ref", "points", "ignore")
+    gt = gt_regions(refs).select("media_ref", "gt_idx", "points", "ignore")
     return det_metric(pred, gt)
 
 
@@ -1411,7 +1414,7 @@ def q_det_ap(spark: SparkSession, sf: str) -> DataFrame:
         "points",
         F.col("det_score").alias("conf"),
     )
-    gt = gt_regions(refs).select("media_ref", "points", "ignore")
+    gt = gt_regions(refs).select("media_ref", "gt_idx", "points", "ignore")
     return det_ap(pred, gt).withColumn(
         "n_det_care", F.col("n_det_care").cast("long")
     )
@@ -1440,6 +1443,25 @@ def q_rec_metric_fixture(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("rec_score") >= 0.5) & F.col("gt_text").isNotNull()
     ).select(F.col("transcription").alias("pred"), F.col("gt_text").alias("gt"))
     return rec_metric(pairs)
+
+
+@q(
+    "rec_heads_matrix",
+    f"""
+    SELECT media_ref, region_idx, head, text, conf
+    FROM read_parquet('{_ORA}/rec_heads.parquet')
+    """,
+)
+def q_rec_heads_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-architecture decode-head matrix (SURVEY F1, VERDICT r2 item
+    3): every fixture region's logits decoded under each head family —
+    CTC, ABINet/CPPD EOS-first, SMTR, LISTER, IGTR, VisionLAN
+    (1-based ids + geometric conf), MGP char (product conf), CE
+    (single-position). Oracle: the independent eager implementation
+    (oracle.rec_heads_rows) materialized to parquet."""
+    from openocr_spark.operators.metrics import rec_heads_matrix
+
+    return rec_heads_matrix(_fixture_media_refs(spark, sf))
 
 
 @q(

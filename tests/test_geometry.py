@@ -67,3 +67,33 @@ def test_metric_iou_uses_polygon_math():
 
     diamond = np.array([[5, 0], [10, 5], [5, 10], [0, 5]], dtype=float)
     assert abs(_iou(diamond, RECT_A) - 0.5) < 1e-9
+
+
+def test_polygon_mask_off_image_spans_clamped():
+    """ADVICE r2 (medium): a scanline span entirely left of the image
+    used to produce a negative slice end, which Python wraps around —
+    an off-image polygon set most of the row True. Clamping must make
+    fully off-frame polygons empty and partially off-frame polygons
+    clip to the visible part."""
+    # fully off-image to the left
+    off_l = np.array([[-10, 2], [-5, 2], [-5, 8], [-10, 8]], dtype=float)
+    assert not g.polygon_mask(off_l, 12, 20).any()
+    assert g.box_score_slow(np.ones((12, 20)), off_l) == 0.0
+    # fully off-image to the right
+    off_r = np.array([[25, 2], [30, 2], [30, 8], [25, 8]], dtype=float)
+    assert not g.polygon_mask(off_r, 12, 20).any()
+    # fully off-image above/below
+    off_t = np.array([[2, -9], [8, -9], [8, -3], [2, -3]], dtype=float)
+    assert not g.polygon_mask(off_t, 12, 20).any()
+    # straddling the left edge: only the in-frame columns light up
+    strad = np.array([[-4, 2], [3, 2], [3, 5], [-4, 5]], dtype=float)
+    m = g.polygon_mask(strad, 12, 20)
+    rows, cols = np.nonzero(m)
+    assert cols.min() == 0 and cols.max() == 3
+    # y spans are half-open ([y0, y1)): row 5 (the top edge) excluded
+    assert rows.min() == 2 and rows.max() == 4
+    # straddling the right edge
+    strad_r = np.array([[17, 2], [26, 2], [26, 5], [17, 5]], dtype=float)
+    m2 = g.polygon_mask(strad_r, 12, 20)
+    _, cols2 = np.nonzero(m2)
+    assert cols2.min() == 17 and cols2.max() == 19

@@ -168,3 +168,48 @@ def test_latency_profile_shape_and_positive(spark):
     for r in rows.values():
         assert r["p50_us"] > 0 and r["p99_us"] >= r["p50_us"]
         assert r["n_media"] > 0
+
+
+def test_det_matching_deterministic_under_gt_shuffle(spark):
+    """ADVICE r2: greedy matching must not depend on collect_list
+    order. Two GTs both overlap one detection at IoU>0.5 (multiplicity
+    2): with gt_idx carried, the matcher must pick the SAME gt
+    regardless of the input row order."""
+    from openocr_spark.operators.metrics import det_metric, det_partials
+
+    pred_rows = [("m1", [[0, 0], [100, 0], [100, 20], [0, 20]])]
+    gt_a = ("m1", 0, [[0, 0], [100, 0], [100, 18], [0, 18]], False)
+    gt_b = ("m1", 1, [[0, 2], [100, 2], [100, 20], [0, 20]], False)
+    pred_schema = "media_ref string, points array<array<int>>"
+    gt_schema = (
+        "media_ref string, gt_idx int, points array<array<int>>, "
+        "ignore boolean"
+    )
+    pred = spark.createDataFrame(pred_rows, pred_schema)
+    for order in ([gt_a, gt_b], [gt_b, gt_a]):
+        gt = spark.createDataFrame(order, gt_schema)
+        parts = det_partials(pred, gt).collect()
+        assert len(parts) == 1
+        r = parts[0]
+        assert (r.n_gt_care, r.n_det_care, r.n_matched) == (2, 1, 1)
+        m = det_metric(pred, gt).collect()[0]
+        assert m.recall == 0.5 and m.precision == 1.0
+
+
+def test_det_matching_content_key_fallback_without_gt_idx(spark):
+    """Without a gt_idx column the matcher sorts GTs by a content key —
+    still deterministic across input orders."""
+    from openocr_spark.operators.metrics import det_partials
+
+    pred_rows = [("m1", [[0, 0], [100, 0], [100, 20], [0, 20]])]
+    gt_a = ("m1", [[0, 0], [100, 0], [100, 18], [0, 18]], False)
+    gt_b = ("m1", [[0, 2], [100, 2], [100, 20], [0, 20]], False)
+    pred_schema = "media_ref string, points array<array<int>>"
+    gt_schema = "media_ref string, points array<array<int>>, ignore boolean"
+    pred = spark.createDataFrame(pred_rows, pred_schema)
+    results = []
+    for order in ([gt_a, gt_b], [gt_b, gt_a]):
+        gt = spark.createDataFrame(order, gt_schema)
+        r = det_partials(pred, gt).collect()[0]
+        results.append((r.n_gt_care, r.n_det_care, r.n_matched))
+    assert results[0] == results[1] == (2, 1, 1)
