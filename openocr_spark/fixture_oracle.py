@@ -319,6 +319,86 @@ def _gen_doc_tables(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame]:
     return pd.DataFrame(p_rows), pd.DataFrame(m_rows)
 
 
+def _union_pixel_count(boxes: list[tuple[int, int, int, int]]) -> int:
+    """Pixel count of the union of inclusive integer boxes
+    (vx0, vy0, vx1, vy1) — coordinate-compression sweep, pure
+    arithmetic, no rasterization."""
+    if not boxes:
+        return 0
+    xs = sorted({b[0] for b in boxes} | {b[2] + 1 for b in boxes})
+    total = 0
+    for xa, xb in zip(xs, xs[1:]):
+        ivals = sorted(
+            (b[1], b[3]) for b in boxes if b[0] <= xa and b[2] + 1 >= xb
+        )
+        if not ivals:
+            continue
+        cov = 0
+        c0, c1 = ivals[0]
+        for y0, y1 in ivals[1:]:
+            if y0 <= c1 + 1:
+                c1 = max(c1, y1)
+            else:
+                cov += c1 - c0 + 1
+                c0, c1 = y0, y1
+        cov += c1 - c0 + 1
+        total += (xb - xa) * cov
+    return total
+
+
+def _border_map_oracle(
+    regions: list[dict],
+    h: int,
+    w: int,
+    shrink_ratio: float = 0.4,
+    tmin: float = 0.3,
+    tmax: float = 0.7,
+) -> tuple[int, float]:
+    """(mask_ones, canvas_sum) for the G15 border map — VERDICT r2 item
+    4. mask_ones is CLOSED FORM (union of padded clipped boxes, no
+    canvas); the canvas sum is an independent rasterization using the
+    REGIONAL rect-boundary distance (inside: min edge inset; outside:
+    hypot to the clamped point) instead of the kernel's per-segment
+    point-to-segment distances — mathematically equal, derived
+    differently, matching up to float32 ulps (both sides round the sum
+    to 2 decimals)."""
+    import numpy as np
+
+    canvas = np.zeros((h, w), dtype=np.float32)
+    vis_boxes: list[tuple[int, int, int, int]] = []
+    for r in regions:
+        if r["ignore"]:
+            continue
+        p = r["points"]
+        x0, y0, x1, y1 = float(p[0][0]), float(p[0][1]), float(p[2][0]), float(p[2][1])
+        bw, bh = x1 - x0, y1 - y0
+        d = (bw * bh) * (1.0 - shrink_ratio**2) / max(2.0 * (bw + bh), 1e-9)
+        if d <= 0:
+            continue
+        vx0 = max(int(np.floor(x0 - d)), 0)
+        vy0 = max(int(np.floor(y0 - d)), 0)
+        vx1 = min(int(np.ceil(x1 + d)), w - 1)
+        vy1 = min(int(np.ceil(y1 + d)), h - 1)
+        if vx1 < vx0 or vy1 < vy0:
+            continue
+        vis_boxes.append((vx0, vy0, vx1, vy1))
+        gy, gx = np.mgrid[vy0 : vy1 + 1, vx0 : vx1 + 1]
+        gx = gx.astype(np.float64)
+        gy = gy.astype(np.float64)
+        inside = (gx >= x0) & (gx <= x1) & (gy >= y0) & (gy <= y1)
+        din = np.minimum(np.minimum(gx - x0, x1 - gx), np.minimum(gy - y0, y1 - gy))
+        dout = np.hypot(
+            np.maximum(np.maximum(x0 - gx, 0.0), gx - x1),
+            np.maximum(np.maximum(y0 - gy, 0.0), gy - y1),
+        )
+        dist = np.where(inside, din, dout)
+        ramp = 1.0 - np.clip(dist / d, 0.0, 1.0)
+        region = canvas[vy0 : vy1 + 1, vx0 : vx1 + 1]
+        canvas[vy0 : vy1 + 1, vx0 : vx1 + 1] = np.fmax(region, ramp)
+    scaled = canvas * (tmax - tmin) + tmin
+    return _union_pixel_count(vis_boxes), round(float(scaled.sum()), 2)
+
+
 def _gen_preproc_stats(
     sf_dir: str,
     limit_side_len: int = 64,
@@ -351,6 +431,7 @@ def _gen_preproc_stats(
     rows = []
     for ref in _media_refs(sf_dir):
         regions = payload_for_media_ref(ref)["regions"]
+        bmap_ones, bmap_sum = _border_map_oracle(regions, h, w)
         shrink_pos = 0
         mask_zero = 0
         crop_rows: list[tuple[int, int]] = []
@@ -385,6 +466,7 @@ def _gen_preproc_stats(
                 "resized_h": resized_h, "resized_w": resized_w,
                 "ratio_h": ratio_h, "ratio_w": ratio_w,
                 "shrink_pos": shrink_pos, "mask_zero": mask_zero,
+                "border_mask_pos": bmap_ones, "border_sum": bmap_sum,
                 "crop_h": crop_h, "crop_w": crop_w,
                 "pad_valid_ratio": pad_valid,
             }

@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame
 PREPROC_SCHEMA = (
     "media_ref string, h int, w int, resized_h int, resized_w int, "
     "ratio_h double, ratio_w double, shrink_pos long, mask_zero long, "
-    "border_mask_pos long, crop_h int, crop_w int, pad_valid_ratio double"
+    "border_mask_pos long, border_sum double, crop_h int, crop_w int, "
+    "pad_valid_ratio double"
 )
 
 
@@ -66,7 +67,7 @@ def det_training_targets(
                 ]
                 ignore = [bool(r["ignore"]) for r in p["regions"]]
                 gt, mask = make_shrink_map(rects, ignore, h, w)
-                _border, bmask = make_border_map(rects, ignore, h, w)
+                border, bmask = make_border_map(rects, ignore, h, w)
                 page = ((1.0 - prob) * 255.0).astype(np.uint8)  # ink-on-paper
                 cropped = crop_margin(page)
                 _pad, valid = resize_norm_pad(prob, rec_h, rec_w)
@@ -81,6 +82,10 @@ def det_training_targets(
                         "shrink_pos": int((gt == 1.0).sum()),
                         "mask_zero": int((mask == 0.0).sum()),
                         "border_mask_pos": int((bmask == 1.0).sum()),
+                        # rounded to 2 decimals: the oracle rasterizes
+                        # with a different (regional) distance formula,
+                        # equal up to float32 ulps
+                        "border_sum": round(float(border.sum()), 2),
                         "crop_h": cropped.shape[0],
                         "crop_w": cropped.shape[1],
                         "pad_valid_ratio": round(valid, 6),

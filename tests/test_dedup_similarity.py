@@ -380,3 +380,57 @@ def test_star_components_self_loop_only_node(spark):
     out = {r.id: r.canonical_id
            for r in dedup.dedup_components_star(df).collect()}
     assert out == {5: 5, 1: 1, 2: 1}
+
+
+def test_near_dup_sign_bits_subbucketing(spark):
+    """The sign-LSH scale knob: sign_bits>0 sub-buckets each cell, so
+    the output is a SUBSET of the exact within-cell pairs, identical
+    pairs (cos=1) always survive (identical vectors share every sign),
+    and the quadratic join surface shrinks."""
+    rows = []
+    rng_rows = 80
+    import random
+
+    rng = random.Random(11)
+    for i in range(rng_rows):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, v, 0))  # ONE dense cell — the pathological case
+    rows.append((1000, rows[0][1], 0))  # exact duplicate of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    exact = {(r.id_a, r.id_b) for r in
+             similarity.near_dup_pairs(df, threshold=0.5).collect()}
+    sub = {(r.id_a, r.id_b) for r in
+           similarity.near_dup_pairs(df, threshold=0.5, sign_bits=3).collect()}
+    assert sub <= exact
+    assert (0, 1000) in sub  # identical vectors never separate
+    # the bucketing actually splits the cell (join surface shrank)
+    buckets = df.select(
+        similarity.sign_bucket(F.col("embedding"), 3).alias("b")
+    ).groupBy("b").count().collect()
+    assert len(buckets) > 1
+    assert max(r["count"] for r in buckets) < rng_rows + 1
+
+
+def test_near_dup_lsh_banded_recall(spark):
+    """Banded sign-LSH + exact verify: on a constructed set of 30
+    high-cosine pairs (v, v+tiny noise) among 200 random vectors, the
+    banded variant must (a) emit only true >=threshold pairs (exact
+    verify — no false positives), (b) recover >=80% of them (theory:
+    ~0.95 at c~0.99, bits=4, bands=4)."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(200):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(16)]))
+    for j in range(30):
+        base = rows[j][1]
+        rows.append((1000 + j, [x + rng.uniform(-0.01, 0.01) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b): r.cos_sim for r in
+           similarity.near_dup_pairs_lsh(df, threshold=0.95).collect()}
+    want = {(j, 1000 + j) for j in range(30)}
+    # no false positives: every emitted pair really has cos >= 0.95
+    assert all(v >= 0.95 for v in got.values())
+    hit = len(want & set(got))
+    assert hit >= 24, f"recall {hit}/30"
