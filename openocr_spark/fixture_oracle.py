@@ -33,13 +33,23 @@ CORRECTNESS_SF_DIR = "/root/testdata/sf0.01"
 # regenerate even without a bump
 VERSION = "r3-1"
 
-# modules whose code determines the oracle tables' contents
+# modules whose code determines the oracle tables' contents — the
+# TRANSITIVE dependency set of the generators (oracle.py pulls in
+# config constants, the doc-parse/layout oracles, and the markdown
+# converter), not just the directly-invoked files
 _GEN_SOURCES = (
     "fixture_oracle.py",
     "oracle.py",
     "fixtures.py",
+    "config.py",
     "functions/text.py",
+    "functions/markdown.py",
+    "functions/otsl.py",
+    "functions/exprs.py",
     "operators/ingest.py",
+    "operators/doc_parse.py",
+    "operators/layout.py",
+    "operators/boilerplate.py",
 )
 
 
@@ -517,7 +527,20 @@ def ensure(sf_dir: str = CORRECTNESS_SF_DIR, force: bool = False) -> str:
     try:
         os.rename(tmp, ORACLE_DIR)
     except OSError:
-        # another process renamed its complete copy first (renames are
-        # atomic and the directory is version-keyed) — keep theirs
-        shutil.rmtree(tmp, ignore_errors=True)
+        # a directory already sits at ORACLE_DIR. Keep it ONLY if its
+        # marker matches what we just generated (a concurrent writer's
+        # complete copy of the SAME tables); a mismatched marker (e.g.
+        # the same version generated for a different sf_dir) must be
+        # replaced, not silently served to the caller
+        existing_ok = False
+        try:
+            with open(marker) as f:
+                existing_ok = json.load(f) == want
+        except Exception:
+            existing_ok = False
+        if existing_ok:
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            shutil.rmtree(ORACLE_DIR, ignore_errors=True)
+            os.rename(tmp, ORACLE_DIR)
     return ORACLE_DIR

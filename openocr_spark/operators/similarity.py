@@ -178,13 +178,25 @@ def ensure_i8_codes(
     """Materialize the embeddings table's int8 code column to parquet
     (idempotent, atomic rename — same discipline as fixture_oracle);
     returns the code table path. This is the offline index-build step
-    a production deployment runs once per corpus version."""
+    a production deployment runs once per corpus version — and the
+    cache key includes a fingerprint of the SOURCE parquet (file names,
+    sizes, mtimes), so a dataset regenerated in place at the same path
+    gets fresh codes instead of a stale index."""
+    import hashlib
     import os
     import re
     import shutil
 
+    src = f"{sf_dir}/embeddings.parquet"
+    h = hashlib.md5()
+    entries = [src] if os.path.isfile(src) else sorted(
+        os.path.join(src, f) for f in os.listdir(src)
+    )
+    for f in entries:
+        st = os.stat(f)
+        h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode())
     slug = re.sub(r"[^A-Za-z0-9._-]+", "_", sf_dir.strip("/"))
-    out = f"{base_dir}/{slug}"
+    out = f"{base_dir}/{slug}-{h.hexdigest()[:10]}"
     if os.path.exists(f"{out}/_SUCCESS"):
         return out
     tmp = f"{out}.tmp.{os.getpid()}"
@@ -256,6 +268,7 @@ def near_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    hash_dims: int = 64,
 ) -> DataFrame:
     """Banded sign-LSH near-dup pairs — the tunable-recall SCALE PATH
     for embedding near-dup (the structure of MinHash-LSH applied to the
@@ -274,7 +287,7 @@ def near_dup_pairs_lsh(
         *[
             F.struct(
                 F.lit(t).alias("band"),
-                sign_bucket(vec, bits, seed=seed + 1000 * t).alias("bucket"),
+                sign_bucket(vec, bits, seed=seed + 1000 * t, dims=hash_dims).alias("bucket"),
             )
             for t in range(bands)
         ]
@@ -303,22 +316,26 @@ def near_dup_pairs_lsh(
     )
 
 
-def sign_bucket(vec: Column, bits: int, seed: int = 7) -> Column:
+def sign_bucket(vec: Column, bits: int, seed: int = 7, dims: int = 64) -> Column:
     """Random-hyperplane sign-LSH bucket id (0..2^bits-1): bit j is the
     sign of v·h_j for a deterministic pseudo-random hyperplane h_j
     (elements ±1 from md5(seed, j, dim-index) parity — engine-portable,
     no artifact to ship). Vectors with high cosine land in the same
-    bucket with probability (1 − θ/π)^bits."""
+    bucket with probability ≈ (1 − θ/π)^bits.
+
+    The hyperplane literal carries `dims` components and BOTH sides are
+    sliced to min(dims, size(vec)) before the dot product — zip_with
+    null-pads the shorter array, which would null the dot and silently
+    send EVERY vector to bucket 0 (caught in review). For embeddings
+    wider than `dims` the hash projects onto the first `dims`
+    coordinates — still a valid bucketing (identical vectors always
+    collide; the collision-probability formula then applies to the
+    subspace angle); raise `dims` to hash every coordinate."""
     import hashlib
 
     code = F.lit(0)
-    # hyperplane dim count = the vector size; build per-element ±1 via a
-    # deterministic hash of (seed, j, i) evaluated driver-side so the
-    # executor expression is a plain zip_with against a literal array
-    # (requires a known dimensionality — probe lazily via element count
-    # is not possible in a pure column expr, so use 64 dims max and
-    # zip_with, which stops at the shorter array)
-    dims = 64
+    n = F.least(F.size(vec), F.lit(dims))
+    v = F.slice(vec, 1, n)
     for j in range(bits):
         signs = [
             1.0
@@ -326,11 +343,9 @@ def sign_bucket(vec: Column, bits: int, seed: int = 7) -> Column:
             else -1.0
             for i in range(dims)
         ]
-        # slice to the vector's own length: zip_with null-pads the
-        # shorter side, which would null the whole dot product
-        hj = F.slice(F.array(*[F.lit(s) for s in signs]), 1, F.size(vec))
+        hj = F.slice(F.array(*[F.lit(s) for s in signs]), 1, n)
         dot_j = F.aggregate(
-            F.zip_with(vec, hj, lambda x, y: x * y),
+            F.zip_with(v, hj, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -345,6 +360,7 @@ def near_dup_pairs(
     vec_col: str = "embedding",
     cell_col: str = "label",
     sign_bits: int = 0,
+    hash_dims: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a cell (bucketed self-join:
     the join key prunes the quadratic surface to cell-local).
@@ -361,7 +377,10 @@ def near_dup_pairs(
     vec = F.col(vec_col).cast("array<double>")
     cell = F.col(cell_col).cast("string")
     if sign_bits > 0:
-        cell = F.concat(cell, F.lit("#"), sign_bucket(vec, sign_bits).cast("string"))
+        cell = F.concat(
+            cell, F.lit("#"),
+            sign_bucket(vec, sign_bits, dims=hash_dims).cast("string"),
+        )
     base = emb.select(
         cell.alias("cell"), F.col(id_col).alias("id"), vec.alias("v")
     )

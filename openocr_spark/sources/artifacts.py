@@ -63,14 +63,21 @@ def resolve_artifact(name: str, sha256: str | None = None) -> str:
     evicted and the source chain continues (content addressing)."""
     if os.path.exists(name):
         return _verify(name, sha256, "as-given path")
-    clean = name.lstrip("./")
+    # strip a relative-path PREFIX only — the reference's lstrip('./')
+    # would also eat leading dots of dotted names ('.cache-v2/x' →
+    # 'cache-v2/x') and alias distinct names onto one cache entry
+    clean = name
+    while clean.startswith("./"):
+        clean = clean[2:]
     cached = CACHE_DIR / clean
     if cached.exists():
         try:
             return _verify(str(cached), sha256, "cache")
         except RuntimeError:
             cached.unlink()  # evict corrupt entry, fall through to sources
-    CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    # names may carry subdirectories (e.g. 'det/model.onnx') — create
+    # the full parent chain or every copy-into-cache would fail
+    cached.parent.mkdir(parents=True, exist_ok=True)
     errors: list[str] = []
     for src_name, fetch in SOURCES:
         try:

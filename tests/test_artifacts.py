@@ -90,3 +90,22 @@ def test_ship_artifact_reaches_executors(spark, tmp_path):
 
     df = spark.range(4).repartition(4).mapInPandas(read_len, schema="n long")
     assert {r.n for r in df.collect()} == {300}
+
+
+def test_subdirectory_artifact_names(tmp_path):
+    """Names with subdirectories must create the cache parent chain
+    (review finding: copy2 into a missing parent failed every source)."""
+    good = _mk(tmp_path / "src" / "det" / "model.onnx", b"ONNX")
+    A.register_source("hub", lambda name: good)
+    out = A.resolve_artifact("det/model.onnx")
+    assert out == str(A.CACHE_DIR / "det" / "model.onnx")
+    assert open(out, "rb").read() == b"ONNX"
+
+
+def test_dotted_names_do_not_alias(tmp_path):
+    """'./' prefix strips, but leading dots of real names survive
+    (lstrip('./') would alias '.cache-v2/x' onto 'cache-v2/x')."""
+    a = _mk(tmp_path / "src" / "a", b"A")
+    A.register_source("hub", lambda name: {".hidden.bin": a}[name])
+    out = A.resolve_artifact("./.hidden.bin")
+    assert out == str(A.CACHE_DIR / ".hidden.bin")

@@ -434,3 +434,18 @@ def test_near_dup_lsh_banded_recall(spark):
     assert all(v >= 0.95 for v in got.values())
     hit = len(want & set(got))
     assert hit >= 24, f"recall {hit}/30"
+
+
+def test_sign_bucket_wide_vectors_not_all_zero(spark):
+    """Review finding: with >64-dim embeddings the old zip_with
+    null-padded the hyperplane and sent EVERY vector to bucket 0 —
+    silently disabling the LSH. Wide vectors must spread."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(128)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    buckets = df.select(
+        similarity.sign_bucket(F.col("embedding"), 4).alias("b")
+    ).groupBy("b").count().collect()
+    assert len(buckets) > 4

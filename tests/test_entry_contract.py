@@ -76,3 +76,29 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert df.schema.simpleString().startswith("struct<doc_id:string,spans:array")
+
+
+def test_oracle_marker_mismatch_regenerates(tmp_path, monkeypatch):
+    """Review finding: a stale directory with a MISMATCHED marker at
+    ORACLE_DIR must be replaced, not silently served (the old rename
+    fallback assumed any existing dir was a concurrent writer's copy
+    of the same tables)."""
+    import json
+    import os as _os
+
+    from openocr_spark import fixture_oracle as FO
+
+    fake_dir = str(tmp_path / "oracle")
+    _os.makedirs(fake_dir)
+    with open(f"{fake_dir}/marker.json", "w") as f:
+        json.dump({"version": FO.VERSION, "sf_dir": "/some/other/sf"}, f)
+    with open(f"{fake_dir}/det_gt.parquet", "w") as f:
+        f.write("stale bytes, not even parquet")
+    monkeypatch.setattr(FO, "ORACLE_DIR", fake_dir)
+    out = FO.ensure("/root/testdata/sf0.001")
+    assert out == fake_dir
+    got = json.load(open(f"{fake_dir}/marker.json"))
+    assert got == {"version": FO.VERSION, "sf_dir": "/root/testdata/sf0.001"}
+    import pandas as pd
+
+    assert len(pd.read_parquet(f"{fake_dir}/extract_spans.parquet")) > 0
