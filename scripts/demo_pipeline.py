@@ -106,6 +106,34 @@ def main() -> None:
         F.round(F.avg("quality_score"), 3), F.sum("token_count")).first()
     print(f"[stats]     avg quality {stats[0]}, total tokens {stats[1]}")
 
+    # 4b ── per-architecture decode heads over one fixture region
+    import numpy as np
+
+    from openocr_spark.fixtures import payload_for_media_ref
+    from openocr_spark.kernels import decode_heads as H
+    from openocr_spark.kernels.recognition import ctc_greedy_decode
+
+    ref0 = detail.select("media_ref").first()[0]
+    lg = np.asarray(payload_for_media_ref(ref0)["regions"][0]["logits"])
+    heads = {
+        "ctc": ctc_greedy_decode(lg), "abinet": H.abinet_decode(lg),
+        "smtr": H.smtr_decode(lg), "lister": H.lister_decode(lg),
+        "visionlan": H.visionlan_decode(lg), "mgp": H.mgp_char_decode(lg),
+    }
+    print("[heads]     " + "  ".join(
+        f"{k}={t!r}@{c:.2f}" for k, (t, c) in heads.items()))
+
+    # 4c ── LMDB round-trip through the pure-python format
+    from openocr_spark.sources import lmdb_format as L
+
+    with tempfile.TemporaryDirectory() as tmp:
+        L.write_lmdb_dataset(f"{tmp}/shard0", [(b"imgbytes" * 8, "hello"),
+                                               (b"x" * 6000, "overflow")])
+        back = L.read_lmdb_dataset(spark, tmp).orderBy("idx").collect()
+        print(f"[lmdb]      wrote+read {len(back)} samples "
+              f"(labels: {[r.label for r in back]}, "
+              f"sizes: {[len(r.image) for r in back]})")
+
     # 5 ── manifest resume + golden sink
     from openocr_spark.operators.manifest import run_with_manifest
     from openocr_spark.sources.sinks import write_system_results
