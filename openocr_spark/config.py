@@ -32,6 +32,11 @@ class ExtractConfig:
     # payload path (costs a per-partition spill of payload bytes; enable
     # when the recognition kernel pads batches to a common shape)
     ratio_sort: bool = False
+    # recognition decode head, selected by name like the reference's
+    # PostProcess config (openrec/postprocess/__init__.py
+    # build_post_process): ctc | abinet | cppd | smtr | lister | igtr |
+    # visionlan | mgp_char
+    rec_head: str = "ctc"
 
 
 DEFAULT_CONFIG = ExtractConfig()

@@ -61,6 +61,32 @@ def explode_spans(documents: DataFrame) -> DataFrame:
     ).select("doc_id", "span_idx", "span.*")
 
 
+def _decode_fn(name: str):
+    """Decode-head dispatch by config name — the build_post_process
+    analog (openrec/postprocess/__init__.py maps the yml PostProcess
+    name to a decode class; here it maps cfg.rec_head to a kernel)."""
+    if name == "ctc":
+        return ctc_greedy_decode
+    from openocr_spark.kernels import decode_heads as H
+
+    table = {
+        "abinet": H.abinet_decode,
+        "cppd": H.cppd_decode,
+        "smtr": H.smtr_decode,
+        "lister": H.lister_decode,
+        "igtr": H.igtr_decode,
+        "visionlan": H.visionlan_decode,
+        "mgp_char": H.mgp_char_decode,
+    }
+    try:
+        return table[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown rec_head {name!r}; expected one of "
+            f"ctc, {', '.join(sorted(table))}"
+        ) from None
+
+
 def _process_media_arrays(
     prob: np.ndarray, regions: list[dict], cfg: ExtractConfig
 ) -> str:
@@ -75,6 +101,7 @@ def _process_media_arrays(
     )
     boxes = sorted_boxes(boxes, line_tol=cfg.line_tol)
     pts = [np.asarray(r["points"]) for r in regions]
+    decode = _decode_fn(cfg.rec_head)
     texts = []
     for box, ridx in zip(boxes, assign_regions_to_boxes(boxes, pts)):
         if ridx < 0:
@@ -85,7 +112,7 @@ def _process_media_arrays(
             logits = np.frombuffer(logits, dtype=np.float32).reshape(
                 int(reg["logits_t"]), -1
             )
-        text, score = ctc_greedy_decode(logits)
+        text, score = decode(logits)
         if score >= cfg.drop_score:
             texts.append(text)
     return "\n".join(texts)

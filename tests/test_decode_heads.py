@@ -238,3 +238,73 @@ def test_empty_logits_decode_empty(fn):
 def test_eos_at_position_zero_yields_empty():
     lg = onehot_logits([0], 3)
     assert H.abinet_decode(lg, charset=CS) == ("", 0.0)
+
+
+# --- randomized equivalence vs the independent oracle derivation -------------
+
+
+def test_heads_match_oracle_on_random_logits():
+    """Property check: the decode-head kernels and the independent
+    oracle derivation (oracle.rec_heads_rows' eos_family / visionlan /
+    mgp logic) agree on random logits over the REAL charset — the same
+    cross-check the driver runs on fixture regions, here on adversarial
+    random inputs including early EOS and ties."""
+    import numpy as np
+
+    from openocr_spark.config import CHARSET
+    from openocr_spark.kernels.recognition import ctc_greedy_decode
+
+    rng = np.random.RandomState(42)
+    for trial in range(25):
+        T = int(rng.randint(1, 30))
+        V = 38  # fixture logit width
+        lg = rng.randn(T, V) * 3.0
+
+        def softmax_rows(x):
+            e = np.exp(x - x.max(axis=1, keepdims=True))
+            return e / e.sum(axis=1, keepdims=True)
+
+        pr = softmax_rows(lg.astype(np.float64))
+        ids, conf = pr.argmax(axis=1), pr.max(axis=1)
+
+        def eos_family(vocab, skip):
+            kept = []
+            for k, c in zip(ids, conf):
+                k = int(k)
+                if k >= len(vocab):
+                    continue
+                if vocab[k] == "</s>":
+                    break
+                if vocab[k] in skip:
+                    continue
+                kept.append((vocab[k], float(c)))
+            if not kept:
+                return "", 0.0
+            return "".join(t for t, _ in kept), float(np.mean([c for _, c in kept]))
+
+        cs = list(CHARSET)
+        assert H.abinet_decode(lg) == eos_family(["</s>"] + cs, set())
+        assert H.smtr_decode(lg) == eos_family(
+            ["</s>"] + cs + ["<s>", "<INF>", "<INB>", "<pad>"], {"<s>", "<pad>"}
+        )
+        assert H.lister_decode(lg) == eos_family(
+            ["</s>"] + cs + ["<pad>"], {"<s>", "<pad>"}
+        )
+        assert H.igtr_decode(lg) == eos_family(
+            ["</s>"] + cs + ["<s>", "<pad>"], {"<s>", "<pad>"}
+        )
+        # visionlan: 1-based ids + geometric conf
+        vl_text = "".join(
+            cs[int(k) - 1] if 0 < int(k) <= len(cs) else "" for k in ids
+        )
+        vl_conf = float(np.exp(np.log(np.maximum(conf, 1e-300)).sum() / (len(conf) + 1e-6)))
+        got_t, got_c = H.visionlan_decode(lg)
+        assert got_t == vl_text and abs(got_c - vl_conf) < 1e-12
+        # ctc: lag-dedup + blank drop
+        keep = np.ones(len(ids), dtype=bool)
+        keep[1:] = ids[1:] != ids[:-1]
+        keep &= ids != 0
+        want_text = "".join(cs[k - 1] for k in ids[keep] if 1 <= k <= len(cs))
+        want_conf = float(conf[keep].mean()) if keep.any() else 0.0
+        got_t, got_c = ctc_greedy_decode(lg)
+        assert got_t == want_text and abs(got_c - want_conf) < 1e-12

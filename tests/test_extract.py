@@ -103,3 +103,36 @@ def test_explode_spans_shape(spark, docs_pdf):
     flat = explode_spans(docs)
     assert flat.columns == ["doc_id", "span_idx", "kind", "text", "media_ref", "offset"]
     assert flat.count() == int(docs_pdf["spans"].map(len).sum())
+
+
+def test_rec_head_config_selects_decode(spark):
+    """cfg.rec_head is the build_post_process analog: the same corpus
+    extracted under a different head produces a deterministic,
+    different recognition output; unknown names fail loudly."""
+    import pytest
+
+    from openocr_spark.config import ExtractConfig
+    from openocr_spark.fixtures import documents_df
+    from openocr_spark.operators.extract import extract
+
+    docs = documents_df(spark, 8)
+
+    def media_texts(cfg):
+        rows = [x.asDict(recursive=True) for x in extract(docs, cfg=cfg).collect()]
+        return {
+            r["doc_id"]: tuple(
+                s["text"] for s in r["spans"] if s["kind"] == "media"
+            )
+            for r in rows
+        }
+
+    ctc = media_texts(ExtractConfig())
+    abinet = media_texts(ExtractConfig(rec_head="abinet"))
+    assert set(ctc) == set(abinet)
+    # same logits under a different vocabulary interpretation: decodes
+    # differ somewhere (CTC dedups repeats + blank=0; abinet breaks at 0)
+    assert ctc != abinet
+    # deterministic
+    assert abinet == media_texts(ExtractConfig(rec_head="abinet"))
+    with pytest.raises(Exception, match="unknown rec_head"):
+        media_texts(ExtractConfig(rec_head="nope"))
