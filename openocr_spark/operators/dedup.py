@@ -288,22 +288,25 @@ def dedup_components(
     labels = nodes.withColumn("comp", F.col("id")).localCheckpoint(eager=True)
     changed = 1
     for _ in range(max_iters):
+        # ONE join+agg per round: min over neighbors' comps is the new
+        # label, and the node's OWN previous comp rides along through
+        # its self-loop row (dst == src), so the convergence compare
+        # needs no second join — the self-loop guarantees comp is
+        # monotone non-increasing, so "changed" = comp < own_prev
         new_labels = (
             edges2.join(labels, edges2["dst"] == labels["id"])
             .groupBy("src")
-            .agg(F.min("comp").alias("comp"))
-            .select(F.col("src").alias("id"), "comp")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.max(
+                    F.when(F.col("dst") == F.col("src"), F.col("comp"))
+                ).alias("own_prev"),
+            )
+            .select(F.col("src").alias("id"), "comp", "own_prev")
             .localCheckpoint(eager=True)
         )
-        # the self-loop guarantees comp is monotone non-increasing, so
-        # "changed" = any id whose comp dropped this round
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") < F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("comp") < F.col("own_prev")).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     if changed != 0:
