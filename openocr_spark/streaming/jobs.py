@@ -215,3 +215,108 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def minhash_bands_expr(text_col: str = "text"):
+    """Per-ROW MinHash band keys as a pure column expression (no
+    explode/groupBy): h_s = array_min over the shingle array of
+    md5(shingle + seed) — the same values dedup.minhash_signatures
+    computes relationally (min over a set is order-free), so streaming
+    and batch band keys are bit-identical. Returns an array of
+    (band_idx, band_key) structs; docs with no shingles yield null."""
+    from openocr_spark.operators.dedup import N_BANDS, N_MINHASHES, shingle_array
+
+    sh = shingle_array(F.col(text_col))
+    mins = [
+        F.array_min(
+            F.transform(sh, lambda s, _i=i: F.md5(F.concat(s, F.lit(f"#{_i}"))))
+        )
+        for i in range(N_MINHASHES)
+    ]
+    per_band = N_MINHASHES // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat(*[mins[b * per_band + j] for j in range(per_band)])
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return F.when(F.size(sh) > 0, bands)
+
+
+def near_dup_candidates_stream(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 64,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup CANDIDATE detection — the
+    streaming face of dedup.lsh_candidate_pairs: each arriving document
+    is banded with the identical hash scheme as the batch operator and
+    matched, via per-bucket state, against every document previously
+    seen in any shared band — including documents from EARLIER
+    micro-batches (the case plain per-batch joins cannot catch).
+
+    Output: (id_a, id_b, band_idx) with id_a < id_b, emitted the moment
+    the second member arrives. Downstream, the batch verify
+    (dedup.jaccard_verify_pairs) confirms candidates exactly.
+
+    State is BOUNDED: each bucket keeps at most `max_bucket` doc ids
+    (a hotter bucket stops accumulating — the same quadratic-surface
+    guard as the batch stop-shingle cap; at web scale also set
+    `timeout_ms` so idle buckets evict, trading recall across long time
+    gaps for O(active buckets) state)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    banded = (
+        docs_stream.select(
+            F.col(id_col).alias("id"),
+            minhash_bands_expr(text_col).alias("bs"),
+        )
+        .filter(F.col("bs").isNotNull())
+        .select("id", F.explode("bs").alias("b"))
+        .select("id", "b.band_idx", "b.band_key")
+    )
+
+    out_schema = "id_a string, id_b string, band_idx int"
+    state_schema = "ids array<string>"
+
+    def fn(key, pdfs, state):
+        band_idx, _band_key = int(key[0]), key[1]
+        seen: list[str] = list(state.get[0]) if state.exists else []
+        rows = []
+        for pdf in pdfs:
+            for new_id in pdf["id"].astype(str):
+                if new_id in seen:
+                    continue
+                for old in seen:
+                    a, b = sorted((old, new_id))
+                    rows.append({"id_a": a, "id_b": b, "band_idx": band_idx})
+                if len(seen) < max_bucket:
+                    seen.append(new_id)
+        state.update((seen,))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if rows:
+            yield pd.DataFrame(rows, columns=["id_a", "id_b", "band_idx"])
+        else:
+            yield pd.DataFrame({"id_a": [], "id_b": [], "band_idx": []}).astype(
+                {"id_a": str, "id_b": str, "band_idx": "int32"}
+            )
+
+    return banded.groupBy("band_idx", "band_key").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -223,3 +223,55 @@ def test_windowed_event_counts_with_watermark(spark, tmp_path):
     }
     assert res[("2024-01-01 00:00:00", "click")] == (2, 3.0)
     assert res[("2024-01-01 00:10:00", "view")] == (1, 5.0)
+
+
+def test_near_dup_candidates_stream_matches_batch_lsh(spark, tmp_path):
+    """Streaming MinHash-LSH candidates: (a) a near-dup pair split
+    ACROSS micro-batches is still caught (per-bucket state), (b) the
+    distinct streaming pair set equals the batch
+    dedup.lsh_candidate_pairs set on the union corpus — the band hash
+    scheme is bit-identical by construction."""
+    from openocr_spark.operators import dedup
+    from openocr_spark.streaming.jobs import near_dup_candidates_stream
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batch1 = [
+        ("d1", base),
+        ("d2", "one two three four five six seven eight nine ten"),
+    ]
+    batch2 = [
+        ("d3", base + " extra"),              # near-dup of d1, later batch
+        ("d4", "completely different words nothing shared here at all"),
+    ]
+    in_dir = str(tmp_path / "docs")
+    schema = "doc_id string, text string"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        near_dup_candidates_stream(stream)
+        .writeStream.format("memory")
+        .queryName("near_dup_cands")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.sql("select * from near_dup_cands").collect()
+    }
+    assert ("d1", "d3") in got
+
+    batch_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(
+            spark.createDataFrame(batch1 + batch2, schema), "doc_id", "text"
+        ).collect()
+    }
+    assert got == batch_pairs
