@@ -64,7 +64,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_fixture = int(os.environ.get("BENCH_FIXTURE_DOCS", "30000"))
-    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
     only = os.environ.get("BENCH_ONLY")
     names = only.split(",") if only else HEADLINE
 
@@ -131,7 +131,7 @@ def main() -> None:
             corpus = os.path.join(
                 os.environ.get("TMPDIR", "/tmp"), f"bench_corpus_{n_fixture}"
             )
-            payloads_dir = corpus + "_payloads"
+            payloads_dir = corpus + "_payloads_u8"
             docs = spark.read.parquet(corpus)
             if not os.path.exists(os.path.join(payloads_dir, "_SUCCESS")):
                 log(f"materializing payloads -> {payloads_dir}")

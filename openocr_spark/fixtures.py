@@ -82,7 +82,17 @@ def payload_for_media_ref(media_ref: str) -> dict:
     rng = _rng(media_ref)
     n_regions = int(rng.integers(1, 6))
     cells = rng.permutation(_GRID_ROWS * _GRID_COLS)[:n_regions]
-    score_map = np.full((MEDIA_H, MEDIA_W), 0.05, dtype=np.float32)
+    # probability levels sit EXACTLY on the k/255 grid (float32
+    # division, mirrored by extract._prob_from_buffer), so the uint8
+    # payload storage format round-trips bit-losslessly and the
+    # synthesized and joined payload paths stay bit-identical.
+    # 13/255≈0.051 background, 64/255≈0.251 weak, 230/255≈0.902 strong
+    # — same side of every threshold (binarize 0.3, box 0.6) as the
+    # old 0.05/0.25/0.9 levels
+    p_bg = np.float32(13.0) / np.float32(255.0)
+    p_weak = np.float32(64.0) / np.float32(255.0)
+    p_strong = np.float32(230.0) / np.float32(255.0)
+    score_map = np.full((MEDIA_H, MEDIA_W), p_bg, dtype=np.float32)
     cell_h, cell_w = MEDIA_H // _GRID_ROWS, MEDIA_W // _GRID_COLS
     # bulk per-region draws (one rng call per attribute, not per region)
     y0s = rng.integers(2, 8, n_regions)
@@ -113,7 +123,7 @@ def payload_for_media_ref(media_ref: str) -> dict:
         d = int(round(area * 0.84 / perim))
         d = max(0, min(d, (bw - 4) // 2, (bh - 4) // 2))
         score_map[y0 + d : y1 - d + 1, x0 + d : x1 - d + 1] = (
-            0.25 if weak_paint else 0.9
+            p_weak if weak_paint else p_strong
         )
         n_words = 1 + int(word2[k])
         gt_text = " ".join(VOCAB[int(widx[k, j])] for j in range(n_words))
@@ -137,13 +147,19 @@ def payload_for_media_ref(media_ref: str) -> dict:
 
 def payload_row(media_ref: str) -> dict:
     """payload_for_media_ref serialized to the MEDIA_PAYLOADS schema
-    (numpy → bytes for Arrow transport)."""
+    (numpy → bytes for Arrow transport). The score map is stored as
+    uint8 (prob × 255 — LOSSLESS: the generator's levels sit on the
+    /255 grid) — 4× fewer bytes on disk AND on the Arrow wire into the
+    Python kernel, which is where the joined path's time goes; the
+    kernel sniffs the dtype from the buffer length, so float32 payload
+    tables keep working."""
     p = payload_for_media_ref(media_ref)
+    u8 = np.round(p["score_map"] * np.float32(255.0)).astype(np.uint8)
     return {
         "media_ref": p["media_ref"],
         "width": p["width"],
         "height": p["height"],
-        "score_map": p["score_map"].tobytes(),
+        "score_map": u8.tobytes(),
         "regions": [
             {
                 "points": r["points"],

@@ -118,6 +118,25 @@ def _process_media_arrays(
     return "\n".join(texts)
 
 
+def _prob_from_buffer(buf, h: int, w: int) -> np.ndarray:
+    """Decode a score-map payload cell, dtype sniffed from its length:
+    h·w·4 bytes = float32; h·w bytes = uint8 (probability × 255 — the
+    4×-narrower storage/wire format media_payloads_df writes by
+    default; maps quantized to the /255 grid at generation, so the
+    round-trip is LOSSLESS and both payload paths stay bit-equal)."""
+    if len(buf) == h * w * 4:
+        return np.frombuffer(buf, dtype=np.float32).reshape(h, w)
+    if len(buf) == h * w:
+        u8 = np.frombuffer(buf, dtype=np.uint8).reshape(h, w)
+        # float32 division, matching the generator's k/255 arithmetic
+        # exactly (a *(1/255) form would differ in the last ulp)
+        return u8.astype(np.float32) / np.float32(255.0)
+    raise ValueError(
+        f"score_map payload of {len(buf)} bytes matches neither "
+        f"float32 ({h * w * 4}) nor uint8 ({h * w}) for shape {h}x{w}"
+    )
+
+
 def _media_kernel_arrow(cfg: ExtractConfig):
     """mapInArrow kernel for the joined-payload path.
 
@@ -142,9 +161,9 @@ def _media_kernel_arrow(cfg: ExtractConfig):
             regions_col = batch.column("regions")
             out_text = []
             for i in range(n):
-                prob = np.frombuffer(
-                    sm_col[i].as_buffer(), dtype=np.float32
-                ).reshape(int(heights[i]), int(widths[i]))
+                prob = _prob_from_buffer(
+                    sm_col[i].as_buffer(), int(heights[i]), int(widths[i])
+                )
                 regs = regions_col[i]
                 regions = []
                 for j in range(len(regs)):
@@ -189,9 +208,7 @@ def _media_kernel(cfg: ExtractConfig, synthesize: bool):
                 else:
                     h = int(pdf["height"].iloc[i])
                     w = int(pdf["width"].iloc[i])
-                    prob = np.frombuffer(
-                        pdf["score_map"].iloc[i], dtype=np.float32
-                    ).reshape(h, w)
+                    prob = _prob_from_buffer(pdf["score_map"].iloc[i], h, w)
                     regions = list(pdf["regions"].iloc[i])
                 out_text.append(_process_media_arrays(prob, regions, cfg))
             yield pd.DataFrame(

@@ -136,3 +136,39 @@ def test_rec_head_config_selects_decode(spark):
     assert abinet == media_texts(ExtractConfig(rec_head="abinet"))
     with pytest.raises(Exception, match="unknown rec_head"):
         media_texts(ExtractConfig(rec_head="nope"))
+
+
+def test_uint8_payload_roundtrip_bitexact(spark):
+    """The uint8 score-map storage is LOSSLESS: every generator level
+    sits on the k/255 float32 grid, so encode(round ×255) → decode
+    (÷255 in float32) reproduces the synthesized map bit-for-bit —
+    the joined and synthesized payload paths stay exactly equal, not
+    just threshold-equal."""
+    import numpy as np
+
+    from openocr_spark.fixtures import payload_for_media_ref, payload_row
+    from openocr_spark.operators.extract import _prob_from_buffer
+
+    for i in range(20):
+        ref = f"media://u8check/{i}"
+        want = payload_for_media_ref(ref)["score_map"]
+        row = payload_row(ref)
+        got = _prob_from_buffer(row["score_map"], row["height"], row["width"])
+        assert got.dtype == np.float32
+        assert np.array_equal(got, want), ref
+        # and it really is the narrow format
+        assert len(row["score_map"]) == row["height"] * row["width"]
+
+
+def test_float32_payload_tables_still_decode(spark):
+    """Back-compat: an existing float32 payload table (old format) is
+    sniffed by buffer length and decodes identically."""
+    import numpy as np
+
+    from openocr_spark.fixtures import payload_for_media_ref
+    from openocr_spark.operators.extract import _prob_from_buffer
+
+    p = payload_for_media_ref("media://f32check/0")
+    buf = p["score_map"].tobytes()
+    got = _prob_from_buffer(buf, p["height"], p["width"])
+    assert np.array_equal(got, p["score_map"])
