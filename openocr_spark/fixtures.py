@@ -62,7 +62,11 @@ def make_logits(text: str, rng: np.random.Generator, weak: bool = False) -> np.n
             need_blank[:-1] = (ids[1:] == ids[:-1]) | blank_roll[:-1]
         rep = np.repeat(ids, repeats)
         frames = np.insert(rep, np.cumsum(repeats)[need_blank], 0)
-    peak = 0.2 if weak else 8.0
+    # both levels exactly float16-representable (0.25 = 2^-2, 8.0 =
+    # 2^3) so the narrow logits payload format is lossless for every
+    # region; 0.25 keeps the weak softmax peak ≈ 0.034 → rec conf far
+    # below drop_score, same behavior as the old 0.2
+    peak = 0.25 if weak else 8.0
     logits = np.zeros((len(frames), NUM_CLASSES), dtype=np.float32)
     logits[np.arange(len(frames)), frames] = peak
     return logits
@@ -155,6 +159,18 @@ def payload_row(media_ref: str) -> dict:
     tables keep working."""
     p = payload_for_media_ref(media_ref)
     u8 = np.round(p["score_map"] * np.float32(255.0)).astype(np.uint8)
+
+    def logits_bytes(lg: np.ndarray) -> bytes:
+        # float16 when (and only when) the cast is LOSSLESS — the
+        # generator's logit levels {0, 0.2, 8.0} are all exactly
+        # float16-representable, halving the wire/disk bytes; any
+        # future non-representable level silently falls back to
+        # float32 rather than quietly rounding
+        lg16 = lg.astype(np.float16)
+        if np.array_equal(lg16.astype(np.float32), lg):
+            return lg16.tobytes()
+        return lg.tobytes()
+
     return {
         "media_ref": p["media_ref"],
         "width": p["width"],
@@ -165,7 +181,7 @@ def payload_row(media_ref: str) -> dict:
                 "points": r["points"],
                 "ignore": r["ignore"],
                 "gt_text": r["gt_text"],
-                "logits": r["logits"].tobytes(),
+                "logits": logits_bytes(r["logits"]),
                 "logits_t": int(r["logits"].shape[0]),
             }
             for r in p["regions"]

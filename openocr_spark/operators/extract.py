@@ -109,9 +109,7 @@ def _process_media_arrays(
         reg = regions[ridx]
         logits = reg["logits"]
         if isinstance(logits, (bytes, bytearray)):
-            logits = np.frombuffer(logits, dtype=np.float32).reshape(
-                int(reg["logits_t"]), -1
-            )
+            logits = _logits_from_buffer(logits, int(reg["logits_t"]))
         text, score = decode(logits)
         if score >= cfg.drop_score:
             texts.append(text)
@@ -134,6 +132,28 @@ def _prob_from_buffer(buf, h: int, w: int) -> np.ndarray:
     raise ValueError(
         f"score_map payload of {len(buf)} bytes matches neither "
         f"float32 ({h * w * 4}) nor uint8 ({h * w}) for shape {h}x{w}"
+    )
+
+
+def _logits_from_buffer(buf, t: int) -> np.ndarray:
+    """Decode a logits payload cell of t timesteps, dtype sniffed
+    against the engine's class count: t·C·4 bytes = float32, t·C·2 =
+    float16 (the lossless narrow format payload_row writes when every
+    value is exactly float16-representable). The class-count anchor is
+    required — C is even, so "divisible by 4t" alone would misread a
+    float16 buffer as a float32 one with half the columns. Returns
+    float32 — for the narrow format the up-cast is bit-exact by the
+    writer's contract."""
+    from openocr_spark.config import NUM_CLASSES
+
+    if len(buf) == t * NUM_CLASSES * 4:
+        return np.frombuffer(buf, dtype=np.float32).reshape(t, -1)
+    if len(buf) == t * NUM_CLASSES * 2:
+        return np.frombuffer(buf, dtype=np.float16).reshape(t, -1).astype(np.float32)
+    raise ValueError(
+        f"logits payload of {len(buf)} bytes is neither float32 "
+        f"({t * NUM_CLASSES * 4}) nor float16 ({t * NUM_CLASSES * 2}) "
+        f"for {t} timesteps x {NUM_CLASSES} classes"
     )
 
 
@@ -168,9 +188,9 @@ def _media_kernel_arrow(cfg: ExtractConfig):
                 regions = []
                 for j in range(len(regs)):
                     r = regs[j]
-                    logits = np.frombuffer(
-                        r["logits"].as_buffer(), dtype=np.float32
-                    ).reshape(int(r["logits_t"].as_py()), -1)
+                    logits = _logits_from_buffer(
+                        r["logits"].as_buffer(), int(r["logits_t"].as_py())
+                    )
                     regions.append(
                         {"points": r["points"].as_py(), "logits": logits}
                     )

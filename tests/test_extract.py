@@ -172,3 +172,30 @@ def test_float32_payload_tables_still_decode(spark):
     buf = p["score_map"].tobytes()
     got = _prob_from_buffer(buf, p["height"], p["width"])
     assert np.array_equal(got, p["score_map"])
+
+
+def test_float16_logits_roundtrip_bitexact(spark):
+    """Logits storage drops to float16 when lossless (the generator's
+    levels are all f16-representable); decode reproduces the float32
+    array bit-for-bit and sniffing is anchored on the class count (a
+    byte-length heuristic alone would misread f16 as half-width f32)."""
+    import numpy as np
+
+    from openocr_spark.config import NUM_CLASSES
+    from openocr_spark.fixtures import payload_for_media_ref, payload_row
+    from openocr_spark.operators.extract import _logits_from_buffer
+
+    for i in range(10):
+        ref = f"media://f16check/{i}"
+        p = payload_for_media_ref(ref)
+        row = payload_row(ref)
+        for want, got_r in zip(p["regions"], row["regions"]):
+            t = int(want["logits"].shape[0])
+            assert len(got_r["logits"]) == t * NUM_CLASSES * 2  # narrow
+            got = _logits_from_buffer(got_r["logits"], t)
+            assert got.dtype == np.float32
+            assert np.array_equal(got, want["logits"])
+    # float32 fallback path still decodes
+    lg = np.full((3, NUM_CLASSES), 0.1, dtype=np.float32)  # 0.1 not f16-exact
+    buf = lg.tobytes()
+    assert np.array_equal(_logits_from_buffer(buf, 3), lg)
