@@ -162,7 +162,7 @@ def payload_row(media_ref: str) -> dict:
 
     def logits_bytes(lg: np.ndarray) -> bytes:
         # float16 when (and only when) the cast is LOSSLESS — the
-        # generator's logit levels {0, 0.2, 8.0} are all exactly
+        # generator's logit levels {0, 0.25, 8.0} are all exactly
         # float16-representable, halving the wire/disk bytes; any
         # future non-representable level silently falls back to
         # float32 rather than quietly rounding

@@ -78,21 +78,30 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
-def lsh_bands(sigs: DataFrame) -> DataFrame:
-    """Signature → (id, band_idx, band_key) rows; band_key = md5 of the
-    band's concatenated minhashes."""
+def band_structs(h_cols: list[Column]) -> Column:
+    """(band_idx, band_key) struct array from the N_MINHASHES hash
+    columns — THE band scheme, shared by batch lsh_bands and the
+    streaming per-row expression (streaming/jobs.minhash_bands_expr),
+    so the streaming==batch candidate-set contract is structural rather
+    than two copies that could silently diverge."""
     per_band = N_MINHASHES // N_BANDS
-    bands = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
                 F.md5(
-                    F.concat(*[F.col(f"h{b * per_band + j}") for j in range(per_band)])
+                    F.concat(*[h_cols[b * per_band + j] for j in range(per_band)])
                 ).alias("band_key"),
             )
             for b in range(N_BANDS)
         ]
     )
+
+
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """Signature → (id, band_idx, band_key) rows; band_key = md5 of the
+    band's concatenated minhashes."""
+    bands = band_structs([F.col(f"h{s}") for s in range(N_MINHASHES)])
     return sigs.select("id", F.explode(bands).alias("b")).select(
         "id", "b.band_idx", "b.band_key"
     )

@@ -88,10 +88,16 @@ def _decode_fn(name: str):
 
 
 def _process_media_arrays(
-    prob: np.ndarray, regions: list[dict], cfg: ExtractConfig
+    prob: np.ndarray, regions: list[dict], cfg: ExtractConfig, decode=None
 ) -> str:
     """Per-media kernel flow: detect → reading order → recognize → filter
-    → newline-join (infer_e2e.py:155-218 infer_single_image analog)."""
+    → newline-join (infer_e2e.py:155-218 infer_single_image analog).
+    `decode` is the resolved decode-head kernel — the batch kernels
+    resolve it ONCE at closure-build time (driver side, so a bad
+    cfg.rec_head fails before any job launches, and the hot loop skips
+    168k dispatch lookups); None resolves here for direct callers."""
+    if decode is None:
+        decode = _decode_fn(cfg.rec_head)
     boxes, _scores = detect_boxes(
         prob,
         thresh=cfg.binarize_thresh,
@@ -101,7 +107,6 @@ def _process_media_arrays(
     )
     boxes = sorted_boxes(boxes, line_tol=cfg.line_tol)
     pts = [np.asarray(r["points"]) for r in regions]
-    decode = _decode_fn(cfg.rec_head)
     texts = []
     for box, ridx in zip(boxes, assign_regions_to_boxes(boxes, pts)):
         if ridx < 0:
@@ -167,6 +172,8 @@ def _media_kernel_arrow(cfg: ExtractConfig):
     numpy wrap the buffers zero-copy (`scalar.as_buffer()`), so only the
     small string/int columns are materialized."""
 
+    decode = _decode_fn(cfg.rec_head)  # driver-side fail-fast
+
     def kernel(batches):
         import pyarrow as pa
 
@@ -194,7 +201,9 @@ def _media_kernel_arrow(cfg: ExtractConfig):
                     regions.append(
                         {"points": r["points"].as_py(), "logits": logits}
                     )
-                out_text.append(_process_media_arrays(prob, regions, cfg))
+                out_text.append(
+                    _process_media_arrays(prob, regions, cfg, decode)
+                )
             yield pa.RecordBatch.from_pydict(
                 {
                     "doc_id": doc_ids,
@@ -216,6 +225,8 @@ def _media_kernel(cfg: ExtractConfig, synthesize: bool):
     distributes generation, nothing crosses the driver); otherwise the
     payload columns come from the joined media_payloads table."""
 
+    decode = _decode_fn(cfg.rec_head)  # driver-side fail-fast
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from openocr_spark.fixtures import payload_for_media_ref
 
@@ -230,7 +241,9 @@ def _media_kernel(cfg: ExtractConfig, synthesize: bool):
                     w = int(pdf["width"].iloc[i])
                     prob = _prob_from_buffer(pdf["score_map"].iloc[i], h, w)
                     regions = list(pdf["regions"].iloc[i])
-                out_text.append(_process_media_arrays(prob, regions, cfg))
+                out_text.append(
+                    _process_media_arrays(prob, regions, cfg, decode)
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

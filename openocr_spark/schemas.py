@@ -55,9 +55,13 @@ EXTRACTIONS = T.StructType(
 )
 
 # Media payloads (FIXTURES.md F-B): what `media_ref` resolves to. The
-# score_map is the DBNet-style probability map (float32[h,w] serialized;
-# analogous to opendet/modeling/heads/db_head.py output); region logits
-# are per-GT-region CTC logit matrices [T, NUM_CLASSES] (float32
+# score_map is the DBNet-style probability map (analogous to
+# opendet/modeling/heads/db_head.py output), serialized as uint8
+# (prob*255 — the default lossless narrow format payload_row writes;
+# legacy float32[h,w] buffers also decode — the reader length-sniffs
+# via extract._prob_from_buffer); region logits are per-GT-region CTC
+# logit matrices [T, NUM_CLASSES] (float16 when losslessly
+# representable, else float32 — sniffed by extract._logits_from_buffer,
 # serialized), analogous to the recognizer head output
 # (openrec/modeling/base_recognizer.py).
 REGION = T.StructType(
@@ -65,7 +69,7 @@ REGION = T.StructType(
         T.StructField("points", T.ArrayType(T.ArrayType(T.IntegerType()))),  # 4x2 quad
         T.StructField("ignore", T.BooleanType()),  # don't-care (eval_det_iou.py:86)
         T.StructField("gt_text", T.StringType()),
-        T.StructField("logits", T.BinaryType()),   # float32 [T*NUM_CLASSES]
+        T.StructField("logits", T.BinaryType()),   # f16|f32 [T*NUM_CLASSES], sniffed
         T.StructField("logits_t", T.IntegerType()),
     ]
 )
@@ -74,7 +78,7 @@ MEDIA_PAYLOADS = T.StructType(
         T.StructField("media_ref", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
-        T.StructField("score_map", T.BinaryType()),  # float32 [h*w]
+        T.StructField("score_map", T.BinaryType()),  # uint8|f32 [h*w], sniffed
         T.StructField("regions", T.ArrayType(REGION)),
     ]
 )

@@ -217,35 +217,69 @@ def windowed_event_counts(
     )
 
 
-def minhash_bands_expr(text_col: str = "text"):
+def minhash_bands_expr(sh_col):
     """Per-ROW MinHash band keys as a pure column expression (no
-    explode/groupBy): h_s = array_min over the shingle array of
-    md5(shingle + seed) — the same values dedup.minhash_signatures
-    computes relationally (min over a set is order-free), so streaming
-    and batch band keys are bit-identical. Returns an array of
-    (band_idx, band_key) structs; docs with no shingles yield null."""
-    from openocr_spark.operators.dedup import N_BANDS, N_MINHASHES, shingle_array
+    explode/groupBy) over an ALREADY-PROJECTED shingle-array column:
+    h_s = array_min over the shingles of md5(shingle + seed) — the same
+    values dedup.minhash_signatures computes relationally (min over a
+    set is order-free), and the band grouping comes from the SHARED
+    dedup.band_structs helper, so streaming and batch band keys are
+    bit-identical by construction. Pass a named column (project
+    shingle_array once in a prior select) — inlining the shingle
+    expression here would re-tokenize each row once per hash function
+    (higher-order functions sit outside whole-stage codegen CSE).
+    Docs with no shingles yield null."""
+    from openocr_spark.operators.dedup import N_MINHASHES, band_structs
 
-    sh = shingle_array(F.col(text_col))
     mins = [
         F.array_min(
-            F.transform(sh, lambda s, _i=i: F.md5(F.concat(s, F.lit(f"#{_i}"))))
+            F.transform(sh_col, lambda s, _i=i: F.md5(F.concat(s, F.lit(f"#{_i}"))))
         )
         for i in range(N_MINHASHES)
     ]
-    per_band = N_MINHASHES // N_BANDS
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat(*[mins[b * per_band + j] for j in range(per_band)])
-                ).alias("band_key"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    return F.when(F.size(sh) > 0, bands)
+    return F.when(F.size(sh_col) > 0, band_structs(mins))
+
+
+def _near_dup_bucket_fn(max_bucket: int, timeout_ms: int | None):
+    """Per-bucket state transition for near_dup_candidates_stream —
+    module-level so the timeout/eviction semantics are unit-testable
+    against a fake GroupState."""
+
+    def _empty():
+        return pd.DataFrame({"id_a": [], "id_b": [], "band_idx": []}).astype(
+            {"id_a": str, "id_b": str, "band_idx": "int32"}
+        )
+
+    def fn(key, pdfs, state):
+        band_idx = int(key[0])
+        if state.hasTimedOut:
+            # idle-bucket eviction: REMOVE the state and emit nothing —
+            # re-updating here would re-arm the timer forever and state
+            # would grow without bound (same guard as dedup_stream's)
+            state.remove()
+            yield _empty()
+            return
+        seen: list[str] = list(state.get[0]) if state.exists else []
+        rows = []
+        for pdf in pdfs:
+            for new_id in pdf["id"].astype(str):
+                if new_id in seen:
+                    continue
+                for old in seen:
+                    a, b = sorted((old, new_id))
+                    rows.append({"id_a": a, "id_b": b, "band_idx": band_idx})
+                if len(seen) < max_bucket:
+                    seen.append(new_id)
+        state.update((seen,))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield (
+            pd.DataFrame(rows, columns=["id_a", "id_b", "band_idx"])
+            if rows
+            else _empty()
+        )
+
+    return fn
 
 
 def near_dup_candidates_stream(
@@ -273,11 +307,14 @@ def near_dup_candidates_stream(
     gaps for O(active buckets) state)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from openocr_spark.operators.dedup import shingle_array
+
     banded = (
         docs_stream.select(
             F.col(id_col).alias("id"),
-            minhash_bands_expr(text_col).alias("bs"),
+            shingle_array(F.col(text_col)).alias("_sh"),  # tokenized ONCE
         )
+        .select("id", minhash_bands_expr(F.col("_sh")).alias("bs"))
         .filter(F.col("bs").isNotNull())
         .select("id", F.explode("bs").alias("b"))
         .select("id", "b.band_idx", "b.band_key")
@@ -285,29 +322,7 @@ def near_dup_candidates_stream(
 
     out_schema = "id_a string, id_b string, band_idx int"
     state_schema = "ids array<string>"
-
-    def fn(key, pdfs, state):
-        band_idx, _band_key = int(key[0]), key[1]
-        seen: list[str] = list(state.get[0]) if state.exists else []
-        rows = []
-        for pdf in pdfs:
-            for new_id in pdf["id"].astype(str):
-                if new_id in seen:
-                    continue
-                for old in seen:
-                    a, b = sorted((old, new_id))
-                    rows.append({"id_a": a, "id_b": b, "band_idx": band_idx})
-                if len(seen) < max_bucket:
-                    seen.append(new_id)
-        state.update((seen,))
-        if timeout_ms is not None:
-            state.setTimeoutDuration(timeout_ms)
-        if rows:
-            yield pd.DataFrame(rows, columns=["id_a", "id_b", "band_idx"])
-        else:
-            yield pd.DataFrame({"id_a": [], "id_b": [], "band_idx": []}).astype(
-                {"id_a": str, "id_b": str, "band_idx": "int32"}
-            )
+    fn = _near_dup_bucket_fn(max_bucket, timeout_ms)
 
     return banded.groupBy("band_idx", "band_key").applyInPandasWithState(
         fn,

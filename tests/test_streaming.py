@@ -275,3 +275,74 @@ def test_near_dup_candidates_stream_matches_batch_lsh(spark, tmp_path):
         ).collect()
     }
     assert got == batch_pairs
+
+
+def test_near_dup_bucket_fn_timeout_evicts_state():
+    """Review finding: a timed-out bucket must be REMOVED, not
+    re-armed — re-updating on hasTimedOut would grow state without
+    bound and re-fire every idle bucket each interval."""
+    import pandas as pd
+
+    from openocr_spark.streaming.jobs import _near_dup_bucket_fn
+
+    class FakeState:
+        def __init__(self, ids):
+            self.exists = True
+            self.hasTimedOut = True
+            self.get = (ids,)
+            self.removed = False
+            self.updated = None
+            self.timeout_set = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = True
+
+    fn = _near_dup_bucket_fn(max_bucket=64, timeout_ms=1000)
+    st = FakeState(["a", "b"])
+    out = list(fn((0, "key"), iter([]), st))
+    assert st.removed and st.updated is None and not st.timeout_set
+    assert sum(len(df) for df in out) == 0
+
+    # normal path: pairs emitted, state updated, timer armed
+    st2 = FakeState([])
+    st2.hasTimedOut = False
+    st2.exists = True
+    st2.get = (["a"],)
+    out2 = list(fn((3, "key"), iter([pd.DataFrame({"id": ["b"]})]), st2))
+    rows = pd.concat(out2)
+    assert [tuple(r) for r in rows.values] == [("a", "b", 3)]
+    assert st2.updated == (["a", "b"],) and st2.timeout_set and not st2.removed
+
+
+def test_near_dup_bucket_fn_caps_state():
+    """max_bucket bounds per-bucket state: the 65th id still pairs with
+    the 64 seen ones but is NOT remembered."""
+    import pandas as pd
+
+    from openocr_spark.streaming.jobs import _near_dup_bucket_fn
+
+    class St:
+        exists = True
+        hasTimedOut = False
+
+        def __init__(self, ids):
+            self.get = (ids,)
+            self.updated = None
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    fn = _near_dup_bucket_fn(max_bucket=3, timeout_ms=None)
+    st = St(["a", "b", "c"])
+    out = pd.concat(list(fn((0, "k"), iter([pd.DataFrame({"id": ["z"]})]), st)))
+    assert len(out) == 3  # z pairs with a, b, c
+    assert st.updated == (["a", "b", "c"],)  # z not remembered (cap)
