@@ -1235,6 +1235,71 @@ def q_near_dup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.near_dup_pairs(load(spark, sf, "embeddings"), threshold=0.3)
 
 
+def _near_dup_lsh_sql(
+    threshold: float = 0.3, bands: int = 4, bits: int = 4,
+    seed: int = 7, dims: int = 64,
+) -> str:
+    """Oracle SQL for the banded sign-LSH near-dup: per-band bucket ids
+    from the SAME deterministic ±1 hyperplanes (md5-parity constants
+    generated here and embedded as literals, like the IVF centroid
+    SQL), candidate pairs from the band-bucket self-join, exact cosine
+    verify at the end."""
+    import hashlib
+
+    def hvec(band: int, j: int) -> list[float]:
+        s = seed + 1000 * band
+        return [
+            1.0
+            if int(hashlib.md5(f"{s}#{j}#{i}".encode()).hexdigest()[:4], 16) % 2
+            else -1.0
+            for i in range(dims)
+        ]
+
+    band_selects = []
+    for t in range(bands):
+        bucket = " + ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(f"{x:.1f}" for x in hvec(t, j))
+            + f"]) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(bits)
+        )
+        band_selects.append(
+            f"SELECT vec_id, {t} AS band, {bucket} AS bucket FROM base"
+        )
+    bands_sql = "\n      UNION ALL ".join(band_selects)
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c
+        ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+    scored AS (
+      SELECT cand.id_a, cand.id_b,
+             ROUND(list_dot_product(x.v, y.v) /
+                   (sqrt(list_dot_product(x.v, x.v)) *
+                    sqrt(list_dot_product(y.v, y.v))), 6) AS cos_sim
+      FROM cand
+      JOIN base x ON x.vec_id = cand.id_a
+      JOIN base y ON y.vec_id = cand.id_b)
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {threshold}
+    """
+
+
+@q("near_dup_lsh", _near_dup_lsh_sql())
+def q_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded sign-LSH near-dup with exact verify — the tunable-recall
+    SCALE PATH for embedding near-dup (BENCH/scale_sf1.md): 4 hash
+    tables of 4 hyperplane signs OR-amplified, candidates exact-scored.
+    465 pairs at sf0.01 (non-vacuous); the oracle reproduces the
+    hyperplane constants and the whole band/bucket/verify pipeline in
+    SQL."""
+    return similarity.near_dup_pairs_lsh(
+        load(spark, sf, "embeddings"), threshold=0.3, bands=4, bits=4
+    )
+
+
 # --------------------------------------------------- stream-shaped
 
 @q(
