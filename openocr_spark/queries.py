@@ -870,9 +870,7 @@ def q_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(d, "doc_id", "text")
 
 
-@q(
-    "dedup_clusters",
-    f"""
+_DEDUP_CLUSTERS_SQL = f"""
     WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
     sig AS (
       SELECT id,
@@ -899,8 +897,10 @@ def q_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
       SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
     SELECT src AS id, LEAST(src, MIN(dst)) AS canonical_id
     FROM reach GROUP BY src
-    """,
-)
+    """
+
+
+@q("dedup_clusters", _DEDUP_CLUSTERS_SQL)
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive dedup clustering: connected components over the
     MinHash-LSH candidate pairs via hash-min label propagation
@@ -909,6 +909,17 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     pairs = dedup.lsh_candidate_pairs(d, "doc_id", "text").select("id_a", "id_b")
     return dedup.dedup_components(pairs)
+
+
+@q("dedup_clusters_star", _DEDUP_CLUSTERS_SQL)
+def q_dedup_clusters_star(spark: SparkSession, sf: str) -> DataFrame:
+    """Same components, computed by the O(log n)-round large-star/
+    small-star contraction (dedup.dedup_components_star) — checked
+    against the identical recursive-CTE oracle as the hash-min variant,
+    so both algorithms are pinned to the same ground truth."""
+    d = load(spark, sf, "documents")
+    pairs = dedup.lsh_candidate_pairs(d, "doc_id", "text").select("id_a", "id_b")
+    return dedup.dedup_components_star(pairs)
 
 
 @q(
