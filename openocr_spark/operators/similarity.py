@@ -115,15 +115,23 @@ def cosine_topk_ivf_trained(
     nprobe: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cells: DataFrame | None = None,
+    cell_col: str = "cell",
 ) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer + multi-probe: assign
     each corpus vector to its nearest centroid cell, scan only the
     nprobe cells nearest the query, exact-score the survivors, take a
     distributed top-k.
 
-    At 100 TB the cell is the Iceberg partition key (write-time
-    assignment), so the probe-set filter is partition pruning — the
-    scan reads nprobe/k_cells of the corpus and nothing else shuffles.
+    Pass `cells` = the cell-PARTITIONED relation from ensure_ivf_cells
+    (write-time cell assignment, `cell` as the parquet/Iceberg partition
+    key) and the probe filter becomes real partition pruning — the scan
+    reads only the nprobe probe-cell directories (plan-asserted in
+    tests: PartitionFilters carries the probe IN-list and the scanned
+    files all live under cell=<probe> paths). With cells=None the cell
+    id is computed on the fly (k_cells dot products per row over a FULL
+    corpus scan) — correct, and fine for recall studies on samples, but
+    not the scale path; materialize at scale.
 
     Recall honesty note: the driver's fixture embeddings are near-
     isotropic (k-means purity ≈ 0.17 against the latent labels), the
@@ -131,11 +139,14 @@ def cosine_topk_ivf_trained(
     on the sf0.01 fixture (pinned in tests). On real corpora with
     cluster structure the same index prunes far harder at equal recall;
     scaling knobs are k_cells (∝ √N) and nprobe."""
-    vec = F.col(vec_col).cast("array<double>")
     probes = probe_cells(query_vec, nprobe)
-    pruned = emb.withColumn("_cell", ivf_cell(vec)).filter(
-        F.col("_cell").isin(*probes)
-    )
+    if cells is not None:
+        pruned = cells.filter(F.col(cell_col).isin(*probes))
+    else:
+        vec = F.col(vec_col).cast("array<double>")
+        pruned = emb.withColumn("_cell", ivf_cell(vec)).filter(
+            F.col("_cell").isin(*probes)
+        )
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
 
 
@@ -168,24 +179,14 @@ def with_i8_codes(
     )
 
 
-def ensure_i8_codes(
-    spark,
-    sf_dir: str,
-    base_dir: str = "/tmp/openocr_i8codes",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> str:
-    """Materialize the embeddings table's int8 code column to parquet
-    (idempotent, atomic rename — same discipline as fixture_oracle);
-    returns the code table path. This is the offline index-build step
-    a production deployment runs once per corpus version — and the
-    cache key includes a fingerprint of the SOURCE parquet (file names,
-    sizes, mtimes), so a dataset regenerated in place at the same path
-    gets fresh codes instead of a stale index."""
+def _index_out_path(sf_dir: str, base_dir: str) -> str:
+    """Cache path for a derived index over {sf_dir}/embeddings.parquet:
+    slug + md5 fingerprint of the SOURCE parquet (file names, sizes,
+    mtimes), so a dataset regenerated in place at the same path gets a
+    fresh index instead of a stale one."""
     import hashlib
     import os
     import re
-    import shutil
 
     src = f"{sf_dir}/embeddings.parquet"
     h = hashlib.md5()
@@ -196,18 +197,76 @@ def ensure_i8_codes(
         st = os.stat(f)
         h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode())
     slug = re.sub(r"[^A-Za-z0-9._-]+", "_", sf_dir.strip("/"))
-    out = f"{base_dir}/{slug}-{h.hexdigest()[:10]}"
+    return f"{base_dir}/{slug}-{h.hexdigest()[:10]}"
+
+
+def _ensure_index(spark, sf_dir: str, base_dir: str, write_fn) -> str:
+    """Idempotent, atomic-rename materialization (same discipline as
+    fixture_oracle): write_fn(emb_df, tmp_path) builds the index into
+    tmp, a rename publishes it; a concurrent winner's output is kept."""
+    import os
+    import shutil
+
+    out = _index_out_path(sf_dir, base_dir)
     if os.path.exists(f"{out}/_SUCCESS"):
         return out
     tmp = f"{out}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    with_i8_codes(emb, id_col, vec_col).write.mode("overwrite").parquet(tmp)
+    write_fn(emb, tmp)
     try:
         os.rename(tmp, out)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
     return out
+
+
+def ensure_i8_codes(
+    spark,
+    sf_dir: str,
+    base_dir: str = "/tmp/openocr_i8codes",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize the embeddings table's int8 code column to parquet;
+    returns the code table path. This is the offline index-build step a
+    production deployment runs once per corpus version."""
+
+    def write(emb: DataFrame, tmp: str) -> None:
+        with_i8_codes(emb, id_col, vec_col).write.mode("overwrite").parquet(tmp)
+
+    return _ensure_index(spark, sf_dir, base_dir, write)
+
+
+def ensure_ivf_cells(
+    spark,
+    sf_dir: str,
+    base_dir: str = "/tmp/openocr_ivfcells",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> str:
+    """Materialize the WRITE-TIME IVF cell layout: the embeddings table
+    rewritten with `cell` (nearest trained centroid) as the parquet
+    partition key — the analog of Iceberg `PARTITIONED BY (cell)`.
+    Reading this table with a probe-set filter is partition pruning:
+    the scan touches only the nprobe cell directories, no per-row
+    centroid math, no full-corpus scan. This is the offline step the
+    cosine_topk_ivf_trained docstring's scale claim requires (VERDICT
+    r3 item 2); cache-keyed by source fingerprint like ensure_i8_codes."""
+
+    def write(emb: DataFrame, tmp: str) -> None:
+        vec = F.col(vec_col).cast("array<double>")
+        (
+            emb.withColumn(cell_col, ivf_cell(vec))
+            # k_cells output dirs; one shuffle so each cell writes one
+            # file instead of one file per input-partition × cell
+            .repartition(F.col(cell_col))
+            .write.mode("overwrite")
+            .partitionBy(cell_col)
+            .parquet(tmp)
+        )
+
+    return _ensure_index(spark, sf_dir, base_dir, write)
 
 
 def cosine_topk_quantized(

@@ -68,3 +68,25 @@ def salted(col: Column, buckets: int) -> Column:
     return F.concat(
         col.cast("string"), F.lit("#"), F.pmod(F.xxhash64(col), F.lit(buckets)).cast("string")
     )
+
+def executed_scan_metrics(df: DataFrame) -> list[dict[str, int]]:
+    """Runtime metrics of every leaf scan of an ALREADY-EXECUTED
+    DataFrame (call .collect() on `df` first — the metrics live on that
+    DataFrame's own QueryExecution). Returns one dict per leaf with
+    whatever of numFiles / numPartitions / filesSize / numOutputRows the
+    scan reports. This is the ground truth for partition-pruning
+    asserts: a pruned scan's numFiles counts only the files actually
+    read, where inputFiles()/PartitionFilters only show intent."""
+    wanted = {"numFiles", "numPartitions", "filesSize", "numOutputRows"}
+    out: list[dict[str, int]] = []
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    for i in range(leaves.length()):
+        node = leaves.apply(i)
+        metrics: dict[str, int] = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() in wanted:
+                metrics[kv._1()] = kv._2().value()
+        out.append(metrics)
+    return out

