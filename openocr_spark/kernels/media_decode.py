@@ -113,18 +113,29 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     h = abs(h_signed)
     row_bytes = (w * bpp // 8 + 3) & ~3
     if bpp == 8:
-        # palette: 4 bytes/entry (B,G,R,0) right after the info header
+        # palette: 4 bytes/entry (B,G,R,0) right after the info header;
+        # its length is biClrUsed (offset 46, 0 meaning the full 2^bpp),
+        # further bounded by the bytes before pixel data — a fixed
+        # 1024-byte slice would read PIXELS as palette for encoders that
+        # write a truncated table (biClrUsed < 256)
+        (clr_used,) = struct.unpack_from("<I", data, 46)
+        n_entries = clr_used or 256
+        n_entries = min(n_entries, max((px_offset - (14 + hdr_size)) // 4, 0))
+        if n_entries <= 0:
+            raise NotImplementedError("BMP palette missing")
         pal = np.frombuffer(
-            data[14 + hdr_size : 14 + hdr_size + 4 * 256], dtype=np.uint8
-        )
-        n_entries = len(pal) // 4
-        pal = pal[: n_entries * 4].reshape(-1, 4)
+            data[14 + hdr_size : 14 + hdr_size + 4 * n_entries], dtype=np.uint8
+        ).reshape(-1, 4)
         gray_lut = _luma(pal[:, 2], pal[:, 1], pal[:, 0])
         rows = []
         for y in range(h):
             off = px_offset + y * row_bytes
             idx = np.frombuffer(data[off : off + w], dtype=np.uint8)
-            rows.append(gray_lut[np.minimum(idx, n_entries - 1)])
+            if int(idx.max(initial=0)) >= n_entries:
+                # an index past the palette is corrupt input — fail loud
+                # rather than clamp to a garbage luma value
+                raise NotImplementedError("BMP palette index out of range")
+            rows.append(gray_lut[idx])
         px = np.stack(rows)
     else:
         rows = []
@@ -136,14 +147,225 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     return px if top_down else px[::-1].copy()
 
 
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG per-scanline filtering (spec §9 Filtering): each
+    scanline is 1 filter-type byte + `stride` filtered bytes. Types
+    0 None / 2 Up are vectorized; 1 Sub is a per-channel cumsum (the
+    recurrence recon[x] = raw[x] + recon[x-bpp] telescopes); 3 Average
+    and 4 Paeth carry an intra-row data dependence and run per-byte
+    (fine: rows are short relative to the zlib inflate that dominates)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    rows = raw.reshape(h, stride + 1)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].copy()
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = cur
+        elif ftype == 1:  # Sub
+            for c in range(bpp):
+                out[y, c::bpp] = np.cumsum(cur[c::bpp], dtype=np.uint64) & 0xFF
+        elif ftype == 2:  # Up
+            out[y] = cur + prev  # uint8 wraps mod 256 per spec
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(out[y, x - bpp]) if x >= bpp else 0
+                out[y, x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(out[y, x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out[y, x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+    return out
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """From-scratch PNG decoder (PNG spec, stdlib zlib for inflate):
+    chunk walk (IHDR / PLTE / IDAT* / IEND), concatenated-IDAT zlib
+    stream, all 5 scanline filters, 8-bit depth, color types 0 gray /
+    2 RGB / 3 palette / 4 gray+alpha / 6 RGBA (alpha dropped, color via
+    BT.601 luma — same normalization as the other codecs). Adam7
+    interlace and 1/2/4/16-bit depths stay NotImplementedError."""
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace} not supported (8-bit "
+            "non-interlaced only)"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype_n}")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise NotImplementedError("PNG raster size mismatch")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if ctype_n == 0:
+        return px[:, :, 0].copy()
+    if ctype_n == 4:  # gray + alpha: drop alpha
+        return px[:, :, 0].copy()
+    if ctype_n == 3:
+        if plte is None:
+            raise NotImplementedError("palette PNG without PLTE")
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise NotImplementedError("PNG palette index out of range")
+        rgb = plte[idx]
+        return _luma(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
+    return _luma(px[:, :, 0], px[:, :, 1], px[:, :, 2])  # 2 RGB / 6 RGBA
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
+    """GIF variable-width LZW decompressor (GIF89a spec appendix F):
+    little-endian bit packing, clear/EOI codes, code width grows after
+    the table fills through 12 bits. Returns exactly n_pixels palette
+    indexes."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+
+    def reset_table() -> tuple[dict[int, bytes], int, int]:
+        return (
+            {i: bytes([i]) for i in range(1 << min_code_size)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = reset_table()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, next_code, width = reset_table()
+                prev = None
+                continue
+            if code == eoi:
+                if n_out != n_pixels:
+                    raise NotImplementedError("GIF LZW ended short")
+                return out
+            if code in table:
+                entry = table[code]
+            elif prev is not None and code == next_code:  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise NotImplementedError("corrupt GIF LZW stream")
+            out[n_out : n_out + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
+            n_out += len(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    if n_out != n_pixels:
+        raise NotImplementedError("GIF LZW stream truncated")
+    return out
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
+    """From-scratch GIF87a/89a FIRST-frame decoder (the reference's GIF
+    semantics — check_and_read takes frame 0, tools/utils/utility.py:
+    76-87): logical screen descriptor, global/local color table,
+    extension-block skip, LZW raster, Adam-style 4-pass interlace
+    reorder, palette → BT.601 luma."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF")
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _left, _top, w, h = struct.unpack_from("<HHHH", data, pos + 1)
+            iflags = data[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(
+                    data[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if pal is None:
+                raise NotImplementedError("GIF frame without a color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                size = data[pos]
+                lzw += data[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            idx = _gif_lzw_decode(min_code, bytes(lzw), h * w).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows in 4-pass order
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                deinter = np.empty_like(idx)
+                deinter[np.array(order)] = idx
+                idx = deinter
+            if int(idx.max(initial=0)) >= len(pal):
+                raise NotImplementedError("GIF palette index out of range")
+            rgb = pal[idx]
+            return _luma(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
+        elif b0 == 0x3B:  # trailer before any image
+            break
+        else:
+            raise NotImplementedError(f"unexpected GIF block 0x{b0:02x}")
+    raise NotImplementedError("GIF contains no image frame")
+
+
 def decode_bytes(data: bytes) -> list[np.ndarray]:
-    """Codec entrypoint — format sniffed from the magic bytes. PGM/PPM
-    and uncompressed BMP decode for real; the entropy-coded formats
-    (PNG/JPEG/GIF/PDF) need cv2/PIL/PyMuPDF, absent in this
-    environment, and stay behind NotImplementedError. Single-image
+    """Codec entrypoint — format sniffed from the magic bytes. Real
+    from-scratch decoders: PGM/PPM, uncompressed BMP, PNG (stdlib zlib
+    inflate, all 5 filters), GIF87a/89a first frame (pure-python LZW),
+    and Flate-PDF image pages (kernels/pdf_format.py). JPEG (DCT
+    entropy coding) stays behind NotImplementedError — the one format
+    that genuinely needs cv2/PIL in this environment. Single-image
     formats return a 1-page list (check_and_read's contract,
     tools/utils/utility.py:76-107: everything normalizes to a page
-    list)."""
+    list); PDFs return one entry per page (1→N)."""
     if data[: len(_MAGIC)] == _MAGIC:
         h, w, n = struct.unpack("<HHB", data[len(_MAGIC) : len(_MAGIC) + 5])
         body = data[len(_MAGIC) + 5 :]
@@ -157,10 +379,19 @@ def decode_bytes(data: bytes) -> list[np.ndarray]:
         return [_decode_pnm(data)]
     if data[:2] == b"BM":
         return [_decode_bmp(data)]
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return [_decode_png(data)]
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return [_decode_gif(data)]
+    if data[:5] == b"%PDF-":
+        from openocr_spark.kernels.pdf_format import decode_pdf_pages
+
+        return decode_pdf_pages(data)
     raise NotImplementedError(
-        "entropy-coded codecs (PNG/JPEG/GIF/PDF via cv2/PIL/PyMuPDF) are "
-        "not available in this environment; supported: FAKEIMG1, PGM/PPM "
-        "(P2/P5/P6), uncompressed BMP (8/24-bit)"
+        "JPEG (DCT entropy coding via cv2/PIL) is not available in this "
+        "environment; supported: FAKEIMG1, PGM/PPM (P2/P5/P6), "
+        "uncompressed BMP (8/24-bit), PNG (8-bit non-interlaced), "
+        "GIF87a/89a first frame, PDF (Flate/raw image XObjects)"
     )
 
 
