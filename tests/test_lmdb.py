@@ -129,3 +129,67 @@ def test_distributed_shard_reader(spark, tmp_path):
         ("sh0", 2, b"b" * 50, "one"),
         ("sh1", 1, b"c" * 50, "two"),
     ]
+
+
+# --- interop with REAL liblmdb (ADVICE r3 item 3): the reader/writer
+# were previously validated only against each other; these tests break
+# that circularity with the C library on both directions -------------
+
+GOLDEN_ENV = os.path.join(os.path.dirname(__file__), "golden", "lmdb_golden")
+
+
+def _golden_records():
+    """The records tests/golden/lmdb_golden/data.mdb holds — the file
+    was produced ONCE by real liblmdb (mdb_load 0.9.x, classic btree,
+    4096-byte pages; tree depth 2, 1 branch + 10 leaf + 2 overflow
+    pages) from this exact self-describing generator:
+      key-0000..key-0799 -> md5(key) * (1 + i % 3)   (16/32/48 bytes)
+      big-value-key      -> bytes(range(256)) * 24   (6144 B, overflow)
+    """
+    import hashlib
+
+    recs = {
+        b"key-%04d" % i: hashlib.md5(b"key-%04d" % i).digest() * (1 + i % 3)
+        for i in range(800)
+    }
+    recs[b"big-value-key"] = bytes(range(256)) * 24
+    return recs
+
+
+def test_reader_decodes_real_liblmdb_golden():
+    """The from-scratch reader must decode a data.mdb written by the C
+    library — meta pages, branch descent, leaf nodes, overflow run —
+    not just files from the sibling writer."""
+    r = L.LmdbReader(GOLDEN_ENV)
+    want = _golden_records()
+    assert r.entries == len(want) == 801
+    assert dict(r.items()) == want
+    assert r.get(b"key-0555") == want[b"key-0555"]
+    assert r.get(b"big-value-key") == want[b"big-value-key"]
+    assert r.get(b"missing") is None
+
+
+def test_real_mdb_dump_reads_our_writer(tmp_path):
+    """Real liblmdb (mdb_dump) must accept the from-scratch writer's
+    output byte-for-byte — the reverse interop direction. Skipped when
+    the C tools aren't on PATH."""
+    import shutil
+    import subprocess
+
+    if shutil.which("mdb_dump") is None:
+        pytest.skip("liblmdb tools not available")
+    recs = _records(300, vlen=48, seed=5) + [(b"big", bytes(range(256)) * 20)]
+    env = str(tmp_path / "env")
+    L.write_lmdb(env, recs)
+    out = subprocess.run(
+        ["mdb_dump", env], capture_output=True, text=True, check=True
+    ).stdout.splitlines()
+    i = out.index("HEADER=END") + 1
+    pairs = []
+    while out[i] != "DATA=END":
+        pairs.append(
+            (bytes.fromhex(out[i].strip()), bytes.fromhex(out[i + 1].strip()))
+        )
+        i += 2
+    assert dict(pairs) == dict(recs)
+    assert len(pairs) == len(recs)
