@@ -328,6 +328,7 @@ def near_dup_pairs_lsh(
     vec_col: str = "embedding",
     seed: int = 7,
     hash_dims: int = 64,
+    strict_dims: bool = False,
 ) -> DataFrame:
     """Banded sign-LSH near-dup pairs — the tunable-recall SCALE PATH
     for embedding near-dup (the structure of MinHash-LSH applied to the
@@ -340,8 +341,24 @@ def near_dup_pairs_lsh(
     is quadratic in its (2^bits-way smaller) bucket occupancy, the
     verify join touches candidates only — measured 7.7× faster than the
     exact within-cell join at 10× corpus with bits=3 single-table
-    (BENCH/scale_sf1.md)."""
+    (BENCH/scale_sf1.md).
+
+    strict_dims=True makes a vector whose length differs from
+    `hash_dims` an executor-side error instead of a silent projection
+    onto the leading coordinates — callers whose oracle/recall math
+    assumes full-width hashes (the driver-contract query does) must not
+    drift from a SQL oracle that embeds `hash_dims`-wide hyperplane
+    literals (ADVICE r3 item 2)."""
     vec = F.col(vec_col).cast("array<double>")
+    if strict_dims:
+        vec = F.when(F.size(vec) == F.lit(hash_dims), vec).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"near_dup_pairs_lsh: embedding dim != {hash_dims}: "),
+                    F.size(vec).cast("string"),
+                )
+            )
+        )
     band_arr = F.array(
         *[
             F.struct(

@@ -1283,9 +1283,17 @@ def _near_dup_lsh_sql(
             f"SELECT vec_id, {t} AS band, {bucket} AS bucket FROM base"
         )
     bands_sql = "\n      UNION ALL ".join(band_selects)
+    # dim guard (ADVICE r3 item 2): the hyperplane literals are exactly
+    # `dims` wide — a corpus whose embedding length differs must ERROR
+    # here, mirroring the engine's strict_dims raise, not silently
+    # project/desync
     return f"""
-    WITH base AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH chk AS (
+      SELECT CASE WHEN EXISTS (
+               SELECT 1 FROM embeddings WHERE len(embedding) <> {dims})
+             THEN error('embeddings dim != {dims}') ELSE 1 END AS ok),
+    base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings, chk),
     b AS ({bands_sql}),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
@@ -1310,9 +1318,12 @@ def q_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     tables of 4 hyperplane signs OR-amplified, candidates exact-scored.
     465 pairs at sf0.01 (non-vacuous); the oracle reproduces the
     hyperplane constants and the whole band/bucket/verify pipeline in
-    SQL."""
+    SQL. strict_dims pins the engine to the oracle's 64-wide hyperplane
+    literals — a different embedding width errors on BOTH sides instead
+    of silently projecting (ADVICE r3 item 2)."""
     return similarity.near_dup_pairs_lsh(
-        load(spark, sf, "embeddings"), threshold=0.3, bands=4, bits=4
+        load(spark, sf, "embeddings"), threshold=0.3, bands=4, bits=4,
+        strict_dims=True,
     )
 
 

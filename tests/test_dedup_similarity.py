@@ -527,3 +527,30 @@ def test_ivf_cells_probe_filter_is_partition_pruning(spark):
     # no per-row centroid math anywhere in the pruned plan: the inline
     # path's signature is a k_cells-wide array_min of dist structs
     assert "array_min" not in plan, plan
+
+
+def test_near_dup_lsh_strict_dims_fails_loud(spark):
+    """ADVICE r3 item 2: a corpus whose embedding width differs from
+    the hyperplane width must ERROR on both engine and oracle sides,
+    never silently project onto the leading coordinates."""
+    import duckdb
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from openocr_spark.queries import _near_dup_lsh_sql
+
+    rows = [(i, [float(i), 1.0, -1.0]) for i in range(4)]  # 3-dim, not 64
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(Py4JJavaError, match="dim != 64"):
+        similarity.near_dup_pairs_lsh(df, strict_dims=True).collect()
+    # non-strict keeps the documented projection semantics
+    assert similarity.near_dup_pairs_lsh(df, strict_dims=False).count() >= 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        "(0, [1.0, 2.0, 3.0]), (1, [4.0, 5.0, 6.0])) t(vec_id, embedding)"
+    )
+    # duckdb fails loudly too — either our chk-CTE error or its own
+    # list-length check, whichever the optimizer evaluates first
+    with pytest.raises(duckdb.Error, match="dim"):
+        con.execute(_near_dup_lsh_sql()).fetchall()
