@@ -34,9 +34,16 @@ class ExtractConfig:
     ratio_sort: bool = False
     # recognition decode head, selected by name like the reference's
     # PostProcess config (openrec/postprocess/__init__.py
-    # build_post_process): ctc | abinet | cppd | smtr | lister | igtr |
-    # visionlan | mgp_char
+    # build_post_process): ctc | nrtr | srn | gtc | ce | char | abinet |
+    # cppd | smtr | lister | igtr | visionlan | mgp_char | unirec |
+    # cmer | mgp_bpe | mgp_wp  (operators/extract._decode_fn)
     rec_head: str = "ctc"
+    # id→token table for the tokenizer-backed heads (unirec / cmer /
+    # mgp_bpe / mgp_wp) — the trained-tokenizer external artifact, as a
+    # tuple of (id, token) pairs so the frozen config stays hashable;
+    # kernels/tokenizer.py builds the deterministic fixture one and
+    # (de)serializes the content-addressed artifact form
+    token_map: tuple[tuple[int, str], ...] | None = None
 
 
 DEFAULT_CONFIG = ExtractConfig()

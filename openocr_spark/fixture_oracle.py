@@ -42,6 +42,7 @@ _GEN_SOURCES = (
     "oracle.py",
     "fixtures.py",
     "config.py",
+    "kernels/tokenizer.py",
     "functions/text.py",
     "functions/markdown.py",
     "functions/otsl.py",

@@ -385,6 +385,74 @@ def unirec_decode(
     return unirec_clean_special_tokens(raw), 0.0
 
 
+def mgp_bpe_decode(
+    token_ids: list[int] | np.ndarray,
+    probs: list[float] | np.ndarray,
+    id_to_token: dict[int, str],
+) -> tuple[str, float]:
+    """MGP BPE head (mgp_postprocess.py:105-119): decode token by
+    token, BREAK at the literal '#' token (before appending or
+    multiplying — unlike char_decode, the break position's probability
+    is NOT in the product), confidence is the PRODUCT of the kept
+    positions' probabilities. Faithful quirk: conf starts at 1.0, so an
+    immediate '#' yields ('', 1.0). The trained BPE tokenizer is an
+    external artifact — pass its id→token map (kernels/tokenizer.py
+    ships the deterministic fixture one); unknown ids decode to ''."""
+    text_decoded: list[str] = []
+    conf = 1.0
+    for t, p in zip(token_ids, probs):
+        tok = id_to_token.get(int(t), "")
+        if tok == "#":
+            break
+        text_decoded.append(tok)
+        conf *= float(p)
+    return "".join(text_decoded), float(conf)
+
+
+def wp_join(tokens: list[str]) -> str:
+    """The word-piece detokenizer convention (BERT decode analog):
+    tokens join with a single space except '##'-prefixed continuations,
+    which append to the previous token with the marker stripped."""
+    out: list[str] = []
+    for tok in tokens:
+        if tok.startswith("##") and out:
+            out[-1] += tok[2:]
+        elif tok:
+            out.append(tok)
+    return " ".join(out)
+
+
+def mgp_wp_decode(
+    token_ids: list[int] | np.ndarray,
+    probs: list[float] | np.ndarray,
+    id_to_token: dict[int, str],
+    sep_id: int | None = None,
+) -> tuple[str, float]:
+    """MGP word-piece head (mgp_postprocess.py:121-143): detokenize the
+    WHOLE sequence, truncate the STRING at '[SEP]', confidence is the
+    probability product up to (and including) the [SEP] position.
+    Faithful quirks preserved: when '[SEP]' is absent from the decoded
+    string, `find` returns -1 and the slice drops the LAST CHARACTER;
+    when sep_id is absent from the ids, the product runs over
+    probs[:-1]; an empty product slice yields 0.0 (the reference's
+    cumprod-on-empty exception path)."""
+    toks = [id_to_token.get(int(t), "") for t in token_ids]
+    wp_pred = wp_join(toks)
+    wp_pred = wp_pred[: wp_pred.find("[SEP]")]
+    ids = [int(t) for t in token_ids]
+    if sep_id is not None and sep_id in ids:
+        eos_index = ids.index(sep_id) + 1
+    else:
+        eos_index = -1
+    window = list(probs)[:eos_index]
+    if not window:
+        return wp_pred, 0.0
+    conf = 1.0
+    for p in window:
+        conf *= float(p)
+    return wp_pred, float(conf)
+
+
 CMER_SPECIALS = frozenset({"<|pad|>", "<|bos|>", "<|eos|>", "<|unk|>"})
 
 

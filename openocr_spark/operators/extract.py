@@ -61,15 +61,63 @@ def explode_spans(documents: DataFrame) -> DataFrame:
     ).select("doc_id", "span_idx", "span.*")
 
 
-def _decode_fn(name: str):
-    """Decode-head dispatch by config name — the build_post_process
-    analog (openrec/postprocess/__init__.py maps the yml PostProcess
-    name to a decode class; here it maps cfg.rec_head to a kernel)."""
-    if name == "ctc":
-        return ctc_greedy_decode
+TOKENIZER_HEADS = frozenset({"unirec", "cmer", "mgp_bpe", "mgp_wp"})
+
+
+def _argmax_ids_probs(logits: np.ndarray):
+    """Softmax argmax ids + their probabilities — the bridge from a
+    single-logits buffer to the token-id heads (the analog of the AR
+    loop's per-step argmax in tools/infer_unirec_onnx.py:288-331)."""
+    from openocr_spark.kernels.recognition import softmax
+
+    if logits is None or logits.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    probs = softmax(np.asarray(logits, dtype=np.float64), axis=1)
+    return probs.argmax(axis=1), probs.max(axis=1)
+
+
+def _ce_head(logits: np.ndarray):
+    """CE is a whole-image single-position head — feed it position 0."""
     from openocr_spark.kernels import decode_heads as H
 
+    return H.ce_decode(logits[0] if logits is not None and len(logits) else logits)
+
+
+def _gtc_head(logits: np.ndarray):
+    """GTC guidance branch only (the inference path; the CTC auxiliary
+    branch needs its own logits tensor)."""
+    from openocr_spark.kernels.recognition import gtc_decode
+
+    return gtc_decode(logits, None, only_gtc=True)[0]
+
+
+def _decode_fn(name: str, token_map=None):
+    """Decode-head dispatch by config name — the build_post_process
+    analog (openrec/postprocess/__init__.py maps the yml PostProcess
+    name to a decode class; here it maps cfg.rec_head to a kernel).
+    Every single-logits-compatible head family is reachable; the
+    tokenizer-backed heads additionally require cfg.token_map (the
+    trained-tokenizer artifact) and fail fast at closure-build time
+    without it. Dual-tensor heads (gtc aux, char aux box branch, mgp
+    fusion) expose their primary branch here and their full form as
+    direct kernel calls."""
+    from openocr_spark.kernels import decode_heads as H
+    from openocr_spark.kernels.recognition import (
+        nrtr_greedy_decode,
+        srn_fixed_decode,
+    )
+
     table = {
+        "ctc": ctc_greedy_decode,
+        "nrtr": nrtr_greedy_decode,
+        # char primary: the CharLabelDecode main branch decodes over the
+        # same NRTR vocabulary with the same EOS/skip rules
+        # (char_postprocess.py:17-66) — the aux box branch needs its own
+        # logits (kernels: H.char_dual_decode)
+        "char": nrtr_greedy_decode,
+        "srn": srn_fixed_decode,
+        "gtc": _gtc_head,
+        "ce": _ce_head,
         "abinet": H.abinet_decode,
         "cppd": H.cppd_decode,
         "smtr": H.smtr_decode,
@@ -78,13 +126,53 @@ def _decode_fn(name: str):
         "visionlan": H.visionlan_decode,
         "mgp_char": H.mgp_char_decode,
     }
+    if name in TOKENIZER_HEADS:
+        if not token_map:
+            raise ValueError(
+                f"rec_head {name!r} is tokenizer-backed and needs "
+                "ExtractConfig.token_map (the trained-tokenizer artifact; "
+                "kernels/tokenizer.py ships the fixture one)"
+            )
+        id_to_token = dict(token_map)
+        if name == "unirec":
+            def tok_head(logits):  # noqa: ANN001
+                ids, _ = _argmax_ids_probs(logits)
+                return H.unirec_decode(ids, id_to_token)
+        elif name == "cmer":
+            def tok_head(logits):  # noqa: ANN001
+                ids, _ = _argmax_ids_probs(logits)
+                return H.cmer_decode(ids, id_to_token)
+        elif name == "mgp_bpe":
+            def tok_head(logits):  # noqa: ANN001
+                ids, probs = _argmax_ids_probs(logits)
+                return H.mgp_bpe_decode(ids, probs, id_to_token)
+        else:  # mgp_wp
+            from openocr_spark.kernels.tokenizer import sep_id
+
+            sep = sep_id(tuple(token_map))
+
+            def tok_head(logits):  # noqa: ANN001
+                ids, probs = _argmax_ids_probs(logits)
+                return H.mgp_wp_decode(ids, probs, id_to_token, sep_id=sep)
+
+        return tok_head
     try:
         return table[name]
     except KeyError:
         raise ValueError(
             f"unknown rec_head {name!r}; expected one of "
-            f"ctc, {', '.join(sorted(table))}"
+            f"{', '.join(sorted(table))}, {', '.join(sorted(TOKENIZER_HEADS))}"
         ) from None
+
+
+# every head name reachable from ExtractConfig(rec_head=...) — the
+# config-selectable surface the dispatch test enumerates against the
+# implemented-kernel list
+REC_HEAD_NAMES: tuple[str, ...] = (
+    "ctc", "nrtr", "char", "srn", "gtc", "ce", "abinet", "cppd", "smtr",
+    "lister", "igtr", "visionlan", "mgp_char",
+    "unirec", "cmer", "mgp_bpe", "mgp_wp",
+)
 
 
 def _process_media_arrays(
@@ -97,7 +185,7 @@ def _process_media_arrays(
     cfg.rec_head fails before any job launches, and the hot loop skips
     168k dispatch lookups); None resolves here for direct callers."""
     if decode is None:
-        decode = _decode_fn(cfg.rec_head)
+        decode = _decode_fn(cfg.rec_head, cfg.token_map)
     boxes, _scores = detect_boxes(
         prob,
         thresh=cfg.binarize_thresh,
@@ -172,7 +260,7 @@ def _media_kernel_arrow(cfg: ExtractConfig):
     numpy wrap the buffers zero-copy (`scalar.as_buffer()`), so only the
     small string/int columns are materialized."""
 
-    decode = _decode_fn(cfg.rec_head)  # driver-side fail-fast
+    decode = _decode_fn(cfg.rec_head, cfg.token_map)  # driver-side fail-fast
 
     def kernel(batches):
         import pyarrow as pa
@@ -225,7 +313,7 @@ def _media_kernel(cfg: ExtractConfig, synthesize: bool):
     distributes generation, nothing crosses the driver); otherwise the
     payload columns come from the joined media_payloads table."""
 
-    decode = _decode_fn(cfg.rec_head)  # driver-side fail-fast
+    decode = _decode_fn(cfg.rec_head, cfg.token_map)  # driver-side fail-fast
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from openocr_spark.fixtures import payload_for_media_ref

@@ -460,12 +460,20 @@ def rec_heads_matrix(media_refs: DataFrame) -> DataFrame:
     same fixture logits decoded under each vocabulary/stop/skip/conf
     permutation, emitted as (media_ref, region_idx, head, text, conf).
     Exercises the per-architecture heads through the distributed
-    surface; the oracle is oracle.rec_heads_rows (independent eager
-    derivation) materialized to parquet."""
+    surface AND the config-name dispatch itself: every head is resolved
+    via extract._decode_fn exactly as ExtractConfig(rec_head=...) would,
+    with the tokenizer-backed heads driven by the deterministic fixture
+    tokenizer artifact (kernels/tokenizer.py). The oracle is
+    oracle.rec_heads_rows (independent eager derivation) materialized
+    to parquet."""
     from openocr_spark.fixtures import payload_for_media_ref
-    from openocr_spark.kernels import decode_heads as H
-    from openocr_spark.kernels.recognition import ctc_greedy_decode
+    from openocr_spark.kernels.tokenizer import fixture_token_map
+    from openocr_spark.operators.extract import REC_HEAD_NAMES, _decode_fn
 
+    tm = fixture_token_map()
+    # resolved once at closure-build time (driver side) — the same
+    # fail-fast discipline as the extract kernels
+    heads = {name: _decode_fn(name, tm) for name in REC_HEAD_NAMES}
     cols = ["media_ref", "region_idx", "head", "text", "conf"]
 
     def kernel(batches):
@@ -475,16 +483,7 @@ def rec_heads_matrix(media_refs: DataFrame) -> DataFrame:
                 p = payload_for_media_ref(ref)
                 for ridx, reg in enumerate(p["regions"]):
                     lg = np.asarray(reg["logits"], dtype=np.float64)
-                    res = {
-                        "ctc": ctc_greedy_decode(lg),
-                        "abinet": H.abinet_decode(lg),
-                        "smtr": H.smtr_decode(lg),
-                        "lister": H.lister_decode(lg),
-                        "igtr": H.igtr_decode(lg),
-                        "visionlan": H.visionlan_decode(lg),
-                        "mgp_char": H.mgp_char_decode(lg),
-                        "ce": H.ce_decode(lg[0] if len(lg) else lg),
-                    }
+                    res = {name: fn(lg) for name, fn in heads.items()}
                     for head, (text, conf) in res.items():
                         rows.append(
                             {

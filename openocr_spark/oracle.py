@@ -248,6 +248,92 @@ def rec_heads_rows(media_ref: str) -> list[dict]:
             )
         else:
             rows["ce"] = ("", 0.0)
+        # cppd reads the last refinement iteration — single-logits
+        # fixtures have exactly one, so its rows equal abinet's vocab/loop
+        rows["cppd"] = eos_family(ids, conf, ["</s>"] + list(cs), set())
+        # nrtr family: [blank,<unk>,<s>,</s>] prepended, EOS break, no
+        # skip set (specials before EOS append literally); the char
+        # primary branch and the gtc guidance branch decode identically
+        nrtr_vocab = ["blank", "<unk>", "<s>", "</s>"] + list(cs)
+        rows["nrtr"] = eos_family(ids, conf, nrtr_vocab, set())
+        rows["char"] = rows["nrtr"]
+        rows["gtc"] = rows["nrtr"]
+        # srn: charset + [<BOS>,<EOS>] APPENDED, fixed max_len 25,
+        # BOS/EOS positions skipped, NO break at EOS (the reference's
+        # ignored-check-precedes-break quirk)
+        srn_vocab = list(cs) + ["<BOS>", "<EOS>"]
+        srn_kept = [
+            (srn_vocab[int(k)], float(c))
+            for k, c in zip(ids[:25], conf[:25])
+            if int(k) < len(srn_vocab) - 2
+        ]
+        rows["srn"] = (
+            ("".join(t for t, _ in srn_kept),
+             float(np.mean([c for _, c in srn_kept])))
+            if srn_kept
+            else ("", 0.0)
+        )
+        # tokenizer-backed heads over the fixture tokenizer artifact —
+        # the MAP is the shared external artifact (like the charset);
+        # the decode rules are re-derived here
+        from openocr_spark.kernels.tokenizer import fixture_token_map
+
+        tokmap = dict(fixture_token_map())
+        toks = [tokmap.get(int(k), "<|unk|>") for k in ids]
+        # unirec: concat, Ġ/Ċ byte markers, chat-special strip, ordered rules
+        ur = "".join(toks)
+        ur = (
+            ur.replace("Ġ", " ").replace("Ċ", "\n")
+            .replace("<|bos|>", "").replace("<|eos|>", "")
+            .replace("<|pad|>", "")
+        )
+        import re as _re
+
+        for pat, rep in (
+            (r"-<\|sn\|>", ""), (r" <\|sn\|>", " "), (r"<\|sn\|>", " "),
+            (r"<\|unk\|>", ""), (r"<s>", ""), (r"</s>", ""), ("￿", ""),
+            (r"_{4,}", "___"), (r"\.{4,}", "..."),
+        ):
+            ur = _re.sub(pat, rep, ur)
+        rows["unirec"] = (ur, 0.0)
+        # cmer: drop specials, join, remove all spaces, strip
+        cmer_specials = {"<|pad|>", "<|bos|>", "<|eos|>", "<|unk|>"}
+        cm = "".join(
+            tokmap.get(int(k), "") for k in ids
+            if tokmap.get(int(k), "") not in cmer_specials
+        ).replace(" ", "").strip()
+        rows["cmer"] = (cm, 0.0)
+        # mgp bpe: break at '#' BEFORE appending/multiplying; product conf
+        bpe_parts: list[str] = []
+        bpe_conf = 1.0
+        for k, c in zip(ids, conf):
+            tok = tokmap.get(int(k), "")
+            if tok == "#":
+                break
+            bpe_parts.append(tok)
+            bpe_conf *= float(c)
+        rows["mgp_bpe"] = ("".join(bpe_parts), bpe_conf)
+        # mgp wp: detokenize all (## merges, space join), truncate the
+        # STRING at find('[SEP]') (absent → -1 drops the last char),
+        # product over probs[:index_of_sep_id+1] (absent → [:-1]; empty
+        # window → 0.0)
+        wp_toks: list[str] = []
+        for tok in toks:
+            if tok.startswith("##") and wp_toks:
+                wp_toks[-1] += tok[2:]
+            elif tok:
+                wp_toks.append(tok)
+        wp_pred = " ".join(wp_toks)
+        wp_pred = wp_pred[: wp_pred.find("[SEP]")]
+        sep_ids = [i for i, k in enumerate(ids) if tokmap.get(int(k)) == "[SEP]"]
+        eos_index = sep_ids[0] + 1 if sep_ids else -1
+        window = list(conf)[:eos_index]
+        wp_conf = 0.0
+        if window:
+            wp_conf = 1.0
+            for c in window:
+                wp_conf *= float(c)
+        rows["mgp_wp"] = (wp_pred, wp_conf)
         for head, (text, c) in rows.items():
             out.append(
                 {

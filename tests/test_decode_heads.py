@@ -308,3 +308,66 @@ def test_heads_match_oracle_on_random_logits():
         want_conf = float(conf[keep].mean()) if keep.any() else 0.0
         got_t, got_c = ctc_greedy_decode(lg)
         assert got_t == want_text and abs(got_c - want_conf) < 1e-12
+
+
+def test_mgp_bpe_break_and_product_conf():
+    """mgp_postprocess.py:105-119: '#' breaks BEFORE appending or
+    multiplying; conf is the product of kept positions; immediate '#'
+    keeps the initial 1.0."""
+    from openocr_spark.kernels.decode_heads import mgp_bpe_decode
+
+    tm = {1: "ab", 2: "cd", 9: "#", 3: "ef"}
+    text, conf = mgp_bpe_decode([1, 2, 9, 3], [0.5, 0.25, 0.9, 0.8], tm)
+    assert text == "abcd"
+    assert abs(conf - 0.125) < 1e-12  # 0.5 * 0.25; '#' prob excluded
+    text, conf = mgp_bpe_decode([9, 1], [0.7, 0.7], tm)
+    assert (text, conf) == ("", 1.0)  # the reference's empty-product quirk
+    # unknown ids decode to '' and contribute their prob
+    text, conf = mgp_bpe_decode([1, 77], [0.5, 0.5], tm)
+    assert text == "ab" and abs(conf - 0.25) < 1e-12
+
+
+def test_mgp_wp_sep_truncation_and_conf_window():
+    """mgp_postprocess.py:121-143: string truncates at find('[SEP]');
+    conf = product of probs[:index(sep_id)+1] (INCLUDING the [SEP]
+    position); absent [SEP] → find()=-1 drops the last char and the
+    window is probs[:-1]; empty window → 0.0."""
+    from openocr_spark.kernels.decode_heads import mgp_wp_decode, wp_join
+
+    tm = {1: "hello", 2: "##wo", 3: "rld", 10: "[SEP]", 4: "x"}
+    # wp_join: '##' merges into the previous token
+    assert wp_join(["hello", "##wo", "rld"]) == "hellowo rld"
+    text, conf = mgp_wp_decode(
+        [1, 2, 10, 4], [0.5, 0.5, 0.5, 0.9], tm, sep_id=10
+    )
+    # joined: 'hellowo [SEP] x' → truncated at '[SEP]' → 'hellowo '
+    assert text == "hellowo "
+    assert abs(conf - 0.125) < 1e-12  # 0.5*0.5*0.5 — [SEP] included
+    # no [SEP]: find()=-1 slices the last char off; window probs[:-1]
+    text, conf = mgp_wp_decode([1, 3], [0.5, 0.25], tm, sep_id=10)
+    assert text == "hello rl"  # 'hello rld'[: -1]
+    assert abs(conf - 0.5) < 1e-12
+    # single token without [SEP]: empty conf window → 0.0
+    text, conf = mgp_wp_decode([1], [0.5], tm, sep_id=10)
+    assert (text, conf) == ("hell", 0.0)  # 'hello'[:-1], cumprod-empty path
+
+
+def test_fixture_token_map_contract():
+    """One token per logit column, specials present, JSON round-trip."""
+    import json
+
+    from openocr_spark.config import NUM_CLASSES
+    from openocr_spark.kernels.tokenizer import (
+        fixture_token_map,
+        sep_id,
+        token_map_json,
+    )
+
+    tm = fixture_token_map()
+    assert len(tm) == NUM_CLASSES
+    assert len({i for i, _ in tm}) == NUM_CLASSES
+    toks = {t for _, t in tm}
+    assert {"<|pad|>", "#", "[SEP]", "<|eos|>"} <= toks
+    assert sep_id(tm) == 10
+    rt = tuple(sorted((int(k), v) for k, v in json.loads(token_map_json()).items()))
+    assert rt == tuple(sorted(tm))
