@@ -359,16 +359,21 @@ def near_dup_pairs_lsh(
                 )
             )
         )
+    # project the cast (+ strict check) vector ONCE: higher-order fns
+    # sit outside codegen CSE, so inlining `vec` into all bands×bits
+    # hash expressions would re-evaluate the cast/check 16× per row
+    projected = emb.select(F.col(id_col).alias("id"), vec.alias("_v"))
+    pv = F.col("_v")
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(t).alias("band"),
-                sign_bucket(vec, bits, seed=seed + 1000 * t, dims=hash_dims).alias("bucket"),
+                sign_bucket(pv, bits, seed=seed + 1000 * t, dims=hash_dims).alias("bucket"),
             )
             for t in range(bands)
         ]
     )
-    tagged = emb.select(F.col(id_col).alias("id"), band_arr.alias("bs")).select(
+    tagged = projected.select("id", band_arr.alias("bs")).select(
         "id", F.explode("bs").alias("b")
     ).select("id", "b.band", "b.bucket")
     a, b = tagged.alias("a"), tagged.alias("b")

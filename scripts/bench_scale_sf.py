@@ -5,10 +5,10 @@ and report the per-query time ratio. A query whose time grows faster
 than the data (ratio >> 10 after fixed-overhead correction) is flagged
 superlinear.
 
-extract_joined is excluded from the 10x leg: its payload table is
-~11 GB at sf0.1, so 10x would need ~110 GB of /tmp — beyond this
-sandbox's disk budget; its scaling is evidenced by the N-vs-4N
-parallelism study (bench_scaling.py) instead.
+extract_joined gets its own 1x-vs-3x leg (joined_leg): the r3 uint8/
+f16 payload format shrank the payload table ~170 MB per 30k docs, so a
+3x corpus fits /tmp easily (the old "11 GB" exclusion measured the
+LOGICAL size; disk is snappy-compressed).
 
 Writes BENCH/scale_sf1.json and prints a markdown table.
 """
@@ -25,20 +25,45 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 QUERIES = (
     "pruned_agg,join_agg,broadcast_dim_join,window_label,running_sum,"
     "rollup_suites,exact_dedup,minhash_signatures,lsh_pairs,simhash,"
-    "cosine_topk,ann_ivf_trained,near_dup_embeddings,sessionize,"
-    "rec_metric_long,preproc_targets,extract_spans"
+    "cosine_topk,ann_ivf_trained,near_dup_embeddings,near_dup_lsh,"
+    "sessionize,rec_metric_long,preproc_targets,extract_spans"
 )
 
 
-def run_bench(sf_dir: str) -> dict:
+def run_bench(sf_dir: str, only: str = QUERIES, fixture_docs: int | None = None) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
-    env["BENCH_ONLY"] = QUERIES
+    env["BENCH_ONLY"] = only
+    if fixture_docs is not None:
+        env["BENCH_FIXTURE_DOCS"] = str(fixture_docs)
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         env=env, capture_output=True, text=True, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def joined_leg() -> dict:
+    """extract_joined data-scaling evidence (VERDICT r3 item 6): the
+    joined-payload path at 1x (30k docs) vs 3x (90k docs) synthetic
+    corpora. Feasible now that payloads store uint8/f16 (~170 MB/30k
+    docs on disk); corpus+payload materialization is untimed (bench.py
+    handles it), the measured time is the extraction job itself."""
+    base = run_bench("/root/testdata/sf0.1", only="extract_fixture,extract_joined",
+                     fixture_docs=30000)
+    big = run_bench("/root/testdata/sf0.1", only="extract_fixture,extract_joined",
+                    fixture_docs=90000)
+    rows = []
+    for name in ("extract_fixture", "extract_joined"):
+        a, b = base["queries"][name], big["queries"][name]
+        rows.append({
+            "query": name, "docs_1x": 30000, "docs_3x": 90000,
+            "sec_1x": a, "sec_3x": b,
+            "ratio": round(b / a, 2),
+            "marginal_ratio": round(max(b - 0.5, 0.01) / max(a - 0.5, 0.01), 2),
+            "docs_per_sec_3x": round(90000 / b, 1),
+        })
+    return {"data_scale": 3, "rows": rows}
 
 
 def main() -> None:
@@ -74,6 +99,7 @@ def main() -> None:
         "sf1_total": big["value"],
         "total_ratio": round(big["value"] / base["value"], 2),
         "rows": rows,
+        "joined": joined_leg(),
     }
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     with open(os.path.join(ROOT, "BENCH", "scale_sf1.json"), "w") as f:
@@ -86,6 +112,11 @@ def main() -> None:
             f"{r['ratio']} | {r['marginal_ratio']} | "
             f"{'SUPERLINEAR' if r['superlinear'] else ''} |"
         )
+    print("| joined query | 1x s (30k docs) | 3x s (90k docs) | ratio | marginal |")
+    print("|---|---|---|---|---|")
+    for r in result["joined"]["rows"]:
+        print(f"| {r['query']} | {r['sec_1x']} | {r['sec_3x']} | "
+              f"{r['ratio']} | {r['marginal_ratio']} |")
     print(json.dumps({"total_ratio": result["total_ratio"]}))
 
 
