@@ -1,0 +1,232 @@
+"""Test-side baseline JPEG ENCODER — written independently of the
+package decoder (its own bit writer, canonical-code assignment, forward
+DCT, zigzag) so decode(encode(px)) validates kernels/jpeg_format
+against the T.81 spec rather than against a sibling implementation.
+
+Supports: grayscale (1 component), YCbCr 4:4:4 and 4:2:0 (2×2-mean
+subsample), restart intervals, quality-scaled Annex K quant tables or
+an all-ones table for near-lossless round trips.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+ZIG = [
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K Table K.1 (luminance quantization, zigzag order)
+K1 = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+# K.3/K.5: standard luminance DC/AC Huffman (BITS, HUFFVAL)
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_C = np.array([
+    [np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8) * 1.0 for _ in range(1)]
+    for u in range(8)
+])
+_BASIS = np.array([
+    [(np.sqrt(0.125) if u == 0 else 0.5) * np.cos((2 * x + 1) * u * np.pi / 16.0)
+     for x in range(8)]
+    for u in range(8)
+])
+
+
+def fdct_8x8(block: np.ndarray) -> np.ndarray:
+    return _BASIS @ block @ _BASIS.T
+
+
+def _codes(bits, vals):
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def pad(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per spec
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _enc_value(w, v: int, t: int) -> None:
+    if t:
+        w.write(v if v >= 0 else v + (1 << t) - 1, t)
+
+
+def _encode_block(w, coef_q: np.ndarray, pred: int, dc_c, ac_c) -> int:
+    zz = coef_q.reshape(-1)[ZIG]
+    dc = int(zz[0])
+    diff = dc - pred
+    t = _category(diff)
+    w.write(*dc_c[t])
+    _enc_value(w, diff, t)
+    run = 0
+    last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            w.write(*ac_c[0x00])  # EOB
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.write(*ac_c[0xF0])  # ZRL
+            run -= 16
+        s = _category(v)
+        w.write(*ac_c[(run << 4) | s])
+        _enc_value(w, v, s)
+        run = 0
+    return dc
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    qtable: list[int] | None = None,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """img: (h, w) gray or (h, w, 3) RGB uint8. qtable: 64 zigzag-order
+    values (default Annex K.1); pass [1]*64 for a near-lossless round
+    trip. subsample=True → 4:2:0 chroma (2×2 mean)."""
+    q = np.array(qtable if qtable is not None else K1, dtype=np.int32)
+    color = img.ndim == 3
+    h, w = img.shape[:2]
+    if color:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+        samps = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    else:
+        planes = [img.astype(np.float64)]
+        samps = [(1, 1)]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    if subsample:
+        for i in (1, 2):
+            p = planes[i]
+            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            planes[i] = (pad[0::2, 0::2] + pad[0::2, 1::2]
+                         + pad[1::2, 0::2] + pad[1::2, 1::2]) / 4.0
+
+    # pad each plane to whole MCUs
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x, mcus_y = -(-w // mcu_w), -(-h // mcu_h)
+    padded = []
+    for p, (sh, sv) in zip(planes, samps):
+        th, tw = mcus_y * sv * 8, mcus_x * sh * 8
+        padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"))
+
+    dc_c, ac_c = _codes(DC_BITS, DC_VALS), _codes(AC_BITS, AC_VALS)
+    wtr = _BitWriter()
+    pred = [0] * len(planes)
+    deq = np.empty(64, np.int32)
+    deq[ZIG] = np.arange(64)  # natural-order index of each zigzag slot
+    qnat = np.empty(64, np.int32)
+    qnat[[ZIG[i] for i in range(64)]] = q  # quant table in natural order
+    mcu_count = 0
+    out_chunks = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wtr.pad()
+                out_chunks.append(bytes(wtr.buf))
+                out_chunks.append(bytes([0xFF, 0xD0 + ((mcu_count // restart_interval - 1) % 8)]))
+                wtr = _BitWriter()
+                pred = [0] * len(planes)
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samps)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = fdct_8x8(block)
+                        cq = np.round(coef / qnat.reshape(8, 8)).astype(np.int32)
+                        pred[ci] = _encode_block(wtr, cq, pred[ci], dc_c, ac_c)
+            mcu_count += 1
+    wtr.pad()
+    out_chunks.append(bytes(wtr.buf))
+
+    head = bytearray(b"\xff\xd8")
+    head += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, (sh, sv) in enumerate(samps):
+        sof += bytes([i + 1, (sh << 4) | sv, 0])
+    head += _seg(0xC0, sof)
+    head += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    head += _seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    if restart_interval:
+        head += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    head += _seg(0xDA, sos)
+    return bytes(head) + b"".join(out_chunks) + b"\xff\xd9"

@@ -25,10 +25,9 @@ def test_fake_codec_roundtrip():
         assert np.array_equal(a, b)
 
 
-def test_jpeg_codec_stubbed():
-    """JPEG (DCT entropy coding) is the one remaining stubbed format."""
+def test_unknown_magic_rejected():
     with pytest.raises(NotImplementedError):
-        decode_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+        decode_bytes(b"\x00\x01\x02\x03 not a known format")
 
 
 def test_decode_media_explodes_pages(spark):
@@ -529,3 +528,88 @@ def test_png_gif_pdf_through_spark_extract(spark):
     assert feats[("a.png", 0)].mean_px == pytest.approx(float(png_px.mean()))
     assert feats[("c.pdf", 0)].mean_px == pytest.approx(60.0)
     assert feats[("c.pdf", 1)].mean_px == pytest.approx(70.0)
+
+
+# --- baseline JPEG (from-scratch Huffman+IDCT decoder; the test-side
+# encoder in jpeg_ref_encoder.py is an independent T.81 implementation
+# with its own bit writer / code assignment / forward DCT) -----------
+
+
+def _smooth(h, w, color=False):
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    if not color:
+        return (128 + 70 * np.sin(x / 5.0) + 40 * np.cos(y / 4.0)).clip(0, 255).astype(np.uint8)
+    return np.dstack([
+        (128 + 80 * np.sin(x / 7.0)).clip(0, 255),
+        (128 + 80 * np.cos(y / 6.0)).clip(0, 255),
+        (128 + 60 * np.sin((x + y) / 9.0)).clip(0, 255),
+    ]).astype(np.uint8)
+
+
+def test_jpeg_gray_near_lossless_roundtrip():
+    """All-ones quant table: the only loss is IDCT rounding (≤1/px) —
+    pins the Huffman layer, DC prediction, zigzag, and IDCT exactly."""
+    from jpeg_ref_encoder import encode_jpeg
+
+    img = _smooth(16, 24)
+    (out,) = decode_bytes(encode_jpeg(img, qtable=[1] * 64))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_jpeg_default_quant_quality():
+    from jpeg_ref_encoder import encode_jpeg
+
+    img = _smooth(24, 40)
+    (out,) = decode_bytes(encode_jpeg(img))
+    rmse = float(np.sqrt(((out.astype(float) - img) ** 2).mean()))
+    assert rmse < 4.0, rmse
+
+
+def test_jpeg_color_444_and_420():
+    from jpeg_ref_encoder import encode_jpeg
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    rgb = _smooth(24, 40, color=True)
+    out = decode_jpeg(encode_jpeg(rgb, qtable=[1] * 64))
+    assert out.shape == rgb.shape
+    assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 2
+    out420 = decode_jpeg(encode_jpeg(rgb, qtable=[1] * 64, subsample=True))
+    rmse = float(np.sqrt(((out420.astype(float) - rgb) ** 2).mean()))
+    assert rmse < 5.0, rmse  # chroma subsample loss only
+    # decode_bytes converts color JPEG to luma like every other codec
+    (gray,) = decode_bytes(encode_jpeg(rgb, qtable=[1] * 64))
+    assert gray.shape == rgb.shape[:2]
+
+
+def test_jpeg_restart_markers_and_odd_dims():
+    from jpeg_ref_encoder import encode_jpeg
+
+    img = _smooth(17, 33)
+    (out,) = decode_bytes(encode_jpeg(img, qtable=[1] * 64, restart_interval=2))
+    assert out.shape == (17, 33)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_jpeg_progressive_rejected():
+    """SOF2 (progressive) is out of scope and must fail loud."""
+    from jpeg_ref_encoder import encode_jpeg
+
+    jb = bytearray(encode_jpeg(_smooth(8, 8), qtable=[1] * 64))
+    idx = jb.find(b"\xff\xc0")
+    jb[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_bytes(bytes(jb))
+
+
+def test_jpeg_through_spark_extract(spark):
+    from jpeg_ref_encoder import encode_jpeg
+
+    img = _smooth(10, 12)
+    df = spark.createDataFrame(
+        [("d1", "a.jpg", bytearray(encode_jpeg(img, qtable=[1] * 64)))],
+        "doc_id string, media_ref string, content binary",
+    )
+    feats = extract_features(decode_media(df)).collect()[0]
+    assert feats.media_ref == "a.jpg"
+    assert abs(feats.mean_px - float(img.mean())) < 1.5
