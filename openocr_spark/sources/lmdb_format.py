@@ -10,10 +10,14 @@ node-pointer array growing up and node bodies growing down, big values
 on overflow page runs.
 
 Scope: a complete READER for read-only scans (full traversal + point
-get — all the reference's access patterns), and a WRITER that emits a
+get — all the reference's access patterns), a WRITER that emits a
 fresh single-transaction environment (sorted bulk load — the
-create_lmdb_dataset analog). Not implemented: incremental writes, the
-freelist DB (fresh environments have an empty one), named sub-DBs.
+create_lmdb_dataset analog), and lmdb_append for INCREMENTAL commits
+(copy-on-write append + alternate-meta publish, the writeCache-every-
+1000 pattern of tools/create_lmdb_dataset.py:50-96). Not implemented:
+freelist page RECLAIM (the free DB stays empty, so each commit appends
+a fresh tree — crash-safe, but the file grows per commit) and named
+sub-DBs.
 
 Format constants (public spec):
   page header  16 B: pgno u64 | pad u16 | flags u16 | lower u16 | upper u16
@@ -66,17 +70,18 @@ def _even(n: int) -> int:
 
 
 class _PageBuf:
-    def __init__(self) -> None:
-        self.pages: list[bytes] = []  # index = pgno
+    def __init__(self, offset: int = 0) -> None:
+        self.offset = offset  # first pgno this buffer owns (append mode)
+        self.pages: list[bytes] = []  # index = pgno - offset
 
     def alloc(self, n: int = 1) -> int:
-        pgno = len(self.pages)
+        pgno = self.offset + len(self.pages)
         self.pages.extend([b""] * n)
         return pgno
 
     def put(self, pgno: int, data: bytes) -> None:
         assert len(data) == PSIZE
-        self.pages[pgno] = data
+        self.pages[pgno - self.offset] = data
 
 
 def _page_header(pgno: int, flags: int, lower: int, upper: int) -> bytes:
@@ -146,13 +151,9 @@ def _db_struct(
     )
 
 
-def write_lmdb(path: str, records: dict[bytes, bytes] | list[tuple[bytes, bytes]]) -> str:
-    """Write a fresh LMDB environment directory containing `records` in
-    its main DB (single bulk transaction). Returns the data.mdb path."""
-    items = sorted(records.items() if isinstance(records, dict) else records)
-    buf = _PageBuf()
-    buf.alloc(2)  # meta pages 0 and 1
-
+def _build_tree(buf: _PageBuf, items: list[tuple[bytes, bytes]]) -> dict:
+    """Build a B+tree for sorted `items` into `buf` (leaves + overflow
+    runs bottom-up into branch levels); returns the MDB_db stats."""
     # --- leaves (+ overflow runs), filled greedily in key order
     leaf_pgnos: list[int] = []
     first_keys: list[bytes] = []
@@ -232,36 +233,106 @@ def write_lmdb(path: str, records: dict[bytes, bytes] | list[tuple[bytes, bytes]
                 i = j
             level = nxt
         root = level[0][0]
+    return {
+        "depth": depth,
+        "branch": n_branch,
+        "leaf": len(leaf_pgnos),
+        "overflow": n_overflow,
+        "entries": len(items),
+        "root": root,
+    }
+
+
+def write_lmdb(path: str, records: dict[bytes, bytes] | list[tuple[bytes, bytes]]) -> str:
+    """Write a fresh LMDB environment directory containing `records` in
+    its main DB (single bulk transaction). Returns the data.mdb path."""
+    items = sorted(records.items() if isinstance(records, dict) else records)
+    buf = _PageBuf()
+    buf.alloc(2)  # meta pages 0 and 1
+    db = _build_tree(buf, items)
 
     # --- meta pages: slot 0 = pristine env (txnid 0), slot 1 = the
     # committed transaction (txnid 1); readers pick the larger txnid
     last_pg = len(buf.pages) - 1
     mapsize = max(1 << 20, (last_pg + 1) * PSIZE)
-    free_db = _db_struct(PSIZE, 0, 0, 0, 0, 0, 0, P_INVALID)
-
-    def meta_page(slot: int, txnid: int, main_db: bytes) -> bytes:
-        body = bytearray(PSIZE)
-        body[0:PAGEHDRSZ] = _page_header(slot, P_META, 0, 0)
-        meta = (
-            struct.pack("<IIQQ", MAGIC, VERSION, 0, mapsize)
-            + free_db
-            + main_db
-            + struct.pack("<QQ", last_pg, txnid)
-        )
-        body[PAGEHDRSZ : PAGEHDRSZ + len(meta)] = meta
-        return bytes(body)
 
     empty_main = _db_struct(0, 0, 0, 0, 0, 0, 0, P_INVALID)
     main_db = _db_struct(
-        0, 0, depth, n_branch, len(leaf_pgnos), n_overflow, len(items), root
+        0, 0, db["depth"], db["branch"], db["leaf"], db["overflow"],
+        db["entries"], db["root"],
     )
-    buf.put(0, meta_page(0, 0, empty_main))
-    buf.put(1, meta_page(1, 1, main_db))
+    buf.put(0, _meta_page(0, 0, empty_main, mapsize, last_pg))
+    buf.put(1, _meta_page(1, 1, main_db, mapsize, last_pg))
 
     os.makedirs(path, exist_ok=True)
     data_path = os.path.join(path, "data.mdb")
     with open(data_path, "wb") as f:
         f.write(b"".join(buf.pages))
+    return data_path
+
+
+def _meta_page(
+    slot: int, txnid: int, main_db: bytes, mapsize: int, last_pg: int
+) -> bytes:
+    free_db = _db_struct(PSIZE, 0, 0, 0, 0, 0, 0, P_INVALID)
+    body = bytearray(PSIZE)
+    body[0:PAGEHDRSZ] = _page_header(slot, P_META, 0, 0)
+    meta = (
+        struct.pack("<IIQQ", MAGIC, VERSION, 0, mapsize)
+        + free_db
+        + main_db
+        + struct.pack("<QQ", last_pg, txnid)
+    )
+    body[PAGEHDRSZ : PAGEHDRSZ + len(meta)] = meta
+    return bytes(body)
+
+
+def lmdb_append(
+    path: str, records: dict[bytes, bytes] | list[tuple[bytes, bytes]]
+) -> str:
+    """Commit `records` into an EXISTING environment as a new write
+    transaction — the incremental-write pattern of the reference's
+    dataset builder (tools/create_lmdb_dataset.py:50-96 commits its
+    writeCache every 1000 samples).
+
+    Semantics mirror liblmdb's copy-on-write commit: new/updated pages
+    APPEND at the end of the file, the old tree is untouched, and the
+    commit becomes visible only when the alternate meta slot
+    (txnid & 1) is written with the new txnid — a crash mid-append
+    leaves the previous transaction fully readable. New keys win over
+    existing ones (put semantics). Out of scope, documented: the
+    freelist DB stays empty, so superseded pages are never RECLAIMED —
+    the file grows by a full new tree per commit (liblmdb without a
+    freelist behaves the same until reuse kicks in); fine for the
+    periodic-checkpoint dataset-build pattern, not for high-frequency
+    OLTP commits."""
+    data_path = os.path.join(path, "data.mdb") if os.path.isdir(path) else path
+    reader = LmdbReader(data_path)
+    new = dict(records.items() if isinstance(records, dict) else records)
+    merged = sorted({**dict(reader.items()), **new}.items())
+
+    with open(data_path, "rb") as f:
+        f.seek(0, os.SEEK_END)
+        n_pages = f.tell() // PSIZE
+    buf = _PageBuf(offset=n_pages)
+    db = _build_tree(buf, merged)
+    last_pg = n_pages + len(buf.pages) - 1
+    txnid = reader.txnid + 1
+    mapsize = max(reader.mapsize, (last_pg + 1) * PSIZE)
+    main_db = _db_struct(
+        0, 0, db["depth"], db["branch"], db["leaf"], db["overflow"],
+        db["entries"], db["root"],
+    )
+    with open(data_path, "r+b") as f:
+        f.seek(n_pages * PSIZE)
+        f.write(b"".join(buf.pages))
+        f.flush()
+        os.fsync(f.fileno())  # pages durable BEFORE the meta publish
+        slot = txnid & 1
+        f.seek(slot * PSIZE)
+        f.write(_meta_page(slot, txnid, main_db, mapsize, last_pg))
+        f.flush()
+        os.fsync(f.fileno())
     return data_path
 
 
@@ -283,20 +354,25 @@ class LmdbReader:
         meta = m0 if m0["txnid"] >= m1["txnid"] else m1
         self.root = meta["root"]
         self.entries = meta["entries"]
+        self.txnid = meta["txnid"]
+        self.mapsize = meta["mapsize"]
 
     def _meta(self, slot: int, psize: int) -> dict:
         off = slot * psize + PAGEHDRSZ
         magic, version = struct.unpack_from("<II", self.data, off)
         if magic != MAGIC:
             raise ValueError(f"bad LMDB magic {magic:#x} in meta {slot}")
-        _addr, _mapsize = struct.unpack_from("<QQ", self.data, off + 8)
+        _addr, mapsize = struct.unpack_from("<QQ", self.data, off + 8)
         psize = struct.unpack_from("<I", self.data, off + 24)[0]
         main_off = off + 24 + 48  # skip free-db struct
         (_pad, _flags, _depth, _b, _l, _o, entries, root) = struct.unpack_from(
             "<IHHQQQQQ", self.data, main_off
         )
         txnid = struct.unpack_from("<Q", self.data, main_off + 48 + 8)[0]
-        return {"psize": psize, "root": root, "entries": entries, "txnid": txnid}
+        return {
+            "psize": psize, "root": root, "entries": entries,
+            "txnid": txnid, "mapsize": mapsize,
+        }
 
     def _page(self, pgno: int) -> tuple[int, int, memoryview]:
         base = pgno * self.psize

@@ -193,3 +193,79 @@ def test_real_mdb_dump_reads_our_writer(tmp_path):
         i += 2
     assert dict(pairs) == dict(recs)
     assert len(pairs) == len(recs)
+
+
+# --- incremental commits (lmdb_append: the create_lmdb_dataset.py
+# writeCache-every-1000 pattern; VERDICT r3 missing-item 4) ----------
+
+
+def test_append_adds_and_updates(tmp_path):
+    env = str(tmp_path / "env")
+    L.write_lmdb(env, [(b"a", b"1"), (b"b", b"2")])
+    L.lmdb_append(env, [(b"c", b"3"), (b"b", b"2x")])  # new key + update
+    r = L.LmdbReader(env)
+    assert dict(r.items()) == {b"a": b"1", b"b": b"2x", b"c": b"3"}
+    assert r.entries == 3
+    assert r.txnid == 2  # fresh env commits txn 1; append is txn 2
+    assert r.get(b"b") == b"2x"
+
+
+def test_append_many_batches_with_overflow(tmp_path):
+    """Several commits, each a valid checkpoint; big values take the
+    overflow path inside an append transaction too."""
+    env = str(tmp_path / "env")
+    L.write_lmdb(env, _records(50, seed=1))
+    want = dict(_records(50, seed=1))
+    for batch in range(4):
+        recs = [(b"batch%d-%03d" % (batch, i), bytes([batch]) * (100 + i))
+                for i in range(100)]
+        recs.append((b"huge-%d" % batch, bytes([batch]) * 9000))
+        L.lmdb_append(env, recs)
+        want.update(recs)
+        r = L.LmdbReader(env)
+        assert dict(r.items()) == want  # every commit readable in full
+    assert L.LmdbReader(env).txnid == 5
+
+
+def test_append_crash_before_meta_keeps_old_txn(tmp_path):
+    """Copy-on-write durability: pages appended but the meta slot NOT
+    yet published (simulated by truncating the file back around the
+    meta write) leave the previous transaction fully readable."""
+    env = str(tmp_path / "env")
+    L.write_lmdb(env, [(b"k%d" % i, b"v%d" % i) for i in range(30)])
+    before = open(tmp_path / "env" / "data.mdb", "rb").read()
+    L.lmdb_append(env, [(b"new", b"val")])
+    after = open(tmp_path / "env" / "data.mdb", "rb").read()
+    # simulate the crash: new pages on disk, meta slots still the OLD
+    # ones (the publish is the last fsync'd step)
+    crashed = before[: 2 * 4096] + after[2 * 4096 :]
+    crash_env = tmp_path / "crash"
+    crash_env.mkdir()
+    (crash_env / "data.mdb").write_bytes(crashed)
+    r = L.LmdbReader(str(crash_env))
+    assert r.get(b"new") is None
+    assert dict(r.items()) == {b"k%d" % i: b"v%d" % i for i in range(30)}
+
+
+def test_real_liblmdb_reads_appended_env(tmp_path):
+    """mdb_stat/mdb_dump (the C library) must accept a multi-
+    transaction environment produced by write_lmdb + lmdb_append."""
+    import shutil
+    import subprocess
+
+    if shutil.which("mdb_dump") is None:
+        pytest.skip("liblmdb tools not available")
+    env = str(tmp_path / "env")
+    L.write_lmdb(env, _records(40, seed=2))
+    L.lmdb_append(env, [(b"zz-extra", b"tail"), (b"big", b"\xab" * 6000)])
+    want = dict(_records(40, seed=2))
+    want.update({b"zz-extra": b"tail", b"big": b"\xab" * 6000})
+    out = subprocess.run(
+        ["mdb_dump", env], capture_output=True, text=True, check=True
+    ).stdout.splitlines()
+    i = out.index("HEADER=END") + 1
+    pairs = {}
+    while out[i] != "DATA=END":
+        pairs[bytes.fromhex(out[i].strip())] = bytes.fromhex(out[i + 1].strip())
+        i += 2
+    assert pairs == want
