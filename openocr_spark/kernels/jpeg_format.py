@@ -143,6 +143,30 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
+    """(height, width, n_components) from the SOF0 header without
+    decoding the scan — used by the PDF writer to size /DCTDecode
+    image XObjects."""
+    if data[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG (no SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise NotImplementedError("JPEG: marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        if marker == 0xC0:
+            _prec, h, w, nc = struct.unpack_from(">BHHB", data, pos + 2)
+            return h, w, nc
+        if marker == 0xDA:
+            break  # scan before SOF0 — malformed
+        pos += seglen
+    raise NotImplementedError("JPEG: no SOF0 header")
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG → uint8 array: (h, w) for grayscale, (h, w, 3) RGB
     for YCbCr. Raises NotImplementedError for non-baseline streams."""

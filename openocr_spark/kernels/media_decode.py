@@ -13,7 +13,7 @@ specs with stdlib zlib + numpy only:
         24-bit BGR, bottom-up or top-down, 4-byte row padding)
   PNG  (all 5 scanline filters, 8-bit gray/RGB/palette/alpha)
   GIF  (87a/89a first frame, variable-width LZW, interlace)
-  PDF  (Flate/raw image XObject pages — kernels/pdf_format)
+  PDF  (Flate/raw/DCTDecode image XObject pages — kernels/pdf_format)
   JPEG (baseline SOF0 Huffman+IDCT — kernels/jpeg_format; progressive
         and arithmetic-coded streams raise NotImplementedError)
 
@@ -362,10 +362,10 @@ def decode_bytes(data: bytes) -> list[np.ndarray]:
     """Codec entrypoint — format sniffed from the magic bytes. Real
     from-scratch decoders: PGM/PPM, uncompressed BMP, PNG (stdlib zlib
     inflate, all 5 filters), GIF87a/89a first frame (pure-python LZW),
-    and Flate-PDF image pages (kernels/pdf_format.py). JPEG (DCT
-    entropy coding) stays behind NotImplementedError — the one format
-    that genuinely needs cv2/PIL in this environment. Single-image
-    formats return a 1-page list (check_and_read's contract,
+    Flate/DCT-PDF image pages (kernels/pdf_format.py), and baseline
+    JPEG (kernels/jpeg_format.py; progressive/arithmetic streams
+    raise). Single-image formats return a 1-page list (check_and_read's
+    contract,
     tools/utils/utility.py:76-107: everything normalizes to a page
     list); PDFs return one entry per page (1→N)."""
     if data[: len(_MAGIC)] == _MAGIC:

@@ -14,10 +14,11 @@ Scope (documented boundary, mirrors media_decode's codec stance):
     way real-world parsers must); xref STREAMS (PDF 1.5 compressed
     object streams) are out of scope
   - filters: none, /FlateDecode, /FlateDecode with PNG predictors
-    (/Predictor >= 10 — reuses the PNG unfilter kernel)
+    (/Predictor >= 10 — reuses the PNG unfilter kernel), /DCTDecode
+    (embedded baseline JPEG — decoded by the from-scratch
+    kernels/jpeg_format decoder; the stream is the JPEG file verbatim,
+    which is also how real scanners embed pages)
   - color: /DeviceGray (8-bit) and /DeviceRGB (8-bit, BT.601 luma)
-  - /DCTDecode (embedded JPEG) raises NotImplementedError — the same
-    entropy-coding boundary as media_decode
 
 `encode_pdf` is the fixture/sink side: a minimal but standards-correct
 writer (proper xref table offsets, Flate image XObjects) whose output
@@ -233,7 +234,20 @@ def _decode_image_xobject(objects: dict[int, object], obj) -> np.ndarray:
     if isinstance(filt, list):
         filt = filt[0] if len(filt) == 1 else filt
     if filt == "/DCTDecode" or (isinstance(filt, list) and "/DCTDecode" in filt):
-        raise NotImplementedError("DCTDecode (embedded JPEG) not supported")
+        # the stream bytes ARE a complete JPEG file; the JPEG header is
+        # authoritative for precision/colorspace, so skip the bpc/cs
+        # checks below (a /Width//Height mismatch is corrupt input)
+        from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+        px = decode_jpeg(raw)
+        ph, pw = px.shape[:2]
+        if (ph, pw) != (h, w):
+            raise NotImplementedError(
+                f"PDF /DCTDecode dims {ph}x{pw} != XObject /Height//Width {h}x{w}"
+            )
+        if px.ndim == 3:
+            return _luma(px[:, :, 0], px[:, :, 1], px[:, :, 2])
+        return px
     if filt not in (None, "/FlateDecode"):
         raise NotImplementedError(f"PDF image filter {filt} not supported")
     if bpc != 8 or cs not in ("/DeviceGray", "/DeviceRGB"):
@@ -306,11 +320,14 @@ def decode_pdf_pages(data: bytes) -> list[np.ndarray]:
     return out
 
 
-def encode_pdf(pages: list[np.ndarray]) -> bytes:
-    """Minimal standards-correct PDF writer: one Flate-compressed 8-bit
-    DeviceGray image XObject per page, painted full-page by the content
-    stream, classic xref table with byte-exact offsets. The fixture/
-    sink side of decode_pdf_pages; output opens in any PDF viewer."""
+def encode_pdf(pages: list) -> bytes:
+    """Minimal standards-correct PDF writer: one image XObject per
+    page, painted full-page by the content stream, classic xref table
+    with byte-exact offsets. Each page is either an (h, w) uint8 array
+    (stored Flate-compressed 8-bit DeviceGray) or a `bytes` object
+    holding a complete baseline JPEG (embedded verbatim behind
+    /DCTDecode — how real scanners store pages). The fixture/sink side
+    of decode_pdf_pages; output opens in any PDF viewer."""
     chunks: list[bytes] = [b"%PDF-1.4\n"]
     offsets: dict[int, int] = {}
     n_pages = len(pages)
@@ -326,7 +343,19 @@ def encode_pdf(pages: list[np.ndarray]) -> bytes:
         f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] >>".encode(),
     )
     for i, px in enumerate(pages):
-        h, w = px.shape
+        if isinstance(px, (bytes, bytearray)):
+            from openocr_spark.kernels.jpeg_format import jpeg_dimensions
+
+            h, w, ncomp = jpeg_dimensions(bytes(px))
+            z, filt = bytes(px), "/DCTDecode"
+            cs = "/DeviceGray" if ncomp == 1 else "/DeviceRGB"
+        else:
+            h, w = px.shape
+            z, filt, cs = (
+                zlib.compress(px.astype(np.uint8).tobytes()),
+                "/FlateDecode",
+                "/DeviceGray",
+            )
         page_num, img_num, cont_num = 3 + 3 * i, 4 + 3 * i, 5 + 3 * i
         emit(
             page_num,
@@ -336,13 +365,12 @@ def encode_pdf(pages: list[np.ndarray]) -> bytes:
                 f"/Contents {cont_num} 0 R >>"
             ).encode(),
         )
-        z = zlib.compress(px.astype(np.uint8).tobytes())
         emit(
             img_num,
             (
                 f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
-                f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
-                f"/Filter /FlateDecode /Length {len(z)} >>\nstream\n"
+                f"/ColorSpace {cs} /BitsPerComponent 8 "
+                f"/Filter {filt} /Length {len(z)} >>\nstream\n"
             ).encode()
             + z
             + b"\nendstream",

@@ -486,7 +486,46 @@ def test_pdf_flate_png_predictor():
     assert np.array_equal(out, px)
 
 
-def test_pdf_dct_rejected():
+def test_pdf_dct_pages():
+    """Mixed Flate + /DCTDecode pages: the embedded-JPEG stream routes
+    through the from-scratch baseline decoder (gray and color)."""
+    from jpeg_ref_encoder import encode_jpeg
+    from openocr_spark.kernels.pdf_format import encode_pdf
+
+    flate = np.full((6, 9), 77, dtype=np.uint8)
+    x, y = np.meshgrid(np.arange(24), np.arange(16))
+    gray = (128 + 70 * np.sin(x / 5.0) + 40 * np.cos(y / 4.0)).clip(0, 255).astype(np.uint8)
+    rgb = np.dstack([
+        (128 + 80 * np.sin(x / 7.0)).clip(0, 255),
+        (128 + 80 * np.cos(y / 6.0)).clip(0, 255),
+        (128 + 60 * np.sin((x + y) / 9.0)).clip(0, 255),
+    ]).astype(np.uint8)
+    pdf = encode_pdf([flate, encode_jpeg(gray, qtable=[1] * 64), encode_jpeg(rgb, qtable=[1] * 64)])
+    p0, p1, p2 = decode_bytes(pdf)
+    assert np.array_equal(p0, flate)
+    assert p1.shape == gray.shape
+    assert int(np.abs(p1.astype(int) - gray.astype(int)).max()) <= 1
+    # color JPEG page lands as BT.601 luma like every other codec
+    from openocr_spark.kernels.media_decode import _luma
+
+    want = _luma(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
+    assert p2.shape == want.shape
+    assert int(np.abs(p2.astype(int) - want.astype(int)).max()) <= 3
+
+
+def test_pdf_dct_dim_mismatch_fails_loud():
+    """A /DCTDecode XObject whose /Width//Height disagree with the JPEG
+    SOF0 header is corrupt input, not a silent resize."""
+    from jpeg_ref_encoder import encode_jpeg
+    from openocr_spark.kernels.pdf_format import encode_pdf
+
+    jb = encode_jpeg(np.full((8, 8), 50, dtype=np.uint8), qtable=[1] * 64)
+    pdf = encode_pdf([jb]).replace(b"/Width 8", b"/Width 9")
+    with pytest.raises(NotImplementedError, match="DCTDecode dims"):
+        decode_bytes(pdf)
+
+
+def test_pdf_dct_truncated_fails_loud():
     pdf = (
         b"%PDF-1.4\n"
         b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
@@ -511,7 +550,11 @@ def test_png_gif_pdf_through_spark_extract(spark):
     png_px = rng.randint(0, 255, size=(8, 10)).astype(np.uint8)
     palette = [(0, 0, 0), (255, 128, 0), (0, 200, 100), (255, 255, 255)]
     gif_idx = rng.randint(0, 4, size=(6, 6)).astype(np.uint8)
+    from jpeg_ref_encoder import encode_jpeg
+
     pdf_pages = [np.full((5, 5), 60 + 10 * i, dtype=np.uint8) for i in range(2)]
+    # third page: embedded baseline JPEG behind /DCTDecode
+    pdf_pages.append(encode_jpeg(np.full((8, 8), 90, dtype=np.uint8), qtable=[1] * 64))
     rows = [
         ("d1", "a.png", bytearray(_make_png(png_px, 0, [0, 1, 2, 3, 4]))),
         ("d2", "b.gif", bytearray(_make_gif(gif_idx, palette))),
@@ -524,10 +567,13 @@ def test_png_gif_pdf_through_spark_extract(spark):
         (r.media_ref, r.page_no): r
         for r in extract_features(decode_media(df)).collect()
     }
-    assert set(feats) == {("a.png", 0), ("b.gif", 0), ("c.pdf", 0), ("c.pdf", 1)}
+    assert set(feats) == {
+        ("a.png", 0), ("b.gif", 0), ("c.pdf", 0), ("c.pdf", 1), ("c.pdf", 2)
+    }
     assert feats[("a.png", 0)].mean_px == pytest.approx(float(png_px.mean()))
     assert feats[("c.pdf", 0)].mean_px == pytest.approx(60.0)
     assert feats[("c.pdf", 1)].mean_px == pytest.approx(70.0)
+    assert feats[("c.pdf", 2)].mean_px == pytest.approx(90.0, abs=1.0)
 
 
 # --- baseline JPEG (from-scratch Huffman+IDCT decoder; the test-side
