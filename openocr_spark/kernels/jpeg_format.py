@@ -1,17 +1,19 @@
-"""From-scratch baseline JPEG (JFIF) decoder — numpy only.
+"""From-scratch JPEG (JFIF) decoder — numpy only.
 
 Closes the last entropy-codec stub in media_decode (the reference
 decodes JPEG via cv2.imdecode, opendet/preprocess/__init__.py:85-143):
-segment parse (DQT/DHT/SOF0/DRI/SOS), canonical Huffman decode with
+segment parse (DQT/DHT/SOF/DRI/SOS), canonical Huffman decode with
 0xFF00 byte-unstuffing and RSTn restart handling, DC-diff + AC
 run-length/EOB/ZRL, dequantize → inverse zigzag → 8×8 IDCT (separable
 cosine basis, one matmul pair per block), interleaved MCU layout with
 arbitrary (h,v) sampling factors (4:4:4 and 4:2:0 covered by tests),
 nearest-neighbor chroma upsample, BT.601 YCbCr→RGB.
 
-Scope: BASELINE sequential DCT (SOF0), 8-bit samples, 1 or 3
-components. Progressive (SOF2), arithmetic coding, and 12-bit raise
-NotImplementedError.
+Scope: baseline sequential (SOF0) AND progressive (SOF2 — spectral
+selection, successive approximation with DC/AC refinement scans, EOBn
+block runs, per-scan restart intervals; T.81 Annex G), 8-bit samples,
+1 or 3 components. Arithmetic coding, hierarchical, lossless, and
+12-bit modes raise NotImplementedError.
 
 Decoding is exact per the spec's integer pipeline except IDCT rounding,
 which is float64 cosine transform + round-half-away — tests bound the
@@ -158,7 +160,7 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
         if marker == 0xD9:
             break
         (seglen,) = struct.unpack_from(">H", data, pos)
-        if marker == 0xC0:
+        if marker in (0xC0, 0xC2):
             _prec, h, w, nc = struct.unpack_from(">BHHB", data, pos + 2)
             return h, w, nc
         if marker == 0xDA:
@@ -168,8 +170,9 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG → uint8 array: (h, w) for grayscale, (h, w, 3) RGB
-    for YCbCr. Raises NotImplementedError for non-baseline streams."""
+    """JPEG (baseline SOF0 or progressive SOF2) → uint8 array: (h, w)
+    for grayscale, (h, w, 3) RGB for YCbCr. Raises NotImplementedError
+    for arithmetic-coded / hierarchical / 12-bit streams."""
     if data[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG (no SOI)")
     pos = 2
@@ -177,11 +180,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], _HuffTable] = {}  # (class 0=DC/1=AC, id)
     frame = None
     restart_interval = 0
+    coef_store: dict[int, np.ndarray] | None = None  # progressive only
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise NotImplementedError("JPEG: marker expected")
         marker = data[pos + 1]
         pos += 2
+        if 0xD0 <= marker <= 0xD7:  # stray RSTn between scans
+            continue
         if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack_from(">H", data, pos)
@@ -205,7 +211,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 n = sum(bits)
                 htables[(tc, th)] = _HuffTable(bits, body[b + 17 : b + 17 + n])
                 b += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("JPEG: 12-bit precision")
@@ -213,26 +219,39 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"JPEG: only baseline sequential DCT (SOF0) supported, got SOF{marker - 0xC0}"
+                "JPEG: only baseline (SOF0) and progressive (SOF2) "
+                f"Huffman DCT supported, got SOF{marker - 0xC0}"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
-                raise NotImplementedError("JPEG: SOS before SOF0")
+                raise NotImplementedError("JPEG: SOS before SOF")
             ns = body[0]
             scan = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(
-                data, pos + seglen, frame, scan, qtables, htables, restart_interval
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if not frame["progressive"]:
+                return _decode_scan(
+                    data, pos + seglen, frame, scan, qtables, htables, restart_interval
+                )
+            if coef_store is None:
+                coef_store = _alloc_coef_store(frame)
+            _progressive_scan(
+                data, pos + seglen, frame, scan, htables, restart_interval,
+                ss, se, ahal >> 4, ahal & 0x0F, coef_store,
             )
+            pos = _next_marker(data, pos + seglen)
+            continue
         pos += seglen
+    if coef_store is not None:
+        return _progressive_reconstruct(frame, qtables, coef_store)
     raise NotImplementedError("JPEG: no scan data")
 
 
@@ -285,7 +304,15 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                         x0 = (mx * comp["h"] + bx) * 8
                         planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
-    # crop to frame size per component (sampling-scaled), upsample, color-convert
+    return _assemble(planes, frame)
+
+
+def _assemble(planes: dict, frame: dict) -> np.ndarray:
+    """Crop each component plane to frame size (sampling-scaled),
+    nearest-neighbor upsample, BT.601 YCbCr→RGB for 3 components."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     out_planes = []
     for c in comps:
         ph = -(-h * c["v"] // vmax)
@@ -302,3 +329,217 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
     g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b_ = y + 1.772 * (cb - 128.0)
     return np.dstack([clip(r_), clip(g_), clip(b_)])
+
+
+# --- progressive (SOF2) ------------------------------------------------
+#
+# A progressive frame spreads each block's 64 coefficients over many
+# scans (spectral selection Ss..Se × successive approximation Ah/Al,
+# T.81 Annex G). Scans accumulate QUANTIZED coefficients into a
+# per-component store; dequant + IDCT happen once at EOI. DC scans may
+# interleave components (MCU order); AC scans are single-component in
+# block-raster order over that component's own grid.
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Skip entropy-coded bytes: stop at the next real marker (0xFF
+    followed by anything but 0x00 stuffing, RSTn, or 0xFF fill)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0xFF:
+                pos += 1  # fill byte
+                continue
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return pos
+            pos += 2
+            continue
+        pos += 1
+    return n
+
+
+def _alloc_coef_store(frame: dict) -> dict[int, np.ndarray]:
+    """Per-component (blocks_y, blocks_x, 64) int32 in ZIGZAG order,
+    MCU-padded so interleaved DC scans cover the full grid."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return {
+        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int32)
+        for c in comps
+    }
+
+
+def _comp_blocks(frame: dict, c: dict) -> tuple[int, int]:
+    """Non-interleaved block-grid dims for one component (T.81 A.2.2:
+    ceil of the sampling-scaled pixel dims over 8)."""
+    comps = frame["comps"]
+    hmax = max(x["h"] for x in comps)
+    vmax = max(x["v"] for x in comps)
+    pw = -(-frame["w"] * c["h"] // hmax)
+    ph = -(-frame["h"] * c["v"] // vmax)
+    return -(-ph // 8), -(-pw // 8)
+
+
+def _dc_prog(r: _BitReader, blk: np.ndarray, htab, ah: int, al: int, pred: dict, cid: int) -> None:
+    if ah == 0:  # first DC scan: diff-coded point-transformed DC
+        t = _huff_decode(r, htab)
+        diff = _extend(r.bits(t), t) if t else 0
+        pred[cid] += diff
+        blk[0] = pred[cid] << al
+    elif r.bit():  # refinement: one bit, OR into position Al
+        blk[0] |= 1 << al
+
+
+def _ac_first(r: _BitReader, blk: np.ndarray, htab, ss: int, se: int, al: int, eobrun: int) -> int:
+    """First AC scan for one block (T.81 G.1.2.2): run-length coded
+    point-transformed coefficients with EOBn block-run codes."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, htab)
+        run, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1  # EOBn: this block + (2^r - 1 + ext) more
+            if run:
+                eobrun += r.bits(run)
+            break
+        k += run
+        if k > se:
+            raise NotImplementedError("JPEG: AC index past Se")
+        blk[k] = _extend(r.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _refine_nonzero(r: _BitReader, blk: np.ndarray, k: int, p1: int, m1: int) -> None:
+    """Apply one correction bit to an already-nonzero coefficient."""
+    if r.bit() and (blk[k] & p1) == 0:
+        blk[k] += p1 if blk[k] >= 0 else m1
+
+
+def _ac_refine(r: _BitReader, blk: np.ndarray, htab, ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC refinement scan for one block (T.81 G.1.2.3): each symbol
+    either appends a new ±2^Al coefficient or extends the zero run,
+    while every already-nonzero coefficient passed on the way emits a
+    correction bit."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(r, htab)
+            run, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise NotImplementedError("JPEG: AC-refine magnitude != 1")
+                val = p1 if r.bit() else m1
+            elif run != 15:  # EOBn
+                eobrun = 1 << run
+                if run:
+                    eobrun += r.bits(run)
+                break
+            # advance over `run` zero-history slots, correcting nonzeros
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_nonzero(r, blk, k, p1, m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise NotImplementedError("JPEG: AC-refine index past Se")
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits for the rest of this block's band
+            if blk[k] != 0:
+                _refine_nonzero(r, blk, k, p1, m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(data, pos, frame, scan, htables, restart_interval,
+                      ss, se, ah, al, store) -> None:
+    comps = frame["comps"]
+    r = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in comps}
+    eobrun = 0
+    unit = 0  # restart counting: MCUs (interleaved) or blocks
+
+    def maybe_restart():
+        nonlocal pred, eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            r.restart()
+            pred = {c["id"]: 0 for c in comps}
+            eobrun = 0
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise NotImplementedError("JPEG: DC scan with Se != 0")
+        if len(scan) > 1:  # interleaved, MCU order
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-frame["w"] // (8 * hmax))
+            mcus_y = -(-frame["h"] // (8 * vmax))
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    maybe_restart()
+                    for comp, td, _ta in scan:
+                        cid = comp["id"]
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                blk = store[cid][my * comp["v"] + by, mx * comp["h"] + bx]
+                                _dc_prog(r, blk, htables.get((0, td)), ah, al, pred, cid)
+                    unit += 1
+        else:
+            comp, td, _ta = scan[0]
+            bh, bw = _comp_blocks(frame, comp)
+            for by in range(bh):
+                for bx in range(bw):
+                    maybe_restart()
+                    _dc_prog(r, store[comp["id"]][by, bx], htables.get((0, td)),
+                             ah, al, pred, comp["id"])
+                    unit += 1
+        return
+
+    # AC scan: always single-component, block-raster over its own grid
+    if len(scan) != 1:
+        raise NotImplementedError("JPEG: interleaved AC scan")
+    comp, _td, ta = scan[0]
+    htab = htables[(1, ta)]
+    arr = store[comp["id"]]
+    bh, bw = _comp_blocks(frame, comp)
+    dec = _ac_first if ah == 0 else _ac_refine
+    for by in range(bh):
+        for bx in range(bw):
+            maybe_restart()
+            eobrun = dec(r, arr[by, bx], htab, ss, se, al, eobrun)
+            unit += 1
+
+
+def _progressive_reconstruct(frame, qtables, store) -> np.ndarray:
+    """Dequantize the accumulated coefficient store, batch-IDCT every
+    block (one einsum pair per component), assemble like baseline."""
+    planes = {}
+    for c in frame["comps"]:
+        q = qtables[c["tq"]].astype(np.int64)
+        zz = store[c["id"]].astype(np.int64) * q  # zigzag order
+        bh, bw = zz.shape[:2]
+        coef = np.zeros((bh, bw, 64), np.float64)
+        coef[..., ZIGZAG] = zz
+        blocks = np.einsum(
+            "ij,abjk,kl->abil", _A.T, coef.reshape(bh, bw, 8, 8), _A
+        ) + 128.0
+        planes[c["id"]] = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return _assemble(planes, frame)

@@ -14,8 +14,8 @@ specs with stdlib zlib + numpy only:
   PNG  (all 5 scanline filters, 8-bit gray/RGB/palette/alpha)
   GIF  (87a/89a first frame, variable-width LZW, interlace)
   PDF  (Flate/raw/DCTDecode image XObject pages — kernels/pdf_format)
-  JPEG (baseline SOF0 Huffman+IDCT — kernels/jpeg_format; progressive
-        and arithmetic-coded streams raise NotImplementedError)
+  JPEG (baseline SOF0 + progressive SOF2 Huffman+IDCT —
+        kernels/jpeg_format; arithmetic-coded streams raise)
 
 Binary layout of the fake codec (kept for multi-page tests — the real
 formats are single-page):
@@ -363,8 +363,8 @@ def decode_bytes(data: bytes) -> list[np.ndarray]:
     from-scratch decoders: PGM/PPM, uncompressed BMP, PNG (stdlib zlib
     inflate, all 5 filters), GIF87a/89a first frame (pure-python LZW),
     Flate/DCT-PDF image pages (kernels/pdf_format.py), and baseline
-    JPEG (kernels/jpeg_format.py; progressive/arithmetic streams
-    raise). Single-image formats return a 1-page list (check_and_read's
+    JPEG — baseline and progressive (kernels/jpeg_format.py;
+    arithmetic-coded streams raise). Single-image formats return a 1-page list (check_and_read's
     contract,
     tools/utils/utility.py:76-107: everything normalizes to a page
     list); PDFs return one entry per page (1→N)."""
@@ -400,7 +400,7 @@ def decode_bytes(data: bytes) -> list[np.ndarray]:
         "unknown media magic; supported from-scratch codecs: FAKEIMG1, "
         "PGM/PPM (P2/P5/P6), uncompressed BMP (8/24-bit), PNG (8-bit "
         "non-interlaced), GIF87a/89a first frame, PDF (Flate/raw image "
-        "XObjects), baseline JPEG (SOF0; progressive/arithmetic raise)"
+        "XObjects), JPEG (SOF0 baseline + SOF2 progressive)"
     )
 
 

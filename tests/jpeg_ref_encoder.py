@@ -230,3 +230,270 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     head += _seg(0xDA, sos)
     return bytes(head) + b"".join(out_chunks) + b"\xff\xd9"
+
+
+# --- progressive (SOF2) encoder ---------------------------------------
+#
+# Emits a libjpeg-style scan script with spectral selection AND
+# successive approximation (first scans at Al>0, refinement scans down
+# to Al=0), EOBn block-run codes, and the two-buffer correction-bit
+# ordering of T.81 G.1.2.3 — so the package decoder's progressive path
+# is validated against an independent implementation of the hairiest
+# part of the format. Fully-refined output must decode bit-identical
+# to the baseline encoding of the same image.
+
+# fixed Huffman tables valid for any progressive symbol stream we emit:
+# DC categories 0..11 as 4-bit codes; every AC symbol (EOBn r 0..14,
+# ZRL, (run<<4)|size for size 1..14) as 8-bit codes (240 < 256 keeps
+# the canonical code incomplete, as the spec prefers)
+P_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+P_DC_VALS = list(range(12))
+P_AC_VALS = [r << 4 for r in range(15)] + [0xF0] + [
+    (run << 4) | s for run in range(16) for s in range(1, 15)
+]
+P_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(P_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+class _ScanWriter:
+    """BitWriter + restart-marker segmentation for one scan."""
+
+    def __init__(self, restart_interval: int) -> None:
+        self.w = _BitWriter()
+        self.chunks: list[bytes] = []
+        self.ri = restart_interval
+        self.unit = 0
+        self.rst = 0
+
+    def tick(self) -> bool:
+        """Advance the MCU/block counter; True => state reset needed
+        (caller must flush its EOB run BEFORE calling maybe_restart)."""
+        due = self.ri and self.unit and self.unit % self.ri == 0
+        return bool(due)
+
+    def restart(self) -> None:
+        self.w.pad()
+        self.chunks.append(bytes(self.w.buf))
+        self.chunks.append(bytes([0xFF, 0xD0 + (self.rst % 8)]))
+        self.rst += 1
+        self.w = _BitWriter()
+
+    def done(self) -> bytes:
+        self.w.pad()
+        self.chunks.append(bytes(self.w.buf))
+        return b"".join(self.chunks)
+
+
+def _emit_eobrun(w: _BitWriter, ac_c, st: dict) -> None:
+    """Flush the pending EOB block-run symbol plus the correction bits
+    buffered for the skipped blocks (T.81 G.1.2.3 ordering)."""
+    if st["eobrun"] > 0:
+        rr = st["eobrun"].bit_length() - 1
+        w.write(*ac_c[rr << 4])
+        if rr:
+            w.write(st["eobrun"] - (1 << rr), rr)
+        st["eobrun"] = 0
+    for b in st["be"]:
+        w.write(b, 1)
+    st["be"] = []
+
+
+def _enc_dc_prog(w, dc_c, zz, pred: int, ah: int, al: int) -> int:
+    dc = int(zz[0]) >> al  # arithmetic shift (two's complement, like C)
+    if ah == 0:
+        diff = dc - pred
+        t = _category(diff)
+        w.write(*dc_c[t])
+        _enc_value(w, diff, t)
+        return dc
+    w.write(dc & 1, 1)  # refinement: bit Al of the signed value
+    return pred
+
+
+def _enc_ac_first(w, ac_c, zz, ss: int, se: int, al: int, st: dict) -> None:
+    band = [int(zz[k]) for k in range(ss, se + 1)]
+    temp = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in band]
+    if not any(temp):
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _emit_eobrun(w, ac_c, st)
+        return
+    _emit_eobrun(w, ac_c, st)
+    run = 0
+    last_nz = max(i for i, v in enumerate(temp) if v)
+    for i in range(last_nz + 1):
+        v = temp[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.write(*ac_c[0xF0])
+            run -= 16
+        s = _category(v)
+        w.write(*ac_c[(run << 4) | s])
+        _enc_value(w, v, s)
+        run = 0
+    if last_nz < len(temp) - 1:
+        st["eobrun"] = 1  # trailing zeros: buffer the EOB for run merging
+
+
+def _enc_ac_refine(w, ac_c, zz, ss: int, se: int, al: int, st: dict) -> None:
+    band = [int(zz[k]) for k in range(ss, se + 1)]
+    absv = [abs(v) >> al for v in band]
+    eobpos = max((i for i, t in enumerate(absv) if t == 1), default=-1)
+    run = 0
+    br: list[int] = []  # correction bits since the last emitted symbol
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eobpos:
+            _emit_eobrun(w, ac_c, st)
+            w.write(*ac_c[0xF0])
+            run -= 16
+            for b in br:
+                w.write(b, 1)
+            br = []
+        if t > 1:  # history-nonzero: correction bit rides behind a symbol
+            br.append(t & 1)
+            continue
+        _emit_eobrun(w, ac_c, st)  # newly-nonzero: (run, ±2^Al)
+        w.write(*ac_c[(run << 4) | 1])
+        w.write(1 if band[i] >= 0 else 0, 1)
+        for b in br:
+            w.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        st["eobrun"] += 1
+        st["be"].extend(br)
+        if st["eobrun"] == 0x7FFF:
+            _emit_eobrun(w, ac_c, st)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    qtable: list[int] | None = None,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive (SOF2) encoding of the same pixel pipeline as
+    encode_jpeg: fully refined, so decoding must be bit-identical to
+    decoding the baseline encoding. Scan script (libjpeg-flavored):
+    interleaved DC at Al=1, per-component AC bands (1-5)/(6-63) at
+    Al=2, AC refine 2→1, interleaved DC refine, AC refine 1→0."""
+    q = np.array(qtable if qtable is not None else K1, dtype=np.int32)
+    color = img.ndim == 3
+    h, w = img.shape[:2]
+    if color:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+        samps = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    else:
+        planes = [img.astype(np.float64)]
+        samps = [(1, 1)]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    if subsample:
+        for i in (1, 2):
+            p = planes[i]
+            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            planes[i] = (pad[0::2, 0::2] + pad[0::2, 1::2]
+                         + pad[1::2, 0::2] + pad[1::2, 1::2]) / 4.0
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    qnat = np.empty(64, np.int32)
+    qnat[[ZIG[i] for i in range(64)]] = q
+
+    # quantized coefficient blocks, zigzag order, MCU-padded grids
+    coefs = []
+    grids = []  # (padded_bh, padded_bw, ceil_bh, ceil_bw)
+    for p, (sh, sv) in zip(planes, samps):
+        tbh, tbw = mcus_y * sv, mcus_x * sh
+        pad = np.pad(
+            p, ((0, tbh * 8 - p.shape[0]), (0, tbw * 8 - p.shape[1])), mode="edge"
+        )
+        cz = np.zeros((tbh, tbw, 64), np.int32)
+        for by in range(tbh):
+            for bx in range(tbw):
+                blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                cq = np.round(fdct_8x8(blk) / qnat.reshape(8, 8)).astype(np.int32)
+                cz[by, bx] = cq.reshape(-1)[ZIG]
+        coefs.append(cz)
+        cw = -(-(-(-w * sh // hmax)) // 8)
+        ch = -(-(-(-h * sv // vmax)) // 8)
+        grids.append((tbh, tbw, ch, cw))
+
+    dc_c = _codes(P_DC_BITS, P_DC_VALS)
+    ac_c = _codes(P_AC_BITS, P_AC_VALS)
+    nc = len(planes)
+
+    head = bytearray(b"\xff\xd8")
+    head += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, (sh, sv) in enumerate(samps):
+        sof += bytes([i + 1, (sh << 4) | sv, 0])
+    head += _seg(0xC2, sof)  # SOF2 progressive
+    head += _seg(0xC4, bytes([0x00]) + bytes(P_DC_BITS) + bytes(P_DC_VALS))
+    head += _seg(0xC4, bytes([0x10]) + bytes(P_AC_BITS) + bytes(P_AC_VALS))
+    if restart_interval:
+        head += _seg(0xDD, struct.pack(">H", restart_interval))
+    out = bytearray(head)
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            td = 0 if ss == 0 else 0
+            ta = 0
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    def dc_scan(ah, al):
+        sw = _ScanWriter(restart_interval)
+        pred = [0] * nc
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if sw.tick():
+                    sw.restart()
+                    pred = [0] * nc
+                for ci, (sh, sv) in enumerate(samps):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            pred[ci] = _enc_dc_prog(
+                                sw.w, dc_c,
+                                coefs[ci][my * sv + by, mx * sh + bx],
+                                pred[ci], ah, al,
+                            )
+                sw.unit += 1
+        return sos(list(range(1, nc + 1)), 0, 0, ah, al) + sw.done()
+
+    def ac_scan(ci, ss, se, ah, al):
+        sw = _ScanWriter(restart_interval)
+        st = {"eobrun": 0, "be": []}
+        _tbh, _tbw, cbh, cbw = grids[ci]
+        enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+        for by in range(cbh):
+            for bx in range(cbw):
+                if sw.tick():
+                    _emit_eobrun(sw.w, ac_c, st)
+                    sw.restart()
+                sw.unit += 1
+                enc(sw.w, ac_c, coefs[ci][by, bx], ss, se, al, st)
+        _emit_eobrun(sw.w, ac_c, st)
+        return sos([ci + 1], ss, se, ah, al) + sw.done()
+
+    out += dc_scan(0, 1)
+    for ci in range(nc):
+        out += ac_scan(ci, 1, 5, 0, 2)
+        out += ac_scan(ci, 6, 63, 0, 2)
+    for ci in range(nc):
+        out += ac_scan(ci, 1, 63, 2, 1)
+    out += dc_scan(1, 0)
+    for ci in range(nc):
+        out += ac_scan(ci, 1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)

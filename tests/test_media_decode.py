@@ -637,15 +637,81 @@ def test_jpeg_restart_markers_and_odd_dims():
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
 
 
-def test_jpeg_progressive_rejected():
-    """SOF2 (progressive) is out of scope and must fail loud."""
+def test_jpeg_arithmetic_rejected():
+    """SOF9 (arithmetic-coded) is out of scope and must fail loud."""
     from jpeg_ref_encoder import encode_jpeg
 
     jb = bytearray(encode_jpeg(_smooth(8, 8), qtable=[1] * 64))
     idx = jb.find(b"\xff\xc0")
-    jb[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    jb[idx + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF9"):
         decode_bytes(bytes(jb))
+
+
+# --- progressive (SOF2): the test-side encoder emits a full successive-
+# approximation scan script (DC Al=1 + refine, AC band splits at Al=2,
+# AC refine 2->1->0, EOBn runs, two-buffer correction-bit ordering), so
+# a fully-refined progressive stream must decode BIT-IDENTICAL to the
+# baseline encoding of the same image --------------------------------
+
+
+def test_jpeg_progressive_gray_equals_baseline():
+    from jpeg_ref_encoder import encode_jpeg, encode_jpeg_progressive
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    img = _smooth(24, 40)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(img)), decode_jpeg(encode_jpeg(img))
+    )
+    # q=1 near-lossless + odd dims (partial edge MCUs in every scan)
+    odd = _smooth(17, 33)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(odd, qtable=[1] * 64)),
+        decode_jpeg(encode_jpeg(odd, qtable=[1] * 64)),
+    )
+
+
+def test_jpeg_progressive_color_444_and_420():
+    from jpeg_ref_encoder import encode_jpeg, encode_jpeg_progressive
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    rgb = _smooth(24, 40, color=True)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(rgb)), decode_jpeg(encode_jpeg(rgb))
+    )
+    # 4:2:0: chroma's non-interleaved block grid differs from the
+    # MCU-padded store — exercises the ceil-grid AC scan geometry
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(rgb, subsample=True)),
+        decode_jpeg(encode_jpeg(rgb, subsample=True)),
+    )
+
+
+def test_jpeg_progressive_restart_and_eob_runs():
+    from jpeg_ref_encoder import encode_jpeg, encode_jpeg_progressive
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    img = _smooth(24, 40)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(img, restart_interval=2)),
+        decode_jpeg(encode_jpeg(img)),
+    )
+    # near-flat image at default quant: almost every AC block is zero,
+    # so the stream is dominated by multi-block EOBn runs
+    flat = np.full((48, 64), 127, dtype=np.uint8)
+    flat[20, 30] = 200  # one feature so not all scans are empty
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(flat)), decode_jpeg(encode_jpeg(flat))
+    )
+
+
+def test_jpeg_progressive_through_decode_bytes():
+    from jpeg_ref_encoder import encode_jpeg_progressive
+
+    img = _smooth(16, 24)
+    (out,) = decode_bytes(encode_jpeg_progressive(img, qtable=[1] * 64))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
 
 
 def test_jpeg_through_spark_extract(spark):
