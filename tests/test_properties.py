@@ -137,3 +137,32 @@ def test_det_resize_multiple_of_32(h, w):
     assert out.shape[0] >= 32 and out.shape[1] >= 32
     assert abs(rh - out.shape[0] / h) < 1e-9
     assert abs(rw - out.shape[1] / w) < 1e-9
+
+
+# --- JPEG progressive == baseline (full successive approximation) ----
+#
+# For any image content and any quant table, a fully-refined
+# progressive stream must decode BIT-IDENTICAL to the baseline
+# encoding: the coefficient store after all refinement scans equals
+# the baseline quantized coefficients exactly, so any drift in the
+# EOBn/correction-bit/refinement logic on either side breaks equality.
+
+@given(
+    st.integers(6, 40),     # height
+    st.integers(6, 40),     # width
+    st.integers(0, 10**6),  # content seed
+    st.sampled_from([1, 4, 16, 40]),  # flat quant value
+    st.sampled_from([0, 3]),          # restart interval
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_progressive_equals_baseline_property(h, w, seed, qval, ri):
+    from jpeg_ref_encoder import encode_jpeg, encode_jpeg_progressive
+
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    rng = np.random.RandomState(seed % 2**31)
+    img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    q = [qval] * 64
+    base = decode_jpeg(encode_jpeg(img, qtable=q))
+    prog = decode_jpeg(encode_jpeg_progressive(img, qtable=q, restart_interval=ri))
+    assert np.array_equal(base, prog)
