@@ -46,6 +46,10 @@ HEADLINE = [
     # near_dup_embeddings stays benched as the exact recall baseline but
     # the judge-graded scale statement is the LSH variant (VERDICT r3 #3)
     "near_dup_lsh",
+    # the corpus-size-tuned variant: (bands, bits) derived from count()
+    # so bucket occupancy — and thus candidate volume — stays bounded
+    # as data grows; THE configuration a deployment runs at scale
+    "near_dup_lsh_tuned",
     "near_dup_embeddings",
     "sessionize",
     "rec_metric_long",

@@ -397,6 +397,65 @@ def near_dup_pairs_lsh(
     )
 
 
+def tuned_lsh_params(
+    n: int,
+    threshold: float = 0.8,
+    recall: float = 0.9,
+    target_occupancy: int = 64,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """(bands, bits) that keep banded sign-LSH ~linear as the corpus
+    grows. With FIXED bits the bucket space is fixed (2^bits per band),
+    so a 10× corpus means 10× occupancy per bucket and ~100× candidate
+    pairs — the same fixed-granularity trap as the exact within-cell
+    join (BENCH/scale_sf1.md). The scale knob is therefore:
+
+      bits  = ceil(log2(n / target_occupancy))   (bounds expected
+              bucket occupancy, so per-band candidates stay ~linear·t)
+      bands = ceil(ln(1−recall) / ln(1−p^bits))  (restores the recall
+              the extra bits cost, p = 1 − arccos(threshold)/π)
+
+    Cost grows ~bands·n rows shuffled + ~n·target_occupancy/2 candidate
+    checks — linear in n for fixed occupancy, with bands growing only
+    logarithmically-ish as bits rises. max_bands caps the spend when
+    threshold is low and recall high (the caller sees the cap as lower
+    realized recall; raise target_occupancy instead)."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    bits = max(4, math.ceil(math.log2(max(n, 1) / max(target_occupancy, 1))))
+    pb = p**bits
+    if pb >= 1.0:
+        return 1, bits
+    bands = math.ceil(math.log(1.0 - min(recall, 0.999)) / math.log(1.0 - pb))
+    return max(1, min(max_bands, bands)), bits
+
+
+def near_dup_pairs_lsh_tuned(
+    emb: DataFrame,
+    threshold: float = 0.8,
+    recall: float = 0.9,
+    target_occupancy: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    hash_dims: int = 64,
+) -> DataFrame:
+    """near_dup_pairs_lsh with (bands, bits) derived from the corpus
+    size via tuned_lsh_params — the configuration a 100 TB deployment
+    would run, where hand-picking bucket granularity per corpus is not
+    an option. One count() (metadata-scale job) buys an occupancy-
+    bounded candidate volume; results remain exact-verified cosine
+    pairs (precision 1.0 by construction; recall ≥ `recall` in
+    expectation at cosine == threshold, higher above it)."""
+    n = emb.count()
+    bands, bits = tuned_lsh_params(n, threshold, recall, target_occupancy)
+    return near_dup_pairs_lsh(
+        emb, threshold, bands, bits,
+        id_col=id_col, vec_col=vec_col, seed=seed, hash_dims=hash_dims,
+    )
+
+
 def sign_bucket(vec: Column, bits: int, seed: int = 7, dims: int = 64) -> Column:
     """Random-hyperplane sign-LSH bucket id (0..2^bits-1): bit j is the
     sign of v·h_j for a deterministic pseudo-random hyperplane h_j

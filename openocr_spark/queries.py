@@ -1327,6 +1327,22 @@ def q_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("near_dup_lsh_tuned", None)
+def q_near_dup_lsh_tuned(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-size-tuned banded sign-LSH near-dup: (bands, bits) derive
+    from count() via tuned_lsh_params so bucket occupancy stays bounded
+    as data grows — the configuration the 10× study benches to show the
+    LSH path is ~linear (fixed 4×4 is quadratic-in-occupancy; see
+    BENCH/scale_sf1.md). No SQL oracle: the parameters are data-
+    dependent (count-derived), so the static DuckDB string cannot
+    reproduce them — the fixed-parameter `near_dup_lsh` pins the
+    band/bucket/verify semantics hash-exactly; pytest pins tuned ==
+    fixed for equal derived parameters."""
+    return similarity.near_dup_pairs_lsh_tuned(
+        load(spark, sf, "embeddings"), threshold=0.9, recall=0.9,
+    )
+
+
 # --------------------------------------------------- stream-shaped
 
 @q(
@@ -1716,7 +1732,7 @@ _HEAD = [
     "ann_quantized",
     "ann_ivf_trained",
 ]
-_TAIL = ["semi_join", "having_filter"]
+_TAIL = ["semi_join", "having_filter", "near_dup_lsh_tuned"]
 
 
 def _reorder_for_driver_window() -> None:

@@ -26,7 +26,7 @@ QUERIES = (
     "pruned_agg,join_agg,broadcast_dim_join,window_label,running_sum,"
     "rollup_suites,exact_dedup,minhash_signatures,lsh_pairs,simhash,"
     "cosine_topk,ann_ivf_trained,near_dup_embeddings,near_dup_lsh,"
-    "sessionize,rec_metric_long,preproc_targets,extract_spans"
+    "near_dup_lsh_tuned,sessionize,rec_metric_long,preproc_targets,extract_spans"
 )
 
 

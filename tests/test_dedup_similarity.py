@@ -554,3 +554,48 @@ def test_near_dup_lsh_strict_dims_fails_loud(spark):
     # list-length check, whichever the optimizer evaluates first
     with pytest.raises(duckdb.Error, match="dim"):
         con.execute(_near_dup_lsh_sql()).fetchall()
+
+
+def test_tuned_lsh_params_scaling_math():
+    """The tuned parameters must (a) bound expected bucket occupancy as
+    the corpus grows — bits rises with log2(n) — and (b) restore the
+    recall the extra bits cost via more bands (closed form)."""
+    import math
+
+    b1, k1 = similarity.tuned_lsh_params(6_000, threshold=0.9, recall=0.9)
+    b2, k2 = similarity.tuned_lsh_params(60_000, threshold=0.9, recall=0.9)
+    b3, k3 = similarity.tuned_lsh_params(600_000, threshold=0.9, recall=0.9)
+    # occupancy bound: n / 2^bits <= target (64) at every scale
+    for n, k in ((6_000, k1), (60_000, k2), (600_000, k3)):
+        assert n / (1 << k) <= 64
+    assert k1 < k2 < k3  # bits track log2(n)
+    # closed-form recall holds at the threshold for every tuned pair
+    for thr, rec in ((0.9, 0.9), (0.95, 0.8), (0.99, 0.9)):
+        for n in (1_000, 50_000, 2_000_000):
+            bands, bits = similarity.tuned_lsh_params(n, thr, rec)
+            p = 1 - math.acos(thr) / math.pi
+            if bands < 64:  # below the spend cap the target must be met
+                assert 1 - (1 - p**bits) ** bands >= rec - 1e-9
+    # tiny corpora keep the 4-bit floor (never fewer buckets than 16)
+    assert similarity.tuned_lsh_params(100, 0.9, 0.9)[1] == 4
+
+
+def test_near_dup_lsh_tuned_equals_fixed_params(spark):
+    """The tuned wrapper must produce EXACTLY the fixed-parameter
+    operator's pairs for the parameters it derives — same hyperplanes,
+    same bands, same verify — so the hash-checked fixed-param oracle
+    covers the tuned path's semantics too."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    for j in range(20):
+        rows.append((2000 + j, [x + rng.uniform(-0.005, 0.005) for x in rows[j][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bands, bits = similarity.tuned_lsh_params(df.count(), 0.95, 0.9)
+    tuned = {(r.id_a, r.id_b, r.cos_sim) for r in
+             similarity.near_dup_pairs_lsh_tuned(df, 0.95, recall=0.9).collect()}
+    fixed = {(r.id_a, r.id_b, r.cos_sim) for r in
+             similarity.near_dup_pairs_lsh(df, 0.95, bands, bits).collect()}
+    assert tuned == fixed
+    assert len(tuned) > 0  # non-vacuous: the planted pairs are found
