@@ -9,10 +9,12 @@ encoded — needs no renderer: parse the object graph, walk the page
 tree, inflate each page's image stream.
 
 Scope (documented boundary, mirrors media_decode's codec stance):
-  - classic cross-reference TABLES and a tolerant whole-file object
-    scan (works for incremental updates and mildly damaged files the
-    way real-world parsers must); xref STREAMS (PDF 1.5 compressed
-    object streams) are out of scope
+  - tolerant whole-file object scan (works for classic xref tables,
+    incremental updates, and mildly damaged files the way real-world
+    parsers must — the xref is never consulted) PLUS PDF 1.5
+    compressed object streams: /Type /ObjStm containers are inflated
+    and their packed objects registered, so modern xref-stream PDFs
+    whose page tree lives only inside ObjStm parse too
   - filters: none, /FlateDecode, /FlateDecode with PNG predictors
     (/Predictor >= 10 — reuses the PNG unfilter kernel), /DCTDecode
     (embedded baseline JPEG — decoded by the from-scratch
@@ -196,7 +198,49 @@ def _scan_objects(data: bytes) -> dict[int, object]:
                 continue
             objects[num] = val
             covered_to = p.pos
+    _expand_object_streams(objects)
     return objects
+
+
+def _expand_object_streams(objects: dict[int, object]) -> None:
+    """PDF 1.5 compressed object streams (/Type /ObjStm, spec §7.5.7):
+    modern writers park the catalog/page-tree dicts inside Flate
+    streams, indexed by an xref STREAM instead of a classic table. The
+    tolerant whole-file scan finds the ObjStm containers themselves;
+    this pass inflates each one, parses its `N` (objnum, offset) header
+    pairs, and registers the contained objects. Already-scanned
+    top-level definitions win (incremental-update semantics: a direct
+    redefinition supersedes the packed copy). Streams cannot nest, so
+    one pass suffices."""
+    import re as _re
+
+    for num in sorted(objects):
+        obj = objects[num]
+        if not (isinstance(obj, tuple) and obj[0].get("/Type") == "/ObjStm"):
+            continue
+        d, raw = obj
+        filt = _resolve(objects, d.get("/Filter"))
+        if isinstance(filt, list):
+            filt = filt[0] if len(filt) == 1 else filt
+        if filt == "/FlateDecode":
+            buf = zlib.decompress(raw)
+        elif filt is None:
+            buf = raw
+        else:
+            raise NotImplementedError(f"ObjStm filter {filt} not supported")
+        n = _resolve(objects, d.get("/N"))
+        first = _resolve(objects, d.get("/First"))
+        if not isinstance(n, int) or not isinstance(first, int):
+            raise NotImplementedError("ObjStm missing /N or /First")
+        nums = [int(t) for t in _re.findall(rb"\d+", buf[:first])][: 2 * n]
+        if len(nums) != 2 * n:
+            raise NotImplementedError("ObjStm header shorter than /N pairs")
+        for objnum, off in zip(nums[0::2], nums[1::2]):
+            if objnum in objects:
+                continue
+            p = _Parser(buf, objects)
+            p.pos = first + off
+            objects[objnum] = p.value()
 
 
 def _resolve(objects: dict[int, object], v):

@@ -1333,14 +1333,40 @@ def q_near_dup_lsh_tuned(spark: SparkSession, sf: str) -> DataFrame:
     from count() via tuned_lsh_params so bucket occupancy stays bounded
     as data grows — the configuration the 10× study benches to show the
     LSH path is ~linear (fixed 4×4 is quadratic-in-occupancy; see
-    BENCH/scale_sf1.md). No SQL oracle: the parameters are data-
-    dependent (count-derived), so the static DuckDB string cannot
-    reproduce them — the fixed-parameter `near_dup_lsh` pins the
-    band/bucket/verify semantics hash-exactly; pytest pins tuned ==
-    fixed for equal derived parameters."""
-    return similarity.near_dup_pairs_lsh_tuned(
-        load(spark, sf, "embeddings"), threshold=0.9, recall=0.9,
+    BENCH/scale_sf1.md). Runs at threshold 0.9 — the regime real
+    near-dup detection operates in, and the regime where sign-LSH is
+    the right tool (p = 1−θ/π ≈ 0.86 per hyperplane; at LOW thresholds
+    the bands needed for recall approach brute force — measured and
+    documented in BENCH/scale_sf1.md). The fixture embeddings top out
+    at cosine ≈ 0.60, so the corpus is the table UNION a deterministic
+    2%% sample of ≈0.999-cosine perturbed copies (scales with the
+    table) — the query is non-vacuous at every SF and the found pairs
+    are exactly the planted ones. No SQL oracle: the count-derived
+    parameters cannot live in a static DuckDB string — the fixed-
+    parameter `near_dup_lsh` pins the band/bucket/verify semantics
+    hash-exactly, and pytest pins tuned == fixed for equal derived
+    parameters."""
+    emb = load(spark, sf, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
     )
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(10**9)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            * (
+                F.lit(1.0)
+                + F.sin(F.col("vec_id").cast("double") + i.cast("double"))
+                * F.lit(0.001)
+            ),
+        ).alias("embedding"),
+    )
+    # the operator references its input 4x (count + hash projection +
+    # both verify sides); materialize the derived corpus once so the
+    # union/transform isn't recomputed per reference
+    corpus = emb.unionByName(planted).localCheckpoint(eager=True)
+    return similarity.near_dup_pairs_lsh_tuned(corpus, threshold=0.9, recall=0.9)
 
 
 # --------------------------------------------------- stream-shaped

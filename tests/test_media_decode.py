@@ -209,24 +209,19 @@ def _paeth(a, b, c):
     return b if pb <= pc else c
 
 
-def _make_png(arr, ctype, row_filters, palette=None):
-    """Test-side PNG encoder: applies the chosen filter type per row
-    (forward direction, re-derived from the spec independently of the
-    package's unfilter)."""
-    import struct
-    import zlib
-
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    h, w = arr.shape[:2]
-    flat = arr.reshape(h, w * channels).astype(np.int32)
+def _filter_raster(flat, channels, row_filters):
+    """Forward-filter one (h, w*channels) sub-image per the spec
+    (independent of the package's unfilter); returns the raster bytes
+    with the leading filter-type byte per scanline."""
     bpp = channels
+    h = flat.shape[0]
     raster = bytearray()
     for y in range(h):
         f = row_filters[y % len(row_filters)]
         cur = flat[y]
         prev = flat[y - 1] if y > 0 else np.zeros_like(cur)
         out = np.zeros_like(cur)
-        for x in range(w * channels):
+        for x in range(flat.shape[1]):
             left = int(cur[x - bpp]) if x >= bpp else 0
             up = int(prev[x])
             ul = int(prev[x - bpp]) if x >= bpp else 0
@@ -243,7 +238,39 @@ def _make_png(arr, ctype, row_filters, palette=None):
             out[x] = (int(cur[x]) - pred) & 0xFF
         raster.append(f)
         raster += bytes(out.astype(np.uint8).tolist())
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return raster
+
+
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _make_png(arr, ctype, row_filters, palette=None, interlace=False):
+    """Test-side PNG encoder: applies the chosen filter type per row
+    (forward direction, re-derived from the spec independently of the
+    package's unfilter). interlace=True emits Adam7: each of the 7
+    passes is filtered as its own sub-image and concatenated."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    h, w = arr.shape[:2]
+    a3 = arr.reshape(h, w, channels).astype(np.int32)
+    raster = bytearray()
+    if not interlace:
+        raster += _filter_raster(a3.reshape(h, w * channels), channels, row_filters)
+    else:
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            sub = a3[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            raster += _filter_raster(
+                sub.reshape(ph, pw * channels), channels, row_filters
+            )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0)
     png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
         png += _png_chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
@@ -298,18 +325,40 @@ def test_png_multiple_idat_chunks():
     assert np.array_equal(out, px)
 
 
-def test_png_interlaced_rejected():
+def test_png_adam7_gray_all_filters():
+    """Adam7: 7 independently-filtered sub-images; mixed filter types
+    exercise the per-pass unfilter state isolation."""
+    rng = np.random.RandomState(23)
+    px = rng.randint(0, 255, size=(21, 17)).astype(np.uint8)
+    (out,) = decode_bytes(_make_png(px, 0, [0, 1, 2, 3, 4], interlace=True))
+    assert np.array_equal(out, px)
+
+
+def test_png_adam7_rgb_and_odd_dims():
+    rng = np.random.RandomState(29)
+    rgb = rng.randint(0, 255, size=(13, 9, 3)).astype(np.uint8)
+    (out,) = decode_bytes(_make_png(rgb, 2, [4, 3, 2, 1, 0], interlace=True))
+    assert np.array_equal(out, _luma_ref(rgb))
+    # tiny images: most passes are EMPTY (contribute zero bytes)
+    for h, w in ((1, 1), (3, 3), (2, 9), (9, 2)):
+        px = rng.randint(0, 255, size=(h, w)).astype(np.uint8)
+        (got,) = decode_bytes(_make_png(px, 0, [1, 4], interlace=True))
+        assert np.array_equal(got, px), (h, w)
+
+
+def test_png_adam7_truncated_fails_loud():
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)  # Adam7 flag
+    # well-formed header but raster bytes for only part of the passes
+    ihdr = struct.pack(">IIBBBBB", 16, 16, 8, 0, 0, 0, 1)
     png = (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 20))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="interlaced raster"):
         decode_bytes(png)
 
 
@@ -725,3 +774,46 @@ def test_jpeg_through_spark_extract(spark):
     feats = extract_features(decode_media(df)).collect()[0]
     assert feats.media_ref == "a.jpg"
     assert abs(feats.mean_px - float(img.mean())) < 1.5
+
+
+def test_pdf_object_streams():
+    """PDF 1.5 layout: the catalog / page tree live ONLY inside a
+    Flate-compressed /ObjStm (as modern writers emit), with an xref
+    STREAM instead of a classic table; the image XObject stays top-
+    level (streams cannot be packed). Hand-built, not via encode_pdf."""
+    import struct
+    import zlib
+
+    px = np.full((4, 6), 55, dtype=np.uint8)
+    z = zlib.compress(px.tobytes())
+    # objects 1..3 packed into the object stream (catalog, pages, page)
+    packed = (
+        b"<< /Type /Catalog /Pages 2 0 R >> "
+        b"<< /Type /Pages /Count 1 /Kids [3 0 R] >> "
+        b"<< /Type /Page /Parent 2 0 R "
+        b"/Resources << /XObject << /ImA 4 0 R >> >> >>"
+    )
+    off2 = packed.index(b"<< /Type /Pages")
+    off3 = packed.index(b"<< /Type /Page /Parent")
+    header = b"1 0 2 %d 3 %d " % (off2, off3)
+    stm = zlib.compress(header + packed)
+    body = bytearray(b"%PDF-1.5\n")
+    body += (
+        b"5 0 obj << /Type /ObjStm /N 3 /First %d /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n" % (len(header), len(stm))
+    ) + stm + b"\nendstream endobj\n"
+    body += (
+        b"4 0 obj << /Subtype /Image /Width 6 /Height 4 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+        b"/Filter /FlateDecode /Length %d >>\nstream\n" % len(z)
+    ) + z + b"\nendstream endobj\n"
+    # an xref STREAM object (parser skips it; present for realism)
+    xr = zlib.compress(b"\x00" * 12)
+    xref_off = len(body)
+    body += (
+        b"6 0 obj << /Type /XRef /Size 7 /W [1 2 1] /Root 1 0 R "
+        b"/Filter /FlateDecode /Length %d >>\nstream\n" % len(xr)
+    ) + xr + b"\nendstream endobj\n"
+    body += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    (out,) = decode_bytes(bytes(body))
+    assert np.array_equal(out, px)
