@@ -545,6 +545,57 @@ def q_charset_filter(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "boilerplate_flags",
+    """
+    WITH v AS (
+      SELECT doc_id, t.variant,
+        CASE t.variant
+          WHEN 0 THEN text
+          WHEN 1 THEN '<nav>' || text
+          WHEN 2 THEN substr(trim(text), 1, 2)
+          WHEN 3 THEN 'href=a href=b href=c ' || substr(text, 1, 18)
+          ELSE CASE WHEN doc_id % 5 = 0 THEN NULL ELSE text END
+        END AS vtext
+      FROM documents, range(5) t(variant)
+    )
+    SELECT doc_id, CAST(variant AS INT) AS variant,
+      (vtext IS NULL
+       OR regexp_matches(vtext, '^\\s*<(header|footer|nav|aside)>')
+       OR length(trim(vtext)) < 3
+       OR ((length(vtext) - length(replace(vtext, 'href=', ''))) / 5.0)
+          / greatest(length(vtext) - length(replace(vtext, ' ', '')) + 1, 1)
+          > 0.3
+      ) AS boiler
+    FROM v
+    """,
+)
+def q_boilerplate_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate strip semantics (SURVEY §2.2 P7, the reference's
+    header/footer/aside label drop re-cast as DOM/byte-stream
+    heuristics — operators/boilerplate.is_boilerplate): every doc is
+    expanded into 5 deterministic variants (raw, marker-tagged, short,
+    link-farm, null-on-some) so all four classifier branches fire
+    non-vacuously, and the flag is hash-compared against the oracle's
+    independent SQL restatement of the rules."""
+    from openocr_spark.operators.boilerplate import is_boilerplate
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    t = F.col("text")
+    variants = F.array(
+        t,
+        F.concat(F.lit("<nav>"), t),
+        F.substring(F.trim(t), 1, 2),
+        F.concat(F.lit("href=a href=b href=c "), F.substring(t, 1, 18)),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string")).otherwise(t),
+    )
+    return d.select(
+        "doc_id", F.posexplode(variants).alias("variant", "vtext")
+    ).select(
+        "doc_id", "variant", is_boilerplate(F.col("vtext")).alias("boiler")
+    )
+
+
+@q(
     "clip_bounds",
     """
     SELECT doc_id,
@@ -1758,7 +1809,7 @@ _HEAD = [
     "ann_quantized",
     "ann_ivf_trained",
 ]
-_TAIL = ["semi_join", "having_filter", "near_dup_lsh_tuned"]
+_TAIL = ["spread_stats", "semi_join", "having_filter", "near_dup_lsh_tuned"]
 
 
 def _reorder_for_driver_window() -> None:
