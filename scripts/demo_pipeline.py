@@ -106,6 +106,24 @@ def main() -> None:
         F.round(F.avg("quality_score"), 3), F.sum("token_count")).first()
     print(f"[stats]     avg quality {stats[0]}, total tokens {stats[1]}")
 
+    # 4a ── corpus-size-tuned banded LSH near-dup (the scale path):
+    # plant 2% ~0.999-cosine copies, derive (bands, bits) from count()
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(10**9)).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x * (F.lit(1.0) + F.sin(
+                F.col("vec_id").cast("double") + i.cast("double")) * F.lit(0.001)),
+        ).alias("embedding"))
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(planted).localCheckpoint(eager=True)
+    bands, bits = similarity.tuned_lsh_params(corpus.count(), 0.9, 0.9)
+    found = similarity.near_dup_pairs_lsh_tuned(corpus, 0.9, recall=0.9).count()
+    n_planted = planted.count()
+    print(f"[lsh-tuned] bands={bands} bits={bits} from n={corpus.count()}; "
+          f"found {found}/{n_planted} planted ~1.0-cosine pairs")
+
     # 4b ── per-architecture decode heads over one fixture region
     import numpy as np
 
@@ -122,6 +140,27 @@ def main() -> None:
     }
     print("[heads]     " + "  ".join(
         f"{k}={t!r}@{c:.2f}" for k, (t, c) in heads.items()))
+
+    # 4b2 ── from-scratch codecs: a progressive JPEG inside a PDF page
+    # decodes through the distributed 1→N explode (media_decode →
+    # jpeg_format SOF2 → pdf_format /DCTDecode)
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(ROOT, "tests"))
+    from jpeg_ref_encoder import encode_jpeg_progressive
+
+    from openocr_spark.kernels.media_decode import decode_media, extract_features
+    from openocr_spark.kernels.pdf_format import encode_pdf
+
+    img = (np.indices((16, 24)).sum(axis=0) * 5 % 256).astype(np.uint8)
+    pdf = encode_pdf([img, encode_jpeg_progressive(img, qtable=[1] * 64)])
+    mdf = spark.createDataFrame(
+        [("demo", "doc.pdf", bytearray(pdf))],
+        "doc_id string, media_ref string, content binary")
+    pages = {r.page_no: r for r in extract_features(decode_media(mdf)).collect()}
+    drift = abs(pages[0].mean_px - pages[1].mean_px)
+    print(f"[codecs]    PDF(Flate + progressive-JPEG pages) -> {len(pages)} pages, "
+          f"luma drift {drift:.3f}")
 
     # 4c ── LMDB round-trip through the pure-python format
     from openocr_spark.sources import lmdb_format as L
