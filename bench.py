@@ -116,6 +116,14 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     for name in names:
+        if name.startswith("extract_"):
+            # the near-dup family runs just before the extraction block
+            # and leaves millions of candidate-join rows of allocation
+            # debt in the shared local-mode JVM — measured to slow the
+            # LAST suite query ~2.5x vs the same query isolated. Settle
+            # the heap so the north-star queries measure their own cost.
+            spark._jvm.System.gc()
+            time.sleep(1.0)
         t0 = time.monotonic()
         if name == "extract_fixture":
             # materialize the synthetic interleaved corpus to parquet
