@@ -199,8 +199,9 @@ def _decode_png(data: bytes) -> np.ndarray:
     stream, all 5 scanline filters, 8-bit depth, color types 0 gray /
     2 RGB / 3 palette / 4 gray+alpha / 6 RGBA (alpha dropped, color via
     BT.601 luma — same normalization as the other codecs), progressive
-    Adam7 interlace (7 independently-filtered sub-images). 1/2/4/16-bit
-    depths stay NotImplementedError."""
+    Adam7 interlace (7 independently-filtered sub-images), 16-bit
+    samples (filtered at byte granularity per spec §9, down-converted
+    via the high byte). 1/2/4-bit depths stay NotImplementedError."""
     import zlib
 
     if data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -222,41 +223,49 @@ def _decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise NotImplementedError("PNG missing IHDR/IDAT")
     w, h, depth, ctype_n, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
+    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise NotImplementedError(
-            f"PNG depth={depth} interlace={interlace} not supported (8-bit "
+            f"PNG depth={depth} interlace={interlace} not supported (8/16-bit "
             "non-interlaced or Adam7 only)"
         )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
     if channels is None:
         raise NotImplementedError(f"PNG color type {ctype_n}")
-    stride = w * channels
+    if depth == 16 and ctype_n == 3:
+        raise NotImplementedError("PNG 16-bit palette is not legal")
+    bps = depth // 8  # bytes per sample; filtering operates on BYTES
+    ch_b = channels * bps  # filter bpp in bytes (spec §9: max(1, depth/8)·ch)
+    stride = w * ch_b
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if interlace == 0:
         if raw.size != h * (stride + 1):
             raise NotImplementedError("PNG raster size mismatch")
-        px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+        px = _png_unfilter(raw, h, stride, ch_b).reshape(h, w, ch_b)
     else:
         # Adam7: seven independently-filtered sub-images concatenated in
         # the same zlib stream; pass k covers the (x0 + i·dx, y0 + j·dy)
         # grid and empty passes contribute no bytes (PNG spec §8.2)
-        px = np.zeros((h, w, channels), dtype=np.uint8)
+        px = np.zeros((h, w, ch_b), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * channels
+            pstride = pw * ch_b
             sub = raw[off : off + ph * (pstride + 1)]
             if sub.size != ph * (pstride + 1):
                 raise NotImplementedError("PNG interlaced raster size mismatch")
             off += ph * (pstride + 1)
-            px[y0::dy, x0::dx] = _png_unfilter(sub, ph, pstride, channels).reshape(
-                ph, pw, channels
+            px[y0::dy, x0::dx] = _png_unfilter(sub, ph, pstride, ch_b).reshape(
+                ph, pw, ch_b
             )
         if off != raw.size:
             raise NotImplementedError("PNG interlaced raster size mismatch")
+    if depth == 16:
+        # big-endian sample pairs → 8-bit via the high byte (the exact
+        # v >> 8 down-conversion; input 0xFFFF maps to 0xFF)
+        px = px.reshape(h, w, channels, 2)[:, :, :, 0].copy()
     if ctype_n == 0:
         return px[:, :, 0].copy()
     if ctype_n == 4:  # gray + alpha: drop alpha

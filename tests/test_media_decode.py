@@ -817,3 +817,49 @@ def test_pdf_object_streams():
     body += b"startxref\n%d\n%%%%EOF\n" % xref_off
     (out,) = decode_bytes(bytes(body))
     assert np.array_equal(out, px)
+
+
+def _make_png16(arr16, ctype, row_filters, interlace=False):
+    """16-bit variant of the test encoder: big-endian sample bytes,
+    filtering at byte granularity with bpp = channels*2 (spec §9)."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3}[ctype]
+    h, w = arr16.shape[:2]
+    b = np.ascontiguousarray(arr16.astype(">u2")).view(np.uint8)
+    a3 = b.reshape(h, w, channels * 2).astype(np.int32)
+    raster = bytearray()
+    if not interlace:
+        raster += _filter_raster(a3.reshape(h, w * channels * 2), channels * 2, row_filters)
+    else:
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            sub = a3[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            raster += _filter_raster(sub.reshape(ph, pw * channels * 2), channels * 2, row_filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 1 if interlace else 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raster)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_16bit_gray_and_rgb():
+    rng = np.random.RandomState(31)
+    g16 = rng.randint(0, 65536, size=(9, 11)).astype(np.uint16)
+    (out,) = decode_bytes(_make_png16(g16, 0, [0, 1, 2, 3, 4]))
+    assert np.array_equal(out, (g16 >> 8).astype(np.uint8))
+    rgb16 = rng.randint(0, 65536, size=(7, 5, 3)).astype(np.uint16)
+    (outc,) = decode_bytes(_make_png16(rgb16, 2, [4, 2, 1]))
+    assert np.array_equal(outc, _luma_ref((rgb16 >> 8).astype(np.uint8)))
+
+
+def test_png_16bit_adam7():
+    rng = np.random.RandomState(37)
+    g16 = rng.randint(0, 65536, size=(13, 10)).astype(np.uint16)
+    (out,) = decode_bytes(_make_png16(g16, 0, [1, 3, 4], interlace=True))
+    assert np.array_equal(out, (g16 >> 8).astype(np.uint8))
