@@ -201,7 +201,8 @@ def _decode_png(data: bytes) -> np.ndarray:
     BT.601 luma — same normalization as the other codecs), progressive
     Adam7 interlace (7 independently-filtered sub-images), 16-bit
     samples (filtered at byte granularity per spec §9, down-converted
-    via the high byte). 1/2/4-bit depths stay NotImplementedError."""
+    via the high byte), and 1/2/4-bit gray/palette (MSB-first packed,
+    byte-padded scanlines; gray scales to the full 8-bit range)."""
     import zlib
 
     if data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -223,49 +224,70 @@ def _decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise NotImplementedError("PNG missing IHDR/IDAT")
     w, h, depth, ctype_n, comp, filt, interlace = ihdr
-    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
+    if depth not in (1, 2, 4, 8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise NotImplementedError(
-            f"PNG depth={depth} interlace={interlace} not supported (8/16-bit "
-            "non-interlaced or Adam7 only)"
+            f"PNG depth={depth} interlace={interlace} not supported"
         )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
     if channels is None:
         raise NotImplementedError(f"PNG color type {ctype_n}")
+    if depth < 8 and ctype_n not in (0, 3):
+        raise NotImplementedError(f"PNG depth {depth} with color type {ctype_n}")
     if depth == 16 and ctype_n == 3:
         raise NotImplementedError("PNG 16-bit palette is not legal")
-    bps = depth // 8  # bytes per sample; filtering operates on BYTES
-    ch_b = channels * bps  # filter bpp in bytes (spec §9: max(1, depth/8)·ch)
-    stride = w * ch_b
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if interlace == 0:
-        if raw.size != h * (stride + 1):
+
+    def reconstruct(pw: int, ph: int, sub: np.ndarray) -> np.ndarray:
+        """Unfilter + unpack one (sub-)image of `sub` raster bytes to
+        (ph, pw, channels) samples (sub-byte depths bit-unpack per
+        scanline; 16-bit keeps byte pairs until the final high-byte
+        down-conversion)."""
+        if depth >= 8:
+            ch_b = channels * (depth // 8)
+            pstride = pw * ch_b
+        else:
+            ch_b = 1  # filter bpp is max(1, depth/8)·channels = 1 byte
+            pstride = (pw * depth + 7) // 8
+        if sub.size != ph * (pstride + 1):
             raise NotImplementedError("PNG raster size mismatch")
-        px = _png_unfilter(raw, h, stride, ch_b).reshape(h, w, ch_b)
+        u = _png_unfilter(sub, ph, pstride, ch_b)
+        if depth == 16:
+            return u.reshape(ph, pw, channels, 2)[:, :, :, 0]
+        if depth == 8:
+            return u.reshape(ph, pw, channels)
+        # 1/2/4-bit: MSB-first packed samples, scanlines pad to a byte
+        bits = np.unpackbits(u, axis=1)[:, : pw * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
+        return vals.astype(np.uint8).reshape(ph, pw, 1)
+
+    if interlace == 0:
+        px = reconstruct(w, h, raw)
     else:
         # Adam7: seven independently-filtered sub-images concatenated in
         # the same zlib stream; pass k covers the (x0 + i·dx, y0 + j·dy)
         # grid and empty passes contribute no bytes (PNG spec §8.2)
-        px = np.zeros((h, w, ch_b), dtype=np.uint8)
+        px = np.zeros((h, w, channels), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * ch_b
+            pstride = (
+                pw * channels * (depth // 8) if depth >= 8 else (pw * depth + 7) // 8
+            )
             sub = raw[off : off + ph * (pstride + 1)]
             if sub.size != ph * (pstride + 1):
                 raise NotImplementedError("PNG interlaced raster size mismatch")
             off += ph * (pstride + 1)
-            px[y0::dy, x0::dx] = _png_unfilter(sub, ph, pstride, ch_b).reshape(
-                ph, pw, ch_b
-            )
+            px[y0::dy, x0::dx] = reconstruct(pw, ph, sub)
         if off != raw.size:
             raise NotImplementedError("PNG interlaced raster size mismatch")
-    if depth == 16:
-        # big-endian sample pairs → 8-bit via the high byte (the exact
-        # v >> 8 down-conversion; input 0xFFFF maps to 0xFF)
-        px = px.reshape(h, w, channels, 2)[:, :, :, 0].copy()
+    if depth < 8:
+        if ctype_n == 0:  # gray: scale to full 8-bit range (255/(2^d−1))
+            px = (px.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+        # palette indexes pass through unscaled
     if ctype_n == 0:
         return px[:, :, 0].copy()
     if ctype_n == 4:  # gray + alpha: drop alpha

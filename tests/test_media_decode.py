@@ -863,3 +863,60 @@ def test_png_16bit_adam7():
     g16 = rng.randint(0, 65536, size=(13, 10)).astype(np.uint16)
     (out,) = decode_bytes(_make_png16(g16, 0, [1, 3, 4], interlace=True))
     assert np.array_equal(out, (g16 >> 8).astype(np.uint8))
+
+
+def _make_png_subbyte(arr, depth, ctype, row_filters, palette=None, interlace=False):
+    """1/2/4-bit test encoder: MSB-first packed samples, scanlines
+    byte-padded, filtering at byte granularity with bpp=1 (spec §9)."""
+    import struct
+    import zlib
+
+    h, w = arr.shape
+
+    def pack_rows(sub):
+        ph, pw = sub.shape
+        # sample i occupies bit positions i*depth .. i*depth+depth-1
+        ordered = np.zeros((ph, ((pw * depth + 7) // 8) * 8), dtype=np.uint8)
+        for i in range(pw):
+            for j in range(depth):
+                ordered[:, i * depth + j] = (sub[:, i] >> (depth - 1 - j)) & 1
+        return np.packbits(ordered, axis=1).astype(np.int32)
+
+    raster = bytearray()
+    if not interlace:
+        raster += _filter_raster(pack_rows(arr), 1, row_filters)
+    else:
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raster += _filter_raster(pack_rows(sub), 1, row_filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0)
+    png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += _png_chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    png += _png_chunk(b"IDAT", zlib.compress(bytes(raster)))
+    return png + _png_chunk(b"IEND", b"")
+
+
+def test_png_subbyte_gray():
+    rng = np.random.RandomState(41)
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        px = rng.randint(0, mx + 1, size=(9, 13)).astype(np.uint8)
+        (out,) = decode_bytes(_make_png_subbyte(px, depth, 0, [0, 1, 2, 3, 4]))
+        want = (px.astype(np.uint16) * 255 // mx).astype(np.uint8)
+        assert np.array_equal(out, want), depth
+
+
+def test_png_subbyte_palette_and_adam7():
+    rng = np.random.RandomState(43)
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (255, 255, 255)]
+    idx = rng.randint(0, 4, size=(11, 7)).astype(np.uint8)
+    (out,) = decode_bytes(_make_png_subbyte(idx, 2, 3, [1, 4], palette=palette))
+    want = _luma_ref(np.array(palette, dtype=np.uint8)[idx])
+    assert np.array_equal(out, want)
+    # 1-bit Adam7 (fax-style bilevel, interlaced)
+    bw = rng.randint(0, 2, size=(17, 14)).astype(np.uint8)
+    (o2,) = decode_bytes(_make_png_subbyte(bw, 1, 0, [0, 2], interlace=True))
+    assert np.array_equal(o2, bw * 255)
