@@ -116,14 +116,16 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     for name in names:
-        if name.startswith("extract_"):
-            # the near-dup family runs just before the extraction block
-            # and leaves millions of candidate-join rows of allocation
-            # debt in the shared local-mode JVM — measured to slow the
-            # LAST suite query ~2.5x vs the same query isolated. Settle
-            # the heap so the north-star queries measure their own cost.
-            spark._jvm.System.gc()
-            time.sleep(1.0)
+        # Untimed heap settle before EVERY timed query (ADVICE r4 item
+        # 1): heavy predecessors (the near-dup candidate joins
+        # especially) leave allocation debt in the shared local-mode JVM
+        # that was measured to slow a successor up to ~2.5×. Settling
+        # only before the extraction block (the r4 protocol) gave the
+        # headline queries a clean heap the rest of the suite didn't
+        # get; settling uniformly measures every query under identical
+        # heap conditions. Protocol note in BENCH/BASELINE.md.
+        spark._jvm.System.gc()
+        time.sleep(1.0)
         t0 = time.monotonic()
         if name == "extract_fixture":
             # materialize the synthetic interleaved corpus to parquet

@@ -277,7 +277,16 @@ def _decode_image_xobject(objects: dict[int, object], obj) -> np.ndarray:
     filt = _resolve(objects, d.get("/Filter"))
     if isinstance(filt, list):
         filt = filt[0] if len(filt) == 1 else filt
-    if filt == "/DCTDecode" or (isinstance(filt, list) and "/DCTDecode" in filt):
+    if isinstance(filt, list):
+        # e.g. [/FlateDecode /DCTDecode]: the stream needs the whole
+        # cascade applied in order. Entering the DCTDecode branch with a
+        # still-deflated stream would produce a misleading "not a JPEG
+        # (no SOI)" error (ADVICE r4 item 3) — fail at the real boundary.
+        raise NotImplementedError(
+            f"PDF multi-element filter chain {filt} not supported "
+            "(single-filter streams only)"
+        )
+    if filt == "/DCTDecode":
         # the stream bytes ARE a complete JPEG file; the JPEG header is
         # authoritative for precision/colorspace, so skip the bpc/cs
         # checks below (a /Width//Height mismatch is corrupt input)
@@ -392,7 +401,7 @@ def encode_pdf(pages: list) -> bytes:
 
             h, w, ncomp = jpeg_dimensions(bytes(px))
             z, filt = bytes(px), "/DCTDecode"
-            cs = "/DeviceGray" if ncomp == 1 else "/DeviceRGB"
+            cs = {1: "/DeviceGray", 4: "/DeviceCMYK"}.get(ncomp, "/DeviceRGB")
         else:
             h, w = px.shape
             z, filt, cs = (

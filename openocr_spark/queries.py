@@ -62,6 +62,9 @@ def q(name: str, oracle: str | None):
            ROUND(SUM(l_extendedprice), 2)                       AS sum_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
            ROUND(AVG(l_discount), 6)                            AS avg_disc,
+           ROUND(MIN(l_extendedprice), 2)                       AS min_price,
+           ROUND(MAX(l_extendedprice), 2)                       AS max_price,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2)               AS std_price,
            COUNT(*)                                             AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -70,7 +73,10 @@ def q(name: str, oracle: str | None):
 )
 def q_pruned_agg(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 shape: partial/final hash aggregation with a pushed-down
-    scan filter (SURVEY §2.4 A4: DetMetric partial sums → global sums)."""
+    scan filter (SURVEY §2.4 A4: DetMetric partial sums → global sums).
+    Also carries the min/max/stddev spread statistics (absorbed the
+    former `spread_stats` warm-up, VERDICT r4 next-round #1: the
+    registry must fit the driver's 50-query correctness window)."""
     li = load(spark, sf, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
@@ -82,6 +88,9 @@ def q_pruned_agg(spark: SparkSession, sf: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -109,23 +118,31 @@ def q_filter_project(spark: SparkSession, sf: str) -> DataFrame:
     "join_agg",
     """
     SELECT c.c_mktsegment                          AS mktsegment,
+           o.o_custkey                             AS custkey,
            COUNT(*)                                AS n_orders,
            ROUND(SUM(o.o_totalprice), 2)           AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_mktsegment
+    GROUP BY c.c_mktsegment, o.o_custkey
+    HAVING COUNT(*) >= 8
     """,
 )
 def q_join_agg(spark: SparkSession, sf: str) -> DataFrame:
-    """Equi-join + aggregation (SURVEY §2.3 J1 det→rec zip as equi-join)."""
+    """Equi-join + aggregation (SURVEY §2.3 J1 det→rec zip as equi-join)
+    with a post-aggregation predicate (HAVING — absorbed the former
+    `having_filter` warm-up, VERDICT r4 next-round #1)."""
     o = load(spark, sf, "orders")
     c = load(spark, sf, "customer")
     return (
         o.join(c, o.o_custkey == c.c_custkey)
-        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .groupBy(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("o_custkey").alias("custkey"),
+        )
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
+        .filter(F.col("n_orders") >= 8)
     )
 
 
@@ -157,47 +174,45 @@ def q_broadcast_dim_join(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "anti_join",
     """
-    SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_customers_no_urgent
+    SELECT 'anti' AS side, c.c_mktsegment AS key, COUNT(*) AS n
     FROM customer c ANTI JOIN (
       SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     ) o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
-    """,
-)
-def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Left anti-join (SURVEY §2.3 J3: dets vs don't-care regions).
-    Anti-joins against urgent orders only — every customer has SOME
-    order in the driver corpus, so the bare customer-without-orders
-    variant returned 0 rows at every SF (a vacuously-green oracle
-    check, VERDICT r1 finding 3). This predicate yields 203 rows at
-    sf0.01 / 1986 at sf0.1."""
-    c = load(spark, sf, "customer")
-    o = load(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
-        .agg(F.count("*").alias("n_customers_no_urgent"))
-    )
-
-
-@q(
-    "semi_join",
-    """
-    SELECT o.o_orderpriority AS priority, COUNT(*) AS n_orders
+    UNION ALL
+    SELECT 'semi', o.o_orderpriority, COUNT(*)
     FROM orders o SEMI JOIN customer c
       ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
     GROUP BY o.o_orderpriority
     """,
 )
-def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Left semi-join (SURVEY §2.7 SO4 drop_figures_set membership)."""
-    o = load(spark, sf, "orders")
-    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    return (
-        o.join(c, o.o_custkey == c.c_custkey, "left_semi")
-        .groupBy(F.col("o_orderpriority").alias("priority"))
-        .agg(F.count("*").alias("n_orders"))
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left anti- AND semi-join in one query (SURVEY §2.3 J3: dets vs
+    don't-care regions; §2.7 SO4 drop_figures_set membership — the
+    former standalone `semi_join` is absorbed here as the second UNION
+    leg, VERDICT r4 next-round #1). Anti-joins against urgent orders
+    only — every customer has SOME order in the driver corpus, so the
+    bare customer-without-orders variant returned 0 rows at every SF
+    (a vacuously-green oracle check, VERDICT r1 finding 3)."""
+    c = load(spark, sf, "customer")
+    o_urgent = load(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
     )
+    anti = (
+        c.join(o_urgent, c.c_custkey == o_urgent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("key"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("anti").alias("side"), "key", "n")
+    )
+    o = load(spark, sf, "orders")
+    cb = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    semi = (
+        o.join(cb, o.o_custkey == cb.c_custkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("key"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("semi").alias("side"), "key", "n")
+    )
+    return anti.unionByName(semi)
 
 
 @q(
@@ -238,50 +253,6 @@ def q_multi_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
         )
-    )
-
-
-@q(
-    "having_filter",
-    """
-    SELECT o_custkey, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_spend
-    FROM orders
-    GROUP BY o_custkey
-    HAVING COUNT(*) >= 8
-    """,
-)
-def q_having_filter(spark: SparkSession, sf: str) -> DataFrame:
-    """Post-aggregation predicate (HAVING)."""
-    o = load(spark, sf, "orders")
-    return (
-        o.groupBy("o_custkey")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
-        )
-        .filter(F.col("n_orders") >= 8)
-    )
-
-
-@q(
-    "spread_stats",
-    """
-    SELECT l_returnflag,
-           ROUND(MIN(l_extendedprice), 2) AS min_price,
-           ROUND(MAX(l_extendedprice), 2) AS max_price,
-           ROUND(STDDEV_SAMP(l_extendedprice), 2) AS std_price
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
-def q_spread_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """min/max/stddev spread statistics per group."""
-    li = load(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
     )
 
 
@@ -658,70 +629,10 @@ def q_rec_metric_analog(spark: SparkSession, sf: str) -> DataFrame:
 
 @q(
     "token_count",
-    """
-    SELECT source,
-           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-           ROUND(AVG(len(string_split(text, ' '))), 4)       AS avg_tokens
-    FROM documents
-    GROUP BY source
-    """,
-)
-def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
-    tc = textstats.token_count(F.col("text"))
-    return d.groupBy("source").agg(
-        F.sum(tc).alias("total_tokens"),
-        F.round(F.avg(tc), 4).alias("avg_tokens"),
-    )
-
-
-@q(
-    "quality_score",
-    """
-    SELECT lang,
-           ROUND(AVG(
-             (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END
-              + CASE WHEN len(list_filter(string_split(text, ' '),
-                     t -> t IN ('the','a','of','and','to','in','is')))
-                     / GREATEST(len(string_split(text, ' ')), 1) >= 0.01
-                     THEN 1.0 ELSE 0.0 END
-              + CASE WHEN length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
-                     / GREATEST(length(text), 1) <= 0.2
-                     THEN 1.0 ELSE 0.0 END) / 3.0), 6) AS avg_quality
-    FROM documents
-    GROUP BY lang
-    """,
-)
-def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
-    return d.groupBy("lang").agg(
-        F.round(F.avg(textstats.quality_score(F.col("text"))), 6).alias("avg_quality")
-    )
-
-
-@q(
-    "lang_id",
-    """
-    SELECT CASE WHEN len(list_filter(string_split(text, ' '),
-                    t -> t IN ('the','a','of','and','to','in','is')))
-                 / GREATEST(len(string_split(text, ' ')), 1) >= 0.02
-           THEN 'en' ELSE 'other' END AS lang_pred,
-           COUNT(*) AS n_docs
-    FROM documents
-    GROUP BY lang_pred
-    """,
-)
-def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
-    return d.groupBy(textstats.lang_id(F.col("text")).alias("lang_pred")).agg(
-        F.count("*").alias("n_docs")
-    )
-
-
-@q(
-    "bpe_tokens",
     r"""
     SELECT source,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(len(string_split(text, ' '))), 4)       AS avg_tokens,
            CAST(SUM(len(regexp_extract_all(text,
              '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')))
              AS BIGINT) AS total_bpe_tokens,
@@ -732,15 +643,57 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     GROUP BY source
     """,
 )
-def q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
-    """BPE-ish token counting (GPT-2-style pre-tokenizer boundary
-    regex) — the cost-estimation counterpart of the whitespace
-    token_count query."""
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace AND BPE-ish (GPT-2-style pre-tokenizer boundary
+    regex) token counting in one aggregation — the former standalone
+    `bpe_tokens` query is absorbed here (VERDICT r4 next-round #1:
+    registry must fit the driver's 50-query window)."""
     d = load(spark, sf, "documents")
-    tc = textstats.bpe_token_count(F.col("text"))
+    tc = textstats.token_count(F.col("text"))
+    bc = textstats.bpe_token_count(F.col("text"))
     return d.groupBy("source").agg(
-        F.sum(tc).alias("total_bpe_tokens"),
-        F.round(F.avg(tc), 4).alias("avg_bpe_tokens"),
+        F.sum(tc).alias("total_tokens"),
+        F.round(F.avg(tc), 4).alias("avg_tokens"),
+        F.sum(bc).alias("total_bpe_tokens"),
+        F.round(F.avg(bc), 4).alias("avg_bpe_tokens"),
+    )
+
+
+@q(
+    "quality_score",
+    """
+    SELECT lang,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the','a','of','and','to','in','is')))
+                / GREATEST(len(string_split(text, ' ')), 1) >= 0.02
+           THEN 'en' ELSE 'other' END AS lang_pred,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(
+             (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the','a','of','and','to','in','is')))
+                     / GREATEST(len(string_split(text, ' ')), 1) >= 0.01
+                     THEN 1.0 ELSE 0.0 END
+              + CASE WHEN length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                     / GREATEST(length(text), 1) <= 0.2
+                     THEN 1.0 ELSE 0.0 END) / 3.0), 6) AS avg_quality
+    FROM documents
+    GROUP BY lang, lang_pred
+    """,
+)
+def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic quality scoring + n-gram language-ID in one pass,
+    grouped (lang × lang_pred) — a quality/language confusion matrix.
+    The former standalone `lang_id` query is absorbed as the second
+    group key (VERDICT r4 next-round #1)."""
+    d = load(spark, sf, "documents")
+    return d.groupBy(
+        "lang", textstats.lang_id(F.col("text")).alias("lang_pred")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(textstats.quality_score(F.col("text"))), 6).alias(
+            "avg_quality"
+        ),
     )
 
 
@@ -1378,7 +1331,85 @@ def q_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q("near_dup_lsh_tuned", None)
+def _near_dup_lsh_tuned_sql(
+    threshold: float = 0.9,
+    recall: float = 0.9,
+    occupancy: int = 64,
+    max_bands: int = 64,
+    seed: int = 7,
+    dims: int = 64,
+) -> str:
+    """Oracle SQL for the CORPUS-SIZE-TUNED banded sign-LSH near-dup
+    (VERDICT r4 next-round #1): unlike `_near_dup_lsh_sql`, (bands,
+    bits) cannot be baked as literals — they derive from count(*). So
+    the oracle re-derives them IN SQL with the same closed form as
+    `similarity.tuned_lsh_params` (pure libm arithmetic — identical on
+    both sides of the compare since driver-side Python and DuckDB share
+    the container's libm), and generates the md5-parity hyperplanes at
+    runtime with the same key scheme as `similarity.sign_bucket`
+    (parity of int(md5(f"{seed}#{bit}#{dim}")[:4], 16) == parity of hex
+    digit 4). All float literals are e0-suffixed so DuckDB parses them
+    as DOUBLE (not DECIMAL) and every arithmetic step is bit-identical
+    to the engine's JVM doubles."""
+    odd = "'1','3','5','7','9','b','d','f'"
+    return f"""
+    WITH ebase AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    corpus AS (
+      SELECT vec_id, v FROM ebase
+      UNION ALL
+      SELECT vec_id + 1000000000,
+             list_transform(range(len(v)), i ->
+               v[i + 1] * (CAST(1 AS DOUBLE)
+                           + CAST((vec_id + i) % 7 - 3 AS DOUBLE) * 1e-2))
+      FROM ebase WHERE vec_id % 50 = 0),
+    params AS (
+      SELECT bits,
+             CASE WHEN POW(p, bits) >= 1e0 THEN 1
+                  ELSE GREATEST(1, LEAST({max_bands}, CAST(CEIL(
+                    LN(CAST(1 AS DOUBLE) - {min(recall, 0.999)!r}e0)
+                    / LN(CAST(1 AS DOUBLE) - POW(p, bits))) AS BIGINT)))
+             END AS bands
+      FROM (
+        SELECT GREATEST(4, CAST(CEIL(LOG2(
+                 CAST(n AS DOUBLE) / CAST({occupancy} AS DOUBLE))) AS BIGINT))
+                 AS bits,
+               CAST(1 AS DOUBLE) - ACOS({threshold!r}e0) / PI() AS p
+        FROM (SELECT COUNT(*) AS n FROM corpus))),
+    hyper AS (
+      SELECT band, bit,
+             list_transform(range({dims}), i ->
+               CAST(CASE WHEN substr(md5(
+                      CAST({seed} + 1000 * band AS VARCHAR) || '#' ||
+                      CAST(bit AS VARCHAR) || '#' || CAST(i AS VARCHAR)),
+                      4, 1) IN ({odd})
+                    THEN 1 ELSE -1 END AS DOUBLE)) AS h
+      FROM (SELECT unnest(range((SELECT bands FROM params))) AS band),
+           (SELECT unnest(range((SELECT bits FROM params))) AS bit)),
+    codes AS (
+      SELECT c.vec_id, h.band,
+             CAST(SUM(CASE WHEN list_dot_product(c.v, h.h) >= 0
+                           THEN 1 << h.bit ELSE 0 END) AS BIGINT) AS bucket
+      FROM corpus c, hyper h
+      GROUP BY c.vec_id, h.band),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM codes a JOIN codes b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    normed AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus),
+    scored AS (
+      SELECT cand.id_a, cand.id_b,
+             ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos_sim
+      FROM cand JOIN normed x ON x.vec_id = cand.id_a
+                JOIN normed y ON y.vec_id = cand.id_b)
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {threshold!r}e0
+    """
+
+
+@q("near_dup_lsh_tuned", _near_dup_lsh_tuned_sql())
 def q_near_dup_lsh_tuned(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-size-tuned banded sign-LSH near-dup: (bands, bits) derive
     from count() via tuned_lsh_params so bucket occupancy stays bounded
@@ -1390,28 +1421,41 @@ def q_near_dup_lsh_tuned(spark: SparkSession, sf: str) -> DataFrame:
     the bands needed for recall approach brute force — measured and
     documented in BENCH/scale_sf1.md). The fixture embeddings top out
     at cosine ≈ 0.60, so the corpus is the table UNION a deterministic
-    2%% sample of ≈0.999-cosine perturbed copies (scales with the
+    2%% sample of near-1.0-cosine perturbed copies (scales with the
     table) — the query is non-vacuous at every SF and the found pairs
-    are exactly the planted ones. No SQL oracle: the count-derived
-    parameters cannot live in a static DuckDB string — the fixed-
-    parameter `near_dup_lsh` pins the band/bucket/verify semantics
-    hash-exactly, and pytest pins tuned == fixed for equal derived
-    parameters."""
+    are exactly the planted ones. The perturbation is INTEGER-EXACT
+    double arithmetic (((vec_id+i) %% 7 − 3)·1e-2) rather than sin():
+    JVM Math.sin and DuckDB's libm sin may differ by ULPs, and a
+    hash-checked oracle (this round, VERDICT r4 next-round #1) needs
+    the planted vectors bit-identical on both sides. The oracle
+    re-derives (bands, bits) from count(*) in a CTE with the same
+    closed form and regenerates the md5-parity hyperplanes in SQL."""
     emb = load(spark, sf, "embeddings").select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
-    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + F.lit(10**9)).alias("vec_id"),
-        F.transform(
+    # two withColumn steps, NOT one select: Spark's lateral column alias
+    # resolution would bind F.col("vec_id") inside the transform to a
+    # sibling `(vec_id + 1e9).alias("vec_id")` select item, silently
+    # shifting the mod-7 pattern by 1e9 % 7 = 6 vs the oracle (caught
+    # by the r5 hash compare — cosines differed in the 5th decimal)
+    planted = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .withColumn(
             "embedding",
-            lambda x, i: x
-            * (
-                F.lit(1.0)
-                + F.sin(F.col("vec_id").cast("double") + i.cast("double"))
-                * F.lit(0.001)
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                * (
+                    F.lit(1.0)
+                    + ((F.col("vec_id") + i.cast("long")) % 7 - 3).cast(
+                        "double"
+                    )
+                    * F.lit(1e-2)
+                ),
             ),
-        ).alias("embedding"),
+        )
+        .withColumn("vec_id", F.col("vec_id") + F.lit(10**9))
     )
     # the operator references its input 4x (count + hash projection +
     # both verify sides); materialize the derived corpus once so the
@@ -1789,12 +1833,15 @@ def q_extract_spans(spark: SparkSession, sf: str) -> DataFrame:
 # The driver's correctness run records only the FIRST 50 registered
 # queries (CORRECTNESS_r03 had 52 registered and exactly the first 50
 # recorded — the flagship `extract_spans` / `doc_markdown` rows fell off
-# the end).  Promote the north-rule-critical end-to-end queries to the
-# head of the registration order and demote the two redundant relational
-# warm-ups (`semi_join` is a LeftSemi variant of `anti_join`;
-# `having_filter` a post-agg-filter variant of `join_agg`) to the tail
-# so everything correctness-critical sits inside the driver's window.
-# Relative order is otherwise unchanged.
+# the end).  Round 5 (VERDICT r4 next-round #1) consolidated the five
+# redundant warm-ups into their siblings (`semi_join`→`anti_join`,
+# `having_filter`→`join_agg`, `spread_stats`→`pruned_agg`,
+# `bpe_tokens`→`token_count`, `lang_id`→`quality_score`) so the whole
+# registry — 49 queries, every one with a DuckDB oracle including the
+# count()-derived `near_dup_lsh_tuned` — fits inside the window with a
+# slot of headroom.  _HEAD still pins the north-rule-critical queries
+# first; _MAX_REGISTERED fails loudly at import if a future round
+# overflows the window again instead of silently dropping records.
 
 _HEAD = [
     "extract_spans",
@@ -1804,21 +1851,24 @@ _HEAD = [
     "det_metric_fixture",
     "preproc_targets",
     "near_dup_lsh",
+    "near_dup_lsh_tuned",
     "dedup_clusters_star",
     "deduplicate_corpus",
     "ann_quantized",
     "ann_ivf_trained",
 ]
-_TAIL = ["spread_stats", "semi_join", "having_filter", "near_dup_lsh_tuned"]
+_MAX_REGISTERED = 50
 
 
 def _reorder_for_driver_window() -> None:
+    assert len(SPARK_Q) <= _MAX_REGISTERED, (
+        f"{len(SPARK_Q)} queries registered but the driver records only "
+        f"the first {_MAX_REGISTERED} — consolidate before adding more "
+        "(VERDICT r4 finding 1)"
+    )
     for d in (SPARK_Q, ORACLE_Q):
         ordered = {k: d[k] for k in _HEAD if k in d}
-        ordered.update(
-            {k: v for k, v in d.items() if k not in _HEAD and k not in _TAIL}
-        )
-        ordered.update({k: d[k] for k in _TAIL if k in d})
+        ordered.update({k: v for k, v in d.items() if k not in _HEAD})
         assert set(ordered) == set(d)
         d.clear()
         d.update(ordered)

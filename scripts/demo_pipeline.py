@@ -143,24 +143,39 @@ def main() -> None:
 
     # 4b2 ── from-scratch codecs: a progressive JPEG inside a PDF page
     # decodes through the distributed 1→N explode (media_decode →
-    # jpeg_format SOF2 → pdf_format /DCTDecode)
+    # jpeg_format SOF2 → pdf_format /DCTDecode). The progressive
+    # ENCODER lives test-side only (it exists to validate the decoder);
+    # a deployment shipping just the package skips this leg instead of
+    # crashing (ADVICE r4 item 5).
     import sys as _sys
 
     _sys.path.insert(0, os.path.join(ROOT, "tests"))
-    from jpeg_ref_encoder import encode_jpeg_progressive
+    try:
+        from jpeg_ref_encoder import encode_jpeg_progressive
+    except ImportError:
+        encode_jpeg_progressive = None
+        print("[codecs]    tests/ tree not shipped — skipping the "
+              "progressive-JPEG-in-PDF demo leg")
 
-    from openocr_spark.kernels.media_decode import decode_media, extract_features
-    from openocr_spark.kernels.pdf_format import encode_pdf
+    if encode_jpeg_progressive is not None:
+        from openocr_spark.kernels.media_decode import (
+            decode_media,
+            extract_features,
+        )
+        from openocr_spark.kernels.pdf_format import encode_pdf
 
-    img = (np.indices((16, 24)).sum(axis=0) * 5 % 256).astype(np.uint8)
-    pdf = encode_pdf([img, encode_jpeg_progressive(img, qtable=[1] * 64)])
-    mdf = spark.createDataFrame(
-        [("demo", "doc.pdf", bytearray(pdf))],
-        "doc_id string, media_ref string, content binary")
-    pages = {r.page_no: r for r in extract_features(decode_media(mdf)).collect()}
-    drift = abs(pages[0].mean_px - pages[1].mean_px)
-    print(f"[codecs]    PDF(Flate + progressive-JPEG pages) -> {len(pages)} pages, "
-          f"luma drift {drift:.3f}")
+        img = (np.indices((16, 24)).sum(axis=0) * 5 % 256).astype(np.uint8)
+        pdf = encode_pdf([img, encode_jpeg_progressive(img, qtable=[1] * 64)])
+        mdf = spark.createDataFrame(
+            [("demo", "doc.pdf", bytearray(pdf))],
+            "doc_id string, media_ref string, content binary")
+        pages = {
+            r.page_no: r
+            for r in extract_features(decode_media(mdf)).collect()
+        }
+        drift = abs(pages[0].mean_px - pages[1].mean_px)
+        print(f"[codecs]    PDF(Flate + progressive-JPEG pages) -> "
+              f"{len(pages)} pages, luma drift {drift:.3f}")
 
     # 4c ── LMDB round-trip through the pure-python format
     from openocr_spark.sources import lmdb_format as L

@@ -5,7 +5,9 @@ against the T.81 spec rather than against a sibling implementation.
 
 Supports: grayscale (1 component), YCbCr 4:4:4 and 4:2:0 (2×2-mean
 subsample), restart intervals, quality-scaled Annex K quant tables or
-an all-ones table for near-lossless round trips.
+an all-ones table for near-lossless round trips, and (r5) 4-component
+CMYK/YCCK plus 3-component Adobe-RGB with the APP14 transform marker
+(both baseline and progressive).
 """
 
 from __future__ import annotations
@@ -143,37 +145,84 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    qtable: list[int] | None = None,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """img: (h, w) gray or (h, w, 3) RGB uint8. qtable: 64 zigzag-order
-    values (default Annex K.1); pass [1]*64 for a near-lossless round
-    trip. subsample=True → 4:2:0 chroma (2×2 mean)."""
-    q = np.array(qtable if qtable is not None else K1, dtype=np.int32)
-    color = img.ndim == 3
+def _color_planes(
+    img: np.ndarray, subsample: bool, adobe_transform: int | None
+) -> tuple[list[np.ndarray], list[tuple[int, int]], bytes]:
+    """(planes, sampling factors, APP14 segment) for gray / RGB / CMYK
+    input. adobe_transform: None = no APP14 (YCbCr for 3ch, plain CMYK
+    ink for 4ch); 0 = Adobe direct (RGB for 3ch; inverted CMYK for
+    4ch); 2 = Adobe YCCK (4ch: BT.601 forward over the INVERTED C/M/Y
+    planes — the Photoshop convention the package decoder documents)."""
     h, w = img.shape[:2]
-    if color:
+    nch = 1 if img.ndim == 2 else img.shape[2]
+    app14 = b""
+    if adobe_transform is not None:
+        app14 = _seg(
+            0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, adobe_transform)
+        )
+    if nch == 1:
+        return [img.astype(np.float64)], [(1, 1)], app14
+    if nch == 3:
+        if adobe_transform == 0:  # Adobe RGB: components stored directly
+            return (
+                [img[:, :, i].astype(np.float64) for i in range(3)],
+                [(1, 1)] * 3,
+                app14,
+            )
         r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        planes = [y, cb, cr]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
         samps = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
-    else:
-        planes = [img.astype(np.float64)]
-        samps = [(1, 1)]
-    hmax = max(s[0] for s in samps)
-    vmax = max(s[1] for s in samps)
-    if subsample:
+    else:  # 4ch: CMYK ink values in
+        c, m, y, k = (img[:, :, i].astype(np.float64) for i in range(4))
+        if adobe_transform == 2:  # YCCK over the inverted planes
+            ic, im, iy = 255.0 - c, 255.0 - m, 255.0 - y
+            planes = [
+                0.299 * ic + 0.587 * im + 0.114 * iy,
+                128.0 - 0.168736 * ic - 0.331264 * im + 0.5 * iy,
+                128.0 + 0.5 * ic - 0.418688 * im - 0.081312 * iy,
+                255.0 - k,
+            ]
+            samps = (
+                [(2, 2), (1, 1), (1, 1), (2, 2)]
+                if subsample
+                else [(1, 1)] * 4
+            )
+        elif adobe_transform == 0:  # Adobe CMYK: stored inverted
+            planes = [255.0 - c, 255.0 - m, 255.0 - y, 255.0 - k]
+            samps = [(1, 1)] * 4
+        else:  # plain CMYK (no APP14): ink values stored directly
+            planes = [c, m, y, k]
+            samps = [(1, 1)] * 4
+    if subsample and samps[0] == (2, 2):
         for i in (1, 2):
             p = planes[i]
             ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
             pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
             planes[i] = (pad[0::2, 0::2] + pad[0::2, 1::2]
                          + pad[1::2, 0::2] + pad[1::2, 1::2]) / 4.0
+    return planes, samps, app14
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    qtable: list[int] | None = None,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    adobe_transform: int | None = None,
+) -> bytes:
+    """img: (h, w) gray, (h, w, 3) RGB, or (h, w, 4) CMYK-ink uint8.
+    qtable: 64 zigzag-order values (default Annex K.1); pass [1]*64 for
+    a near-lossless round trip. subsample=True → 4:2:0 chroma (2×2
+    mean). adobe_transform: emit an APP14 marker (see _color_planes)."""
+    q = np.array(qtable if qtable is not None else K1, dtype=np.int32)
+    h, w = img.shape[:2]
+    planes, samps, app14 = _color_planes(img, subsample, adobe_transform)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
 
     # pad each plane to whole MCUs
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -214,6 +263,7 @@ def encode_jpeg(
     out_chunks.append(bytes(wtr.buf))
 
     head = bytearray(b"\xff\xd8")
+    head += app14
     head += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
     nc = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, nc)
@@ -375,35 +425,19 @@ def encode_jpeg_progressive(
     qtable: list[int] | None = None,
     subsample: bool = False,
     restart_interval: int = 0,
+    adobe_transform: int | None = None,
 ) -> bytes:
     """Progressive (SOF2) encoding of the same pixel pipeline as
     encode_jpeg: fully refined, so decoding must be bit-identical to
     decoding the baseline encoding. Scan script (libjpeg-flavored):
     interleaved DC at Al=1, per-component AC bands (1-5)/(6-63) at
-    Al=2, AC refine 2→1, interleaved DC refine, AC refine 1→0."""
+    Al=2, AC refine 2→1, interleaved DC refine, AC refine 1→0.
+    adobe_transform: as in encode_jpeg (CMYK/YCCK/Adobe-RGB APP14)."""
     q = np.array(qtable if qtable is not None else K1, dtype=np.int32)
-    color = img.ndim == 3
     h, w = img.shape[:2]
-    if color:
-        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
-            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
-        ]
-        samps = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
-    else:
-        planes = [img.astype(np.float64)]
-        samps = [(1, 1)]
+    planes, samps, app14 = _color_planes(img, subsample, adobe_transform)
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)
-    if subsample:
-        for i in (1, 2):
-            p = planes[i]
-            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
-            pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
-            planes[i] = (pad[0::2, 0::2] + pad[0::2, 1::2]
-                         + pad[1::2, 0::2] + pad[1::2, 1::2]) / 4.0
     mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     qnat = np.empty(64, np.int32)
     qnat[[ZIG[i] for i in range(64)]] = q
@@ -432,6 +466,7 @@ def encode_jpeg_progressive(
     nc = len(planes)
 
     head = bytearray(b"\xff\xd8")
+    head += app14
     head += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for i, (sh, sv) in enumerate(samps):

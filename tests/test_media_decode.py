@@ -920,3 +920,156 @@ def test_png_subbyte_palette_and_adam7():
     bw = rng.randint(0, 2, size=(17, 14)).astype(np.uint8)
     (o2,) = decode_bytes(_make_png_subbyte(bw, 1, 0, [0, 2], interlace=True))
     assert np.array_equal(o2, bw * 255)
+
+
+def test_jpeg_dimensions_skips_standalone_markers():
+    """TEM (0x01) and RSTn are length-less standalone markers; treating
+    their following bytes as a segment length misparses the header walk
+    (ADVICE r4 item 4)."""
+    from jpeg_ref_encoder import encode_jpeg
+    from openocr_spark.kernels.jpeg_format import jpeg_dimensions
+
+    jb = encode_jpeg(_smooth(10, 14), qtable=[1] * 64)
+    # inject TEM + a stray RST3 + a fill byte right after SOI
+    patched = jb[:2] + b"\xff\x01\xff\xd3\xff\xff\xdb" + jb[4:]
+    # (the \xff\xdb re-introduces the DQT marker the splice consumed)
+    h, w, nc = jpeg_dimensions(patched)
+    assert (h, w, nc) == (10, 14, 1)
+
+
+def test_pdf_filter_chain_fails_loud():
+    """A multi-element /Filter cascade like [/FlateDecode /DCTDecode]
+    must fail at the filter-chain boundary, not hand a still-deflated
+    stream to the JPEG decoder (ADVICE r4 item 3)."""
+    import zlib as _zlib
+
+    from jpeg_ref_encoder import encode_jpeg
+
+    jb = encode_jpeg(np.full((4, 4), 99, dtype=np.uint8), qtable=[1] * 64)
+    stream = _zlib.compress(jb)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Count 1 /Kids [3 0 R] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R "
+        b"/Resources << /XObject << /ImA 4 0 R >> >> >> endobj\n"
+        b"4 0 obj << /Subtype /Image /Width 4 /Height 4"
+        b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+        b" /Filter [/FlateDecode /DCTDecode] /Length "
+        + str(len(stream)).encode()
+        + b" >>\nstream\n"
+        + stream
+        + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    with pytest.raises(NotImplementedError, match="filter chain"):
+        decode_bytes(pdf)
+
+
+# --- CMYK / YCCK / Adobe APP14 (VERDICT r4 next-round #2) --------------
+
+
+def _smooth_cmyk(h, w):
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    return np.dstack([
+        (100 + 90 * np.sin(x / 6.0)).clip(0, 255),
+        (100 + 90 * np.cos(y / 5.0)).clip(0, 255),
+        (128 + 70 * np.sin((x + y) / 8.0)).clip(0, 255),
+        (60 + 50 * np.cos((x - y) / 7.0)).clip(0, 255),
+    ]).astype(np.uint8)
+
+
+def _cmyk_to_rgb_ref(cmyk):
+    """Independent expected-RGB: composite each (255−ink) channel
+    against the (255−K) plate — the convention the decoder documents."""
+    inv = 255.0 - cmyk.astype(np.float64)
+    ch = [inv[:, :, i] * inv[:, :, 3] / 255.0 for i in range(3)]
+    return np.dstack([np.clip(np.round(c), 0, 255).astype(np.uint8) for c in ch])
+
+
+def test_jpeg_cmyk_plain_and_adobe_inverted():
+    """4-component CMYK, both storage conventions: plain (no APP14, ink
+    stored directly) and Adobe transform=0 (APP14, samples inverted) —
+    both must decode to the same composited RGB."""
+    from jpeg_ref_encoder import encode_jpeg
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    cmyk = _smooth_cmyk(24, 40)
+    want = _cmyk_to_rgb_ref(cmyk)
+    for transform in (None, 0):
+        out = decode_jpeg(encode_jpeg(cmyk, qtable=[1] * 64,
+                                      adobe_transform=transform))
+        assert out.shape == want.shape
+        err = int(np.abs(out.astype(int) - want.astype(int)).max())
+        assert err <= 3, (transform, err)
+
+
+def test_jpeg_ycck_444_and_420():
+    """Adobe transform=2 (YCCK): BT.601 over the inverted C/M/Y planes,
+    K passthrough — 4:4:4 near-lossless, 4:2:0 within chroma-loss rmse."""
+    from jpeg_ref_encoder import encode_jpeg
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    cmyk = _smooth_cmyk(24, 40)
+    want = _cmyk_to_rgb_ref(cmyk)
+    out = decode_jpeg(encode_jpeg(cmyk, qtable=[1] * 64, adobe_transform=2))
+    assert int(np.abs(out.astype(int) - want.astype(int)).max()) <= 5
+    out420 = decode_jpeg(
+        encode_jpeg(cmyk, qtable=[1] * 64, adobe_transform=2, subsample=True)
+    )
+    rmse = float(np.sqrt(((out420.astype(float) - want) ** 2).mean()))
+    assert rmse < 6.0, rmse
+
+
+def test_jpeg_cmyk_progressive_equals_baseline():
+    """Fully-refined progressive CMYK/YCCK decodes bit-identical to the
+    baseline encoding of the same planes (the same invariant the
+    gray/color paths pin)."""
+    from jpeg_ref_encoder import encode_jpeg, encode_jpeg_progressive
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    cmyk = _smooth_cmyk(17, 26)
+    for transform in (None, 0, 2):
+        base = decode_jpeg(encode_jpeg(cmyk, qtable=[1] * 64,
+                                       adobe_transform=transform))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(cmyk, qtable=[1] * 64,
+                                    adobe_transform=transform)
+        )
+        assert np.array_equal(base, prog), transform
+
+
+def test_jpeg_adobe_rgb_direct():
+    """3-component Adobe transform=0: components ARE RGB — no YCbCr
+    matrix on either side, so the all-ones-qtable round trip is
+    near-lossless per channel."""
+    from jpeg_ref_encoder import encode_jpeg
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    rgb = _smooth(16, 24, color=True)
+    out = decode_jpeg(encode_jpeg(rgb, qtable=[1] * 64, adobe_transform=0))
+    assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 1
+
+
+def test_pdf_dct_cmyk_page(spark):
+    """A YCCK JPEG inside a PDF /DCTDecode image XObject — where real
+    scanned-document CMYK actually lives — through the distributed
+    decode (PDF 1→N explode → jpeg_format → luma)."""
+    from jpeg_ref_encoder import encode_jpeg
+    from openocr_spark.kernels.media_decode import decode_media, extract_features
+    from openocr_spark.kernels.pdf_format import encode_pdf
+
+    cmyk = _smooth_cmyk(16, 24)
+    want = _luma_ref(_cmyk_to_rgb_ref(cmyk))
+    jb = encode_jpeg(cmyk, qtable=[1] * 64, adobe_transform=2)
+    assert b"/DeviceCMYK" in encode_pdf([jb])
+    (direct,) = decode_bytes(encode_pdf([jb]))
+    assert direct.shape == want.shape
+    assert int(np.abs(direct.astype(int) - want.astype(int)).max()) <= 5
+    mdf = spark.createDataFrame(
+        [("d1", "doc.pdf", bytearray(encode_pdf([jb, cmyk[:, :, 0]])))],
+        "doc_id string, media_ref string, content binary",
+    )
+    rows = {r.page_no: r for r in extract_features(decode_media(mdf)).collect()}
+    assert len(rows) == 2
+    assert abs(rows[0].mean_px - float(want.mean())) < 2.0
