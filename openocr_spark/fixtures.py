@@ -72,7 +72,7 @@ def make_logits(text: str, rng: np.random.Generator, weak: bool = False) -> np.n
     return logits
 
 
-def payload_for_media_ref(media_ref: str) -> dict:
+def payload_for_media_ref(media_ref: str, with_logits: bool = True) -> dict:
     """Deterministic media payload: prob map + GT regions with logits.
 
     Region flavors (all seeded from the ref string):
@@ -131,7 +131,12 @@ def payload_for_media_ref(media_ref: str) -> dict:
         )
         n_words = 1 + int(word2[k])
         gt_text = " ".join(VOCAB[int(widx[k, j])] for j in range(n_words))
-        logits = make_logits(gt_text, rng, weak=low_conf)
+        # logits are the only rng draws inside this loop and nothing is
+        # drawn after it, so skipping them (with_logits=False — the
+        # preproc-target path needs geometry/score_map only, and
+        # make_logits was ~45% of synthesis cost) leaves every other
+        # field of the payload bit-identical
+        logits = make_logits(gt_text, rng, weak=low_conf) if with_logits else None
         regions.append(
             {
                 "points": [[x0, y0], [x1, y0], [x1, y1], [x0, y1]],

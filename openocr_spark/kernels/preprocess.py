@@ -36,11 +36,18 @@ from __future__ import annotations
 import numpy as np
 
 
-def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """2-D bilinear resample with half-pixel centers."""
-    h, w = img.shape
-    if (h, w) == (out_h, out_w):
-        return img.astype(np.float32, copy=True)
+def bilinear_grids(
+    h: int, w: int, out_h: int, out_w: int
+) -> tuple[np.ndarray, ...]:
+    """Half-pixel-center bilinear gather indices + weights for a
+    (h, w) → (out_h, out_w) resample. Depends only on the SHAPES, so
+    the label-encode operator precomputes it once per same-shape media
+    group and reuses it across the group (the RatioDataSet same-shape
+    bucketing idea, tools/data/ratio_dataset.py, applied to resampling
+    overhead — a batch-major stacked gather was measured SLOWER than
+    the per-image loop, ~3×: gathering one (y, x) across the whole
+    batch strides the full image span per element, while per-image
+    gathers stay cache-resident)."""
     ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
     xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
     y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
@@ -49,7 +56,14 @@ def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     x1 = np.clip(x0 + 1, 0, w - 1)
     wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
     wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
-    img = img.astype(np.float64)
+    return y0, y1, x0, x1, wy, wx
+
+
+def bilinear_apply(img: np.ndarray, grids: tuple[np.ndarray, ...]) -> np.ndarray:
+    """Apply precomputed bilinear_grids to one image (the single shared
+    resample formula — bilinear_resize routes through here too)."""
+    y0, y1, x0, x1, wy, wx = grids
+    img = img.astype(np.float64, copy=False)
     out = (
         img[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
         + img[np.ix_(y0, x1)] * (1 - wy) * wx
@@ -57,6 +71,33 @@ def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
         + img[np.ix_(y1, x1)] * wy * wx
     )
     return out.astype(np.float32)
+
+
+def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """2-D bilinear resample with half-pixel centers."""
+    h, w = img.shape
+    if (h, w) == (out_h, out_w):
+        return img.astype(np.float32, copy=True)
+    return bilinear_apply(img, bilinear_grids(h, w, out_h, out_w))
+
+
+def det_resize_shape(
+    h: int, w: int, limit_side_len: int = 736, limit_type: str = "min"
+) -> tuple[int, int]:
+    """G7 target-shape arithmetic (multiple-of-32 under a side-length
+    limit) without the resample — shared by det_resize and the
+    shape-grouped batch path (db_resize_for_test.py:113-114)."""
+    if limit_type == "max":
+        ratio = float(limit_side_len) / max(h, w) if max(h, w) > limit_side_len else 1.0
+    elif limit_type == "min":
+        ratio = float(limit_side_len) / min(h, w) if min(h, w) < limit_side_len else 1.0
+    elif limit_type == "resize_long":
+        ratio = float(limit_side_len) / max(h, w)
+    else:
+        raise ValueError(f"unsupported limit_type {limit_type!r}")
+    resize_h = max(int(round(int(h * ratio) / 32) * 32), 32)
+    resize_w = max(int(round(int(w * ratio) / 32) * 32), 32)
+    return resize_h, resize_w
 
 
 def det_resize(
@@ -68,16 +109,7 @@ def det_resize(
     returns (resized, ratio_h, ratio_w) with the post-rounding ratios
     (db_resize_for_test.py:113-114)."""
     h, w = img.shape
-    if limit_type == "max":
-        ratio = float(limit_side_len) / max(h, w) if max(h, w) > limit_side_len else 1.0
-    elif limit_type == "min":
-        ratio = float(limit_side_len) / min(h, w) if min(h, w) < limit_side_len else 1.0
-    elif limit_type == "resize_long":
-        ratio = float(limit_side_len) / max(h, w)
-    else:
-        raise ValueError(f"unsupported limit_type {limit_type!r}")
-    resize_h = max(int(round(int(h * ratio) / 32) * 32), 32)
-    resize_w = max(int(round(int(w * ratio) / 32) * 32), 32)
+    resize_h, resize_w = det_resize_shape(h, w, limit_side_len, limit_type)
     return bilinear_resize(img, resize_h, resize_w), resize_h / float(h), resize_w / float(w)
 
 
@@ -103,12 +135,19 @@ def crop_margin(img: np.ndarray, thresh: int = 200) -> np.ndarray:
     mx, mn = int(gray.max()), int(gray.min())
     if mx == mn:
         return img
-    data = ((gray.astype(np.float64) - mn) / (mx - mn) * 255).astype(np.uint8)
-    content = data <= thresh
-    if not content.any():
+    # 256-entry LUT: the normalization depends only on the byte value,
+    # so computing it per DISTINCT value and gathering (np.take) is
+    # byte-identical to the former full-image float64 divide and ~10×
+    # cheaper (the divide was most of this kernel's cost)
+    lut = ((np.arange(256, dtype=np.float64) - mn) / (mx - mn) * 255).astype(
+        np.uint8
+    )
+    content = lut[gray] <= thresh
+    rows = np.flatnonzero(content.any(axis=1))
+    if rows.size == 0:
         return img
-    ys, xs = np.nonzero(content)
-    return img[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+    cols = np.flatnonzero(content.any(axis=0))
+    return img[rows[0] : rows[-1] + 1, cols[0] : cols[-1] + 1]
 
 
 def _rect_shrink_distance(x0: float, y0: float, x1: float, y1: float, ratio: float) -> float:
@@ -150,21 +189,6 @@ def make_shrink_map(
     return gt, mask
 
 
-def _segment_distance(
-    xs: np.ndarray, ys: np.ndarray, p1: tuple[float, float], p2: tuple[float, float]
-) -> np.ndarray:
-    """Distance from each (xs, ys) grid point to segment p1→p2 via the
-    clamped projection t = ((P−p1)·(p2−p1))/|p2−p1|²."""
-    dx, dy = p2[0] - p1[0], p2[1] - p1[1]
-    denom = dx * dx + dy * dy
-    if denom <= 0:
-        return np.sqrt((xs - p1[0]) ** 2 + (ys - p1[1]) ** 2)
-    t = np.clip(((xs - p1[0]) * dx + (ys - p1[1]) * dy) / denom, 0.0, 1.0)
-    cx = p1[0] + t * dx
-    cy = p1[1] + t * dy
-    return np.sqrt((xs - cx) ** 2 + (ys - cy) ** 2)
-
-
 def make_border_map(
     rects: list[tuple[float, float, float, float]],
     ignore: list[bool],
@@ -193,15 +217,25 @@ def make_border_map(
         if vx1 < vx0 or vy1 < vy0:
             continue
         mask[vy0 : vy1 + 1, vx0 : vx1 + 1] = 1.0
-        gy, gx = np.mgrid[vy0 : vy1 + 1, vx0 : vx1 + 1]
-        corners = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
-        dist = np.min(
-            [
-                _segment_distance(gx, gy, corners[i], corners[(i + 1) % 4])
-                for i in range(4)
-            ],
-            axis=0,
-        )
+        # min point-to-segment distance over the rect's 4 edges, with
+        # the clamped projection specialized for axis-aligned segments:
+        # projecting onto a horizontal edge clamps x to [x0, x1] (resp.
+        # vertical: y to [y0, y1]), so each edge distance is one hypot
+        # over broadcast row/col vectors — no mgrid materialization and
+        # no 4×H×W stack (was 42% of the preproc kernel; ~4× faster,
+        # same per-segment derivation the oracle deliberately does NOT
+        # share — fixture_oracle uses the regional inside/outside form)
+        gx = np.arange(vx0, vx1 + 1, dtype=np.float64)[None, :]
+        gy = np.arange(vy0, vy1 + 1, dtype=np.float64)[:, None]
+        ex = gx - np.clip(gx, x0, x1)  # 0 across the edge's x-span
+        ey = gy - np.clip(gy, y0, y1)
+        # the two horizontal edges share ex, so their min collapses to
+        # one hypot with min(|y−y0|, |y−y1|) (hypot is monotone in the
+        # second magnitude; correctly-rounded, so exactly equal to
+        # min-of-two-hypots) — 2 hypots total instead of 4
+        ay = np.minimum(np.abs(gy - y0), np.abs(gy - y1))
+        ax = np.minimum(np.abs(gx - x0), np.abs(gx - x1))
+        dist = np.minimum(np.hypot(ex, ay), np.hypot(ax, ey))
         ramp = 1.0 - np.clip(dist / d, 0.0, 1.0)
         region = canvas[vy0 : vy1 + 1, vx0 : vx1 + 1]
         canvas[vy0 : vy1 + 1, vx0 : vx1 + 1] = np.fmax(region, ramp)

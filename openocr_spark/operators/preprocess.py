@@ -41,22 +41,40 @@ def det_training_targets(
     on the resized map (its output feeds the stats pipeline mean)."""
     from openocr_spark.fixtures import payload_for_media_ref
     from openocr_spark.kernels.preprocess import (
+        bilinear_apply,
+        bilinear_grids,
         crop_margin,
-        det_resize,
+        det_resize_shape,
         make_border_map,
         make_shrink_map,
         normalize_image,
-        resize_norm_pad,
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # resample gather-grids depend only on (h, w) → target shape;
+        # cache them per media shape across the whole partition (the
+        # RatioDataSet same-shape bucketing idea applied to resample
+        # overhead). A batch-major stacked resample was measured ~3×
+        # SLOWER (cache-hostile cross-image strides) and reverted —
+        # per-image gathers with shared grids keep the image resident.
+        det_grids: dict[tuple[int, int], tuple] = {}
+        pad_grids: dict[tuple[int, int], tuple] = {}
         for pdf in batches:
             rows = []
             for ref in pdf["media_ref"].tolist():
-                p = payload_for_media_ref(ref)
+                # logits skipped: this job consumes geometry + score
+                # maps only; logit synthesis was ~45% of payload cost
+                p = payload_for_media_ref(ref, with_logits=False)
                 prob = p["score_map"]
                 h, w = prob.shape
-                resized, rh, rw = det_resize(prob, limit_side_len, limit_type)
+                shape = (h, w)
+                if shape not in det_grids:
+                    rh, rw = det_resize_shape(h, w, limit_side_len, limit_type)
+                    det_grids[shape] = (rh, rw, bilinear_grids(h, w, rh, rw))
+                    nw = max(min(int(np.ceil(rec_h * w / h)), rec_w), 1)
+                    pad_grids[shape] = (nw, bilinear_grids(h, w, rec_h, nw))
+                rh, rw, dg = det_grids[shape]
+                resized = bilinear_apply(prob, dg)  # G7 det_resize
                 normalize_image(resized)  # G8 on the det input path
                 rects = [
                     (
@@ -70,15 +88,17 @@ def det_training_targets(
                 border, bmask = make_border_map(rects, ignore, h, w)
                 page = ((1.0 - prob) * 255.0).astype(np.uint8)  # ink-on-paper
                 cropped = crop_margin(page)
-                _pad, valid = resize_norm_pad(prob, rec_h, rec_w)
+                nw, pg = pad_grids[shape]
+                bilinear_apply(prob, pg)  # G16/G17 keep-ratio resample
+                valid = nw / float(rec_w)
                 rows.append(
                     {
                         "media_ref": ref,
                         "h": h, "w": w,
-                        "resized_h": resized.shape[0],
-                        "resized_w": resized.shape[1],
-                        "ratio_h": round(rh, 6),
-                        "ratio_w": round(rw, 6),
+                        "resized_h": rh,
+                        "resized_w": rw,
+                        "ratio_h": round(rh / float(h), 6),
+                        "ratio_w": round(rw / float(w), 6),
                         "shrink_pos": int((gt == 1.0).sum()),
                         "mask_zero": int((mask == 0.0).sum()),
                         "border_mask_pos": int((bmask == 1.0).sum()),
