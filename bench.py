@@ -55,6 +55,10 @@ HEADLINE = [
     "rec_metric_long",
     "preproc_targets",
     "extract_spans",
+    # the from-scratch entropy codecs (PNG/JPEG/PDF) under throughput:
+    # real encoded bytes through the distributed decode_media 1→N
+    # explode + feature extraction (VERDICT r4 next-round #5)
+    "decode_real_media",
     "extract_fixture",
     "extract_joined",
 ]
@@ -62,6 +66,69 @@ HEADLINE = [
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def _build_real_media(spark, n_media: int, media_dir: str) -> None:
+    """Materialize (doc_id, media_ref, content) rows of REAL encoded
+    bytes: K distinct synthetic gray images, each in 4 containers —
+    PNG (package encode_png), Flate-PDF page, baseline JPEG, and
+    JPEG-embedded-in-PDF (/DCTDecode) — assigned round-robin. JPEG
+    encoding comes from the independent test-side encoder when the
+    tests/ tree is present (repo runs), else those two slots fall back
+    to PNG/Flate-PDF."""
+    import numpy as np
+
+    from openocr_spark.kernels.media_decode import encode_png
+    from openocr_spark.kernels.pdf_format import encode_pdf
+
+    try:
+        sys.path.insert(0, os.path.join(ROOT, "tests"))
+        from jpeg_ref_encoder import encode_jpeg
+    except ImportError:
+        encode_jpeg = None
+
+    K = 48
+    variants: list[bytes] = []
+    for k in range(K):
+        x, y = np.meshgrid(np.arange(160), np.arange(96))
+        img = (
+            (128 + 70 * np.sin(x / (3.0 + k % 7)) + 40 * np.cos(y / (2.0 + k % 5)))
+            .clip(0, 255)
+            .astype(np.uint8)
+        )
+        fmt = k % 4
+        if fmt == 0:
+            variants.append(encode_png(img))
+        elif fmt == 1:
+            variants.append(encode_pdf([img]))
+        elif fmt == 2 and encode_jpeg is not None:
+            variants.append(encode_jpeg(img))
+        elif fmt == 3 and encode_jpeg is not None:
+            variants.append(encode_pdf([encode_jpeg(img)]))
+        else:
+            variants.append(encode_png(img) if fmt == 2 else encode_pdf([img]))
+    import pandas as pd
+
+    bvar = spark.sparkContext.broadcast(variants)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": [f"doc-{i:08d}" for i in ids],
+                    "media_ref": [f"bench://{i}" for i in ids],
+                    "content": [bvar.value[i % K] for i in ids],
+                }
+            )
+
+    (
+        spark.range(n_media)
+        .repartition(64)
+        .mapInPandas(gen, "doc_id string, media_ref string, content binary")
+        .write.mode("overwrite")
+        .parquet(media_dir)
+    )
 
 
 def force(df) -> int:
@@ -180,6 +247,40 @@ def main() -> None:
                 dt = run if dt is None else min(dt, run)
                 log(f"extract_joined trial: {run:.2f}s")
             extras["docs_per_sec_joined"] = round(n_fixture / dt, 2)
+        elif name == "decode_real_media":
+            # real encoded PNG / Flate-PDF / JPEG / JPEG-in-PDF bytes
+            # through decode_media → extract_features. The payload
+            # table is materialized UNTIMED (K distinct images × 4
+            # container formats, assigned round-robin — decode cost is
+            # per ROW; parquet just dictionary-encodes the repeats),
+            # then the timed job is the distributed decode + 1→N page
+            # explode + per-page feature stats.
+            n_media = int(os.environ.get("BENCH_REALMEDIA_ROWS", "20000"))
+            media_dir = os.path.join(
+                os.environ.get("TMPDIR", "/tmp"), f"bench_realmedia_{n_media}"
+            )
+            if not os.path.exists(os.path.join(media_dir, "_SUCCESS")):
+                log(f"materializing {n_media} real-media rows -> {media_dir}")
+                _build_real_media(spark, n_media, media_dir)
+            from openocr_spark.kernels.media_decode import (
+                decode_media,
+                extract_features,
+            )
+
+            mdf = spark.read.parquet(media_dir)
+            out = extract_features(decode_media(mdf))
+            dt = None
+            for _ in range(max(repeat, 1)):
+                t0 = time.monotonic()
+                force(out)
+                run = time.monotonic() - t0
+                dt = run if dt is None else min(dt, run)
+                log(f"decode_real_media trial: {run:.2f}s")
+            n_pages = out.count()
+            extras["realmedia_rows"] = float(n_media)
+            extras["realmedia_pages"] = float(n_pages)
+            extras["media_per_sec"] = round(n_media / dt, 2)
+            extras["pages_per_sec"] = round(n_pages / dt, 2)
         elif name in SPARK_Q:
             force(SPARK_Q[name](spark, sf_dir))
             dt = time.monotonic() - t0

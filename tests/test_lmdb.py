@@ -269,3 +269,55 @@ def test_real_liblmdb_reads_appended_env(tmp_path):
         pairs[bytes.fromhex(out[i].strip())] = bytes.fromhex(out[i + 1].strip())
         i += 2
     assert pairs == want
+
+
+def test_append_reclaims_pages_bounded_file(tmp_path):
+    """N append cycles over a fixed-size payload keep the file size
+    BOUNDED (VERDICT r4 next-round #6): each commit reuses the pages
+    the live meta no longer reaches instead of appending a fresh tree,
+    and records what it freed in a real FREE-db entry."""
+    env = str(tmp_path / "env")
+    recs = {f"key-{i:04d}".encode(): (b"v%04d" % i) * 40 for i in range(200)}
+    L.write_lmdb(env, recs)
+    sizes = []
+    for cycle in range(12):
+        upd = {
+            f"key-{i:04d}".encode(): (b"c%02d|" % cycle) + (b"x" * 156)
+            for i in range(200)
+        }
+        L.lmdb_append(env, upd)
+        sizes.append(os.path.getsize(os.path.join(env, "data.mdb")))
+    # steady state after the first two cycles: ~2 trees ping-ponging
+    assert sizes[-1] == sizes[2], sizes
+    # contents correct after all that reuse
+    r = L.LmdbReader(env)
+    got = dict(r.items())
+    assert len(got) == 200
+    assert got[b"key-0007"].startswith(b"c11|")
+    # the freelist is real: the latest commit recorded what it freed,
+    # and nothing in it is reachable from the live meta
+    fl = r.freelist()
+    assert r.txnid in fl and len(fl[r.txnid]) > 0
+    assert not (set(fl[r.txnid]) & r.reachable_pages())
+
+
+def test_real_liblmdb_reads_reclaimed_env(tmp_path):
+    """mdb_dump must accept an environment whose pages have been
+    recycled through many commits (scattered tree + real FREE db)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("mdb_dump") is None:
+        pytest.skip("mdb_dump not installed")
+    env = str(tmp_path / "env")
+    L.write_lmdb(env, {b"a": b"1", b"big": b"z" * 9000})
+    for cycle in range(6):
+        L.lmdb_append(
+            env,
+            {b"a": b"cycle-%d" % cycle, b"big": bytes([cycle]) * 9000,
+             b"k%d" % (cycle % 3): b"v" * 100},
+        )
+    out = subprocess.run(
+        ["mdb_dump", "-p", env], capture_output=True, text=True, check=True
+    )
+    assert "cycle-5" in out.stdout

@@ -1073,3 +1073,22 @@ def test_pdf_dct_cmyk_page(spark):
     rows = {r.page_no: r for r in extract_features(decode_media(mdf)).collect()}
     assert len(rows) == 2
     assert abs(rows[0].mean_px - float(want.mean())) < 2.0
+
+
+def test_encode_png_roundtrip():
+    """The package-side PNG write sink round-trips bit-exact through
+    the from-scratch decoder (and external tools: valid CRCs)."""
+    import zlib as _z
+
+    from openocr_spark.kernels.media_decode import encode_png
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(23, 41)).astype(np.uint8)
+    png = encode_png(img)
+    (out,) = decode_bytes(png)
+    assert np.array_equal(out, img)
+    # CRC of the IHDR chunk is valid
+    ln = int.from_bytes(png[8:12], "big")
+    body = png[12 : 16 + ln]
+    crc = int.from_bytes(png[16 + ln : 20 + ln], "big")
+    assert crc == (_z.crc32(body) & 0xFFFFFFFF)
