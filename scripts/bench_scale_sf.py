@@ -30,12 +30,19 @@ QUERIES = (
 )
 
 
-def run_bench(sf_dir: str, only: str = QUERIES, fixture_docs: int | None = None) -> dict:
+def run_bench(
+    sf_dir: str,
+    only: str = QUERIES,
+    fixture_docs: int | None = None,
+    realmedia_rows: int | None = None,
+) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["BENCH_ONLY"] = only
     if fixture_docs is not None:
         env["BENCH_FIXTURE_DOCS"] = str(fixture_docs)
+    if realmedia_rows is not None:
+        env["BENCH_REALMEDIA_ROWS"] = str(realmedia_rows)
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         env=env, capture_output=True, text=True, check=True,
@@ -53,17 +60,42 @@ def joined_leg() -> dict:
                      fixture_docs=30000)
     big = run_bench("/root/testdata/sf0.1", only="extract_fixture,extract_joined",
                     fixture_docs=90000)
+    # 10x leg (VERDICT r4 next-round #4): 300k docs ≈ 170 MB corpus +
+    # 1.7 GB uint8 payload table on disk — bench.py materializes both
+    # untimed; /tmp holds them comfortably
+    big10 = run_bench("/root/testdata/sf0.1",
+                      only="extract_fixture,extract_joined",
+                      fixture_docs=300000)
     rows = []
     for name in ("extract_fixture", "extract_joined"):
-        a, b = base["queries"][name], big["queries"][name]
+        a, b, c = base["queries"][name], big["queries"][name], big10["queries"][name]
         rows.append({
-            "query": name, "docs_1x": 30000, "docs_3x": 90000,
-            "sec_1x": a, "sec_3x": b,
+            "query": name, "docs_1x": 30000, "docs_3x": 90000, "docs_10x": 300000,
+            "sec_1x": a, "sec_3x": b, "sec_10x": c,
             "ratio": round(b / a, 2),
+            "ratio_10x": round(c / a, 2),
             "marginal_ratio": round(max(b - 0.5, 0.01) / max(a - 0.5, 0.01), 2),
             "docs_per_sec_3x": round(90000 / b, 1),
+            "docs_per_sec_10x": round(300000 / c, 1),
         })
     return {"data_scale": 3, "rows": rows}
+
+
+def decode_leg() -> dict:
+    """decode_real_media data-scaling (VERDICT r4 next-round #5): the
+    from-scratch-codec decode throughput at 1x vs 3x media rows."""
+    a = run_bench("/root/testdata/sf0.1", only="decode_real_media",
+                  realmedia_rows=20000)
+    b = run_bench("/root/testdata/sf0.1", only="decode_real_media",
+                  realmedia_rows=60000)
+    sa, sb = a["queries"]["decode_real_media"], b["queries"]["decode_real_media"]
+    return {
+        "rows_1x": 20000, "rows_3x": 60000,
+        "sec_1x": sa, "sec_3x": sb,
+        "ratio": round(sb / sa, 2),
+        "marginal_ratio": round(max(sb - 0.5, 0.01) / max(sa - 0.5, 0.01), 2),
+        "media_per_sec_3x": b.get("media_per_sec"),
+    }
 
 
 def main() -> None:
@@ -100,6 +132,7 @@ def main() -> None:
         "total_ratio": round(big["value"] / base["value"], 2),
         "rows": rows,
         "joined": joined_leg(),
+        "decode": decode_leg(),
     }
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     with open(os.path.join(ROOT, "BENCH", "scale_sf1.json"), "w") as f:
@@ -112,11 +145,14 @@ def main() -> None:
             f"{r['ratio']} | {r['marginal_ratio']} | "
             f"{'SUPERLINEAR' if r['superlinear'] else ''} |"
         )
-    print("| joined query | 1x s (30k docs) | 3x s (90k docs) | ratio | marginal |")
-    print("|---|---|---|---|---|")
+    print("| joined query | 1x s (30k) | 3x s (90k) | 10x s (300k) | 3x ratio | 10x ratio |")
+    print("|---|---|---|---|---|---|")
     for r in result["joined"]["rows"]:
-        print(f"| {r['query']} | {r['sec_1x']} | {r['sec_3x']} | "
-              f"{r['ratio']} | {r['marginal_ratio']} |")
+        print(f"| {r['query']} | {r['sec_1x']} | {r['sec_3x']} | {r['sec_10x']} | "
+              f"{r['ratio']} | {r['ratio_10x']} |")
+    d = result["decode"]
+    print(f"| decode_real_media | {d['sec_1x']} (20k rows) | {d['sec_3x']} (60k) "
+          f"| ratio {d['ratio']} | marginal {d['marginal_ratio']} |")
     print(json.dumps({"total_ratio": result["total_ratio"]}))
 
 
