@@ -1,0 +1,342 @@
+"""T.81 Annex D/F arithmetic-coded JPEG entropy decoding (SOF9,
+sequential DCT) — the QM coder plus the Annex F statistical models,
+from the public spec, numpy/stdlib only.
+
+The reference decodes JPEG via cv2 (opendet/preprocess/__init__.py:
+85-143); cv2/libjpeg treat arithmetic streams as a first-class coding
+mode, and round 4's fail-loud boundary here was the last JPEG coding
+mode this engine rejected. Scope: sequential DCT (SOF9), 8-bit,
+interleaved MCUs, restart intervals, DAC conditioning (L/U for DC,
+Kx for AC). Progressive arithmetic (SOF10) remains fail-loud.
+
+Validation: the test-side encoder (tests/jpeg_arith_ref_encoder.py)
+implements the ENCODE direction independently (its own carry/stuff
+byte-out, its own statistics bookkeeping); a stream it emits must
+decode to coefficients BIT-IDENTICAL to the Huffman encoding of the
+same image, because both entropy layers carry the same quantized
+planes. The Qe state table itself is fixed by the spec (Table D.3) and
+therefore necessarily shared.
+
+Layout of the statistics areas (Table F.4):
+  DC (49 bins/table): 5 conditioning classes × 4 decisions at 0..19,
+    magnitude-category ladder X1..X15 at 20..34, magnitude bits
+    M2..M15 at 35..48.
+  AC (245 bins/table, allocated 256): per-k triples (EOB, nonzero,
+    first-magnitude) at 3·(k−1), low-k ladder+bits at 189..216,
+    high-k (k > Kx) ladder+bits at 217..244. The AC sign uses a FIXED
+    (non-adapting) 0.5-probability state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# T.81 Table D.3: (Qe, NMPS, NLPS, SWITCH). Index 113 is the fixed
+# non-adapting ~0.5 state used for AC signs.
+QE_TABLE: list[tuple[int, int, int, int]] = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32E4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1),
+    (0x5A1D, 113, 113, 0),  # 113: fixed ~0.5, never adapts
+]
+
+FIXED_BIN = 113
+
+
+class _Ctx:
+    """One adaptive context: Qe-table index + current MPS sense."""
+
+    __slots__ = ("idx", "mps")
+
+    def __init__(self) -> None:
+        self.idx = 0
+        self.mps = 0
+
+
+def _ctx_bank(n: int) -> list[_Ctx]:
+    return [_Ctx() for _ in range(n)]
+
+
+class ArithDecoder:
+    """QM arithmetic decoder with the JPEG entropy-segment byte feed
+    (0xFF00 unstuffing; zero bytes fed after the terminating marker,
+    per F.2.2.1 / the libjpeg-documented convention)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.marker_hit = False
+        # INITDEC: the first two data bytes form the initial code value
+        # v = B0<<8 | B1 aligned at chigh (bits 16..31), CT = 0 so the
+        # first renormalization immediately feeds the next byte at bits
+        # 8..15 (each byte then needs exactly 8 shifts to reach chigh —
+        # consistent with the encoder's CT=11 / window-at-19 emission)
+        self.c = (self._byte() << 24) | (self._byte() << 16)
+        self.ct = 0
+        self.a = 0x8000
+
+    def _byte(self) -> int:
+        """Next entropy byte: 0xFF00 → 0xFF; a real marker stops the
+        feed (zero bytes from then on, marker left for the caller)."""
+        if self.marker_hit or self.pos >= len(self.data):
+            return 0
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+            if nxt == 0x00:
+                self.pos += 1
+                return 0xFF
+            # a restart or terminating marker: stop consuming; leave
+            # self.pos pointing AT the 0xFF for the restart handler
+            self.pos -= 1
+            self.marker_hit = True
+            return 0
+        return b
+
+    def _bytein(self) -> None:
+        self.c += self._byte() << 8
+        self.ct = 8
+
+    def decode(self, ctx: _Ctx) -> int:
+        qe, nmps, nlps, switch = QE_TABLE[ctx.idx]
+        self.a -= qe
+        chigh = (self.c >> 16) & 0xFFFF
+        if chigh < self.a:
+            if self.a & 0x8000:
+                return ctx.mps
+            # MPS_EXCHANGE
+            if self.a < qe:
+                d = 1 - ctx.mps
+                if switch:
+                    ctx.mps = 1 - ctx.mps
+                ctx.idx = nlps
+            else:
+                d = ctx.mps
+                ctx.idx = nmps
+        else:
+            # LPS path: remove the MPS sub-interval from C
+            self.c -= self.a << 16
+            # LPS_EXCHANGE
+            if self.a < qe:
+                d = ctx.mps
+                ctx.idx = nmps
+            else:
+                d = 1 - ctx.mps
+                if switch:
+                    ctx.mps = 1 - ctx.mps
+                ctx.idx = nlps
+            self.a = qe
+        # RENORMD
+        while self.a < 0x8000:
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFFFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+        return d
+
+    def align_restart(self) -> None:
+        """Consume one RSTn marker (byte-aligned by construction)."""
+        d = self.data
+        pos = self.pos
+        while pos + 1 < len(d):
+            if d[pos] == 0xFF and 0xD0 <= d[pos + 1] <= 0xD7:
+                self.pos = pos + 2
+                return
+            pos += 1
+        raise NotImplementedError("JPEG-arith: expected restart marker")
+
+
+class _Stats:
+    """Per-scan statistics areas + DC predictors/conditioning."""
+
+    def __init__(self, comps: list[dict]) -> None:
+        self.dc = {c["tq_dc_tbl"]: _ctx_bank(64) for c in comps}
+        self.ac = {c["tq_ac_tbl"]: _ctx_bank(256) for c in comps}
+        self.fixed = _Ctx()
+        self.fixed.idx = FIXED_BIN
+        self.dc_context = {c["id"]: 0 for c in comps}
+        self.pred = {c["id"]: 0 for c in comps}
+
+    def reset(self, comps: list[dict]) -> None:
+        for bank in list(self.dc.values()) + list(self.ac.values()):
+            for ctx in bank:
+                ctx.idx = 0
+                ctx.mps = 0
+        self.dc_context = {c["id"]: 0 for c in comps}
+        self.pred = {c["id"]: 0 for c in comps}
+
+
+def _decode_dc(dec: ArithDecoder, st: list[_Ctx], stats: _Stats,
+               cid: int, cond: tuple[int, int]) -> int:
+    """F.2.1.4.1: decode one DC DIFF and update the conditioning
+    class for the next block of this component. Value reconstruction
+    per Figures F.23/F.24: magnitude category m ∈ {0,1,2,4,...}, then
+    bit_length(m)−1 magnitude bits, then v = (m|bits) + 1."""
+    L, U = cond
+    base = stats.dc_context[cid]
+    if dec.decode(st[base]) == 0:
+        stats.dc_context[cid] = 0
+        return 0
+    sign = dec.decode(st[base + 1])
+    k = base + 2 + sign
+    m = dec.decode(st[k])
+    if m != 0:
+        k = 20  # X1 (Table F.4)
+        while dec.decode(st[k]):
+            m <<= 1
+            if m == 0x8000:
+                raise NotImplementedError("JPEG-arith: DC magnitude overflow")
+            k += 1
+    # conditioning category for the NEXT block (F.1.4.4.1.2)
+    if m < ((1 << L) >> 1):
+        stats.dc_context[cid] = 0
+    elif m > ((1 << U) >> 1):
+        stats.dc_context[cid] = 12 + sign * 4
+    else:
+        stats.dc_context[cid] = 4 + sign * 4
+    v = m
+    bits_ctx = st[k + 14]  # M_n = X_n + 14; unused when m < 2
+    mm = m >> 1
+    while mm:
+        if dec.decode(bits_ctx):
+            v |= mm
+        mm >>= 1
+    v += 1
+    return -v if sign else v
+
+
+def _decode_ac(dec: ArithDecoder, st: list[_Ctx], stats: _Stats,
+               kx: int, zz: np.ndarray) -> None:
+    """F.2.1.4.2: decode the 63 AC coefficients of one block into zz
+    (zigzag order). Unlike DC, the magnitude category spends TWO
+    decisions in the per-k context (v>1?, v>2?) before entering the
+    shared low-k / high-k ladder."""
+    k = 1
+    while k <= 63:
+        base = 3 * (k - 1)
+        if dec.decode(st[base]):  # EOB
+            return
+        while dec.decode(st[base + 1]) == 0:
+            k += 1
+            if k > 63:
+                raise NotImplementedError("JPEG-arith: AC index overflow")
+            base = 3 * (k - 1)
+        sign = dec.decode(stats.fixed)
+        j = base + 2
+        m = dec.decode(st[j])
+        if m != 0 and dec.decode(st[j]):
+            m = 2
+            j = 189 if k <= kx else 217
+            while dec.decode(st[j]):
+                m <<= 1
+                if m == 0x8000:
+                    raise NotImplementedError(
+                        "JPEG-arith: AC magnitude overflow"
+                    )
+                j += 1
+        v = m
+        bits_ctx = st[j + 14]  # unused when m < 2
+        mm = m >> 1
+        while mm:
+            if dec.decode(bits_ctx):
+                v |= mm
+            mm >>= 1
+        v += 1
+        zz[k] = -v if sign else v
+        k += 1
+
+
+def decode_arith_scan(
+    data: bytes,
+    pos: int,
+    frame: dict,
+    scan: list[tuple[dict, int, int]],
+    qtables: dict[int, np.ndarray],
+    restart_interval: int,
+    conditioning: dict,
+) -> np.ndarray:
+    """Sequential arithmetic scan → assembled image (same MCU layout
+    and IDCT pipeline as the Huffman path; only the entropy layer
+    differs)."""
+    from openocr_spark.kernels.jpeg_format import ZIGZAG, _assemble, idct_8x8
+
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), np.float64)
+        for c in comps
+    }
+    # scan entry: (comp, td, ta) — arithmetic tables use the same ids
+    for comp, td, ta in scan:
+        comp["tq_dc_tbl"] = td
+        comp["tq_ac_tbl"] = ta
+    stats = _Stats([c for c, _t, _a in scan])
+    dec = ArithDecoder(data, pos)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                dec.align_restart()
+                stats.reset([c for c, _t, _a in scan])
+                dec.__init__(data, dec.pos)
+            for comp, td, ta in scan:
+                q = qtables[comp["tq"]]
+                dc_cond = conditioning.get(("dc", td), (0, 1))
+                kx = conditioning.get(("ac", ta), 5)
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = np.zeros(64, np.int32)
+                        diff = _decode_dc(
+                            dec, stats.dc[td], stats, comp["id"], dc_cond
+                        )
+                        stats.pred[comp["id"]] += diff
+                        zz[0] = stats.pred[comp["id"]]
+                        _decode_ac(dec, stats.ac[ta], stats, kx, zz)
+                        coef = np.zeros(64, np.float64)
+                        coef[ZIGZAG] = zz * q
+                        block = idct_8x8(coef.reshape(8, 8)) + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+    return _assemble(planes, frame)

@@ -22,7 +22,10 @@ through); plain 4-component streams without APP14 are direct CMYK ink.
 Output is always RGB (h, w, 3) for color (CMYK composited against the
 K plate: ch = (255−ink)·(255−K)/255), (h, w) for grayscale — the
 scanned-document corpora this engine targets embed CMYK JPEGs inside
-PDF /DCTDecode streams, which route here too. Arithmetic coding,
+PDF /DCTDecode streams, which route here too. Sequential ARITHMETIC
+coding (SOF9, T.81 Annex D/F QM coder — kernels/jpeg_arith, r5) is
+decoded, including DAC conditioning and restart intervals; 16-bit
+(Pq=1) quantization tables parse. Progressive arithmetic (SOF10),
 hierarchical, lossless, and 12-bit modes raise NotImplementedError.
 
 Decoding is exact per the spec's integer pipeline except IDCT rounding,
@@ -176,13 +179,13 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
             pos -= 1 if marker == 0xFF else 0
             continue
         (seglen,) = struct.unpack_from(">H", data, pos)
-        if marker in (0xC0, 0xC2):
+        if marker in (0xC0, 0xC2, 0xC9):
             _prec, h, w, nc = struct.unpack_from(">BHHB", data, pos + 2)
             return h, w, nc
         if marker == 0xDA:
             break  # scan before SOF — malformed
         pos += seglen
-    raise NotImplementedError("JPEG: no SOF0/SOF2 header")
+    raise NotImplementedError("JPEG: no SOF0/SOF2/SOF9 header")
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -199,6 +202,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     adobe: int | None = None  # APP14 color-transform flag
+    conditioning: dict = {}  # DAC: ("dc",tb)->(L,U) / ("ac",tb)->Kx
     coef_store: dict[int, np.ndarray] | None = None  # progressive only
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -218,10 +222,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             while b < len(body):
                 pq, tq = body[b] >> 4, body[b] & 0x0F
                 b += 1
-                if pq != 0:
-                    raise NotImplementedError("JPEG: 16-bit quant tables")
-                qtables[tq] = np.frombuffer(body, np.uint8, 64, b).astype(np.int32)
-                b += 64
+                if pq:  # 16-bit precision table (big-endian u16 × 64)
+                    qtables[tq] = (
+                        np.frombuffer(body, ">u2", 64, b).astype(np.int32)
+                    )
+                    b += 128
+                else:
+                    qtables[tq] = np.frombuffer(body, np.uint8, 64, b).astype(
+                        np.int32
+                    )
+                    b += 64
         elif marker == 0xC4:  # DHT
             b = 0
             while b < len(body):
@@ -230,7 +240,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 n = sum(bits)
                 htables[(tc, th)] = _HuffTable(bits, body[b + 17 : b + 17 + n])
                 b += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC9):  # baseline / progressive / arith-seq
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("JPEG: 12-bit precision")
@@ -238,11 +248,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "progressive": marker == 0xC2,
+                "arith": marker == 0xC9,
+            }
+        elif marker == 0xCC:  # DAC — arithmetic conditioning
+            b = 0
+            while b + 1 < len(body):
+                tc, tb = body[b] >> 4, body[b] & 0x0F
+                v = body[b + 1]
+                if tc == 0:
+                    conditioning[("dc", tb)] = (v & 0x0F, v >> 4)  # (L, U)
+                else:
+                    conditioning[("ac", tb)] = v  # Kx
+                b += 2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
             raise NotImplementedError(
-                "JPEG: only baseline (SOF0) and progressive (SOF2) "
-                f"Huffman DCT supported, got SOF{marker - 0xC0}"
+                "JPEG: baseline (SOF0), progressive (SOF2) and sequential "
+                f"arithmetic (SOF9) supported, got SOF{marker - 0xC0}"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -261,6 +285,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if frame.get("arith"):
+                if frame["progressive"]:
+                    raise NotImplementedError(
+                        "JPEG: progressive arithmetic (SOF10) not supported"
+                    )
+                from openocr_spark.kernels.jpeg_arith import decode_arith_scan
+
+                return decode_arith_scan(
+                    data, pos + seglen, frame, scan, qtables,
+                    restart_interval, conditioning,
+                )
             if not frame["progressive"]:
                 return _decode_scan(
                     data, pos + seglen, frame, scan, qtables, htables, restart_interval

@@ -1,0 +1,297 @@
+"""Test-side ARITHMETIC-coded JPEG encoder (T.81 Annex D/F, SOF9) —
+the encode direction implemented independently of the package decoder
+(its own carry/stuff byte-out pipeline, its own statistics
+bookkeeping), so decode(arith_encode(img)) validates
+kernels/jpeg_arith against the spec rather than a code sibling. The
+Qe state table is fixed by the spec (Table D.3) and imported — it is
+data, not logic.
+
+The pixel pipeline (plane prep, forward DCT, quantization) is shared
+with jpeg_ref_encoder: the property the tests pin is that the
+ARITHMETIC entropy layer round-trips the same quantized coefficients
+bit-identically to the Huffman entropy layer.
+"""
+
+from __future__ import annotations
+
+import struct
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from jpeg_ref_encoder import ZIG, K1, _color_planes, _dqt_seg, _seg, fdct_8x8  # noqa: E402
+
+from openocr_spark.kernels.jpeg_arith import FIXED_BIN, QE_TABLE  # noqa: E402
+
+
+class _Ctx:
+    __slots__ = ("idx", "mps")
+
+    def __init__(self, idx: int = 0) -> None:
+        self.idx = idx
+        self.mps = 0
+
+
+class ArithEncoder:
+    """QM encoder: software-convention registers, pending-byte buffer
+    with stacked-0xFF carry resolution, 0xFF00 byte stuffing."""
+
+    def __init__(self) -> None:
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 11
+        self.out = bytearray()
+        self.buffer: int | None = None  # pending byte awaiting carry
+        self.sc = 0  # stacked 0xFF bytes after the pending byte
+
+    # --- byte plumbing -------------------------------------------------
+    def _emit(self, b: int) -> None:
+        self.out.append(b)
+        if b == 0xFF:
+            self.out.append(0x00)  # JPEG byte stuffing
+
+    def _flush_pending(self, carry: bool) -> None:
+        if carry:
+            if self.buffer is not None:
+                self._emit(self.buffer + 1)
+            for _ in range(self.sc):
+                self._emit(0x00)  # carry turns stacked 0xFFs into 0x00
+        else:
+            if self.buffer is not None:
+                self._emit(self.buffer)
+            for _ in range(self.sc):
+                self._emit(0xFF)  # _emit stuffs the 0x00 after each
+        self.buffer = None
+        self.sc = 0
+
+    def _byteout(self) -> None:
+        t = self.c >> 19
+        if t > 0xFF:
+            self._flush_pending(carry=True)
+            self.buffer = t & 0xFF
+        elif t == 0xFF:
+            self.sc += 1
+        else:
+            self._flush_pending(carry=False)
+            self.buffer = t
+        self.c &= 0x7FFFF
+
+    def _renorm(self) -> None:
+        while True:
+            self.a = (self.a << 1) & 0xFFFF
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+                self.ct = 8
+            if self.a & 0x8000:
+                break
+
+    # --- symbol coding (Figures D.5-D.9) -------------------------------
+    def encode(self, ctx: _Ctx, d: int) -> None:
+        qe, nmps, nlps, switch = QE_TABLE[ctx.idx]
+        self.a -= qe
+        if d == ctx.mps:
+            if self.a & 0x8000:
+                return
+            if self.a < qe:  # conditional exchange: MPS takes upper
+                self.c += self.a
+                self.a = qe
+            ctx.idx = nmps
+            self._renorm()
+        else:
+            if self.a >= qe:  # no exchange: LPS takes upper
+                self.c += self.a
+                self.a = qe
+            if switch:
+                ctx.mps = 1 - ctx.mps
+            ctx.idx = nlps
+            self._renorm()
+
+    def flush(self) -> bytes:
+        # CLEARBITS (Figure D.11) + final byteouts
+        t = (self.c + self.a - 1) & 0xFFFF0000
+        if t < self.c:
+            t += 0x8000
+        self.c = t
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= 8
+        self._byteout()
+        self._flush_pending(carry=False)
+        data = bytes(self.out)
+        self.__init__()
+        return data
+
+
+class _Stats:
+    def __init__(self, n_dc_tables: int, n_ac_tables: int) -> None:
+        self.dc = [[_Ctx() for _ in range(64)] for _ in range(n_dc_tables)]
+        self.ac = [[_Ctx() for _ in range(256)] for _ in range(n_ac_tables)]
+        self.fixed = _Ctx(FIXED_BIN)
+
+
+def _encode_dc(enc: ArithEncoder, st: list[_Ctx], dc_context: list[int],
+               ci: int, diff: int, cond: tuple[int, int]) -> None:
+    L, U = cond
+    base = dc_context[ci]
+    if diff == 0:
+        enc.encode(st[base], 0)
+        dc_context[ci] = 0
+        return
+    enc.encode(st[base], 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(st[base + 1], sign)
+    v = (-diff if sign else diff) - 1
+    k = base + 2 + sign
+    m = 0
+    if v:
+        enc.encode(st[k], 1)
+        m = 1
+        v2 = v
+        k = 20
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(st[k], 1)
+            m <<= 1
+            k += 1
+    enc.encode(st[k], 0)
+    if m < ((1 << L) >> 1):
+        dc_context[ci] = 0
+    elif m > ((1 << U) >> 1):
+        dc_context[ci] = 12 + sign * 4
+    else:
+        dc_context[ci] = 4 + sign * 4
+    bits_ctx = st[k + 14]
+    mm = m >> 1
+    while mm:
+        enc.encode(bits_ctx, 1 if (mm & v) else 0)
+        mm >>= 1
+
+
+def _encode_ac(enc: ArithEncoder, st: list[_Ctx], stats: _Stats,
+               kx: int, zz: np.ndarray) -> None:
+    ke = max([k for k in range(1, 64) if zz[k]], default=0)
+    k = 1
+    while k <= ke:
+        base = 3 * (k - 1)
+        enc.encode(st[base], 0)  # not EOB
+        while zz[k] == 0:
+            enc.encode(st[base + 1], 0)
+            k += 1
+            base = 3 * (k - 1)
+        enc.encode(st[base + 1], 1)
+        val = int(zz[k])
+        sign = 1 if val < 0 else 0
+        enc.encode(stats.fixed, sign)
+        v = (-val if sign else val) - 1
+        j = base + 2
+        m = 0
+        if v:
+            enc.encode(st[j], 1)
+            m = 1
+            v2 = v
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(st[j], 1)
+                m <<= 1
+                j = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(st[j], 1)
+                    m <<= 1
+                    j += 1
+        enc.encode(st[j], 0)
+        bits_ctx = st[j + 14]
+        mm = m >> 1
+        while mm:
+            enc.encode(bits_ctx, 1 if (mm & v) else 0)
+            mm >>= 1
+        k += 1
+    if ke < 63:
+        enc.encode(st[3 * (ke + 1 - 1)], 1)  # EOB
+
+
+def encode_jpeg_arith(
+    img: np.ndarray,
+    qtable: list[int] | None = None,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    adobe_transform: int | None = None,
+    dc_cond: tuple[int, int] = (0, 1),
+    kx: int = 5,
+) -> bytes:
+    """Sequential arithmetic-coded (SOF9) encoding of the same pixel
+    pipeline as encode_jpeg — the quantized planes are identical, only
+    the entropy layer differs, so the package decoder's output must be
+    bit-identical to decoding the Huffman encoding."""
+    q = np.array(qtable if qtable is not None else K1, dtype=np.int32)
+    h, w = img.shape[:2]
+    planes, samps, app14 = _color_planes(img, subsample, adobe_transform)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    padded = []
+    for p, (sh, sv) in zip(planes, samps):
+        th, tw = mcus_y * sv * 8, mcus_x * sh * 8
+        padded.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
+    qnat = np.empty(64, np.int32)
+    qnat[[ZIG[i] for i in range(64)]] = q
+
+    nc = len(planes)
+    enc = ArithEncoder()
+    stats = _Stats(1, 1)  # one shared DC + one shared AC table (ids 0)
+    dc_context = [0] * nc
+    pred = [0] * nc
+    chunks: list[bytes] = []
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                chunks.append(enc.flush())
+                chunks.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                stats = _Stats(1, 1)
+                dc_context = [0] * nc
+                pred = [0] * nc
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samps)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        cq = np.round(
+                            fdct_8x8(block) / qnat.reshape(8, 8)
+                        ).astype(np.int32)
+                        zz = cq.reshape(-1)[ZIG]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        _encode_dc(enc, stats.dc[0], dc_context, ci, diff, dc_cond)
+                        _encode_ac(enc, stats.ac[0], stats, kx, zz)
+            mcu_count += 1
+    chunks.append(enc.flush())
+
+    head = bytearray(b"\xff\xd8")
+    head += app14
+    head += _dqt_seg(q)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, (sh, sv) in enumerate(samps):
+        sof += bytes([i + 1, (sh << 4) | sv, 0])
+    head += _seg(0xC9, sof)  # SOF9: sequential arithmetic
+    # DAC: DC table 0 conditioning (U<<4 | L) and AC table 0 Kx
+    head += _seg(
+        0xCC,
+        bytes([0x00, (dc_cond[1] << 4) | dc_cond[0], 0x10, kx]),
+    )
+    if restart_interval:
+        head += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    head += _seg(0xDA, sos)
+    return bytes(head) + b"".join(chunks) + b"\xff\xd9"

@@ -141,6 +141,17 @@ def _encode_block(w, coef_q: np.ndarray, pred: int, dc_c, ac_c) -> int:
     return dc
 
 
+def _dqt_seg(q) -> bytes:
+    """DQT segment: Pq=0 (8-bit) when every value fits a byte, else
+    Pq=1 (16-bit big-endian) per T.81 B.2.4.1."""
+    if max(int(v) for v in q) <= 255:
+        return _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    return _seg(
+        0xDB,
+        bytes([0x10]) + b"".join(struct.pack(">H", int(v)) for v in q),
+    )
+
+
 def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
@@ -264,7 +275,7 @@ def encode_jpeg(
 
     head = bytearray(b"\xff\xd8")
     head += app14
-    head += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    head += _dqt_seg(q)
     nc = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for i, (sh, sv) in enumerate(samps):
@@ -467,7 +478,7 @@ def encode_jpeg_progressive(
 
     head = bytearray(b"\xff\xd8")
     head += app14
-    head += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    head += _dqt_seg(q)
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for i, (sh, sv) in enumerate(samps):
         sof += bytes([i + 1, (sh << 4) | sv, 0])

@@ -686,14 +686,19 @@ def test_jpeg_restart_markers_and_odd_dims():
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
 
 
-def test_jpeg_arithmetic_rejected():
-    """SOF9 (arithmetic-coded) is out of scope and must fail loud."""
+def test_jpeg_progressive_arith_and_lossless_rejected():
+    """SOF10 (progressive arithmetic) and SOF3 (lossless) stay
+    fail-loud boundaries; sequential arithmetic (SOF9) is now decoded
+    (test_jpeg_arith_*)."""
     from jpeg_ref_encoder import encode_jpeg
 
     jb = bytearray(encode_jpeg(_smooth(8, 8), qtable=[1] * 64))
     idx = jb.find(b"\xff\xc0")
-    jb[idx + 1] = 0xC9
-    with pytest.raises(NotImplementedError, match="SOF9"):
+    jb[idx + 1] = 0xCA
+    with pytest.raises(NotImplementedError, match="SOF10"):
+        decode_bytes(bytes(jb))
+    jb[idx + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF3"):
         decode_bytes(bytes(jb))
 
 
@@ -1092,3 +1097,119 @@ def test_encode_png_roundtrip():
     body = png[12 : 16 + ln]
     crc = int.from_bytes(png[16 + ln : 20 + ln], "big")
     assert crc == (_z.crc32(body) & 0xFFFFFFFF)
+
+
+def test_jpeg_16bit_quant_table():
+    """DQT Pq=1 (16-bit quantisation values, T.81 B.2.4.1) parses and
+    dequantises correctly: the test-side encoder emits a 16-bit table
+    whenever a value exceeds 255, and the decoder must honour it."""
+    from jpeg_ref_encoder import encode_jpeg
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    img = _smooth(16, 24)
+    q16 = [300] + [1] * 63  # DC coarse (>8-bit), AC near-lossless
+    jb = encode_jpeg(img, qtable=q16)
+    assert b"\xff\xdb" in jb and jb[jb.index(b"\xff\xdb") + 4] == 0x10
+    out = decode_jpeg(jb)
+    assert out.shape == img.shape
+    # DC quantised at 300 → block means move by ≤ ~q/2·(1/8) each, AC
+    # structure survives near-losslessly
+    assert abs(float(out.astype(float).mean()) - float(img.mean())) <= 20.0
+    err = np.abs(out.astype(float) - img.astype(float))
+    assert float(np.median(err)) <= 25.0
+
+
+# --- arithmetic coding (T.81 Annex D/F, SOF9) — r5 ---------------------
+
+
+def _huff_vs_arith(img, **kw):
+    from jpeg_arith_ref_encoder import encode_jpeg_arith
+    from jpeg_ref_encoder import encode_jpeg
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    q = kw.pop("qtable", [1] * 64)
+    huff = decode_jpeg(encode_jpeg(
+        img, qtable=q, subsample=kw.get("subsample", False),
+        adobe_transform=kw.get("adobe_transform")))
+    arith = decode_jpeg(encode_jpeg_arith(img, qtable=q, **kw))
+    assert np.array_equal(huff, arith), (
+        f"max diff {np.abs(huff.astype(int) - arith.astype(int)).max()}")
+
+
+def test_arith_qm_coder_random_streams():
+    """The raw QM layer round-trips arbitrary context/decision streams
+    (adaptation, conditional exchange, carry resolution, 0xFF
+    stuffing) — encoder and decoder are independent implementations of
+    the Annex D flowcharts sharing only the spec-fixed Qe table."""
+    import random
+
+    from jpeg_arith_ref_encoder import ArithEncoder
+    from jpeg_arith_ref_encoder import _Ctx as ECtx
+    from openocr_spark.kernels.jpeg_arith import ArithDecoder
+    from openocr_spark.kernels.jpeg_arith import _Ctx as DCtx
+
+    rng = random.Random(11)
+    for _ in range(120):
+        n = rng.randint(1, 600)
+        heavy = rng.random() < 0.5
+        bits = [
+            (rng.randrange(4),
+             (1 if rng.random() < 0.03 else 0) if heavy else rng.randrange(2))
+            for _ in range(n)
+        ]
+        enc = ArithEncoder()
+        ectx = [ECtx() for _ in range(4)]
+        for c, b in bits:
+            enc.encode(ectx[c], b)
+        data = enc.flush() + b"\xff\xd9"
+        dec = ArithDecoder(data, 0)
+        dctx = [DCtx() for _ in range(4)]
+        got = [(c, dec.decode(dctx[c])) for c, _ in bits]
+        assert got == bits
+
+
+def test_jpeg_arith_equals_huffman_gray_and_color():
+    """Sequential arithmetic (SOF9) decodes BIT-IDENTICAL to the
+    Huffman encoding of the same quantized planes — gray, color 4:4:4,
+    color 4:2:0, near-lossless and Annex-K quant tables."""
+    from jpeg_ref_encoder import K1
+
+    gray = _smooth(24, 40)
+    _huff_vs_arith(gray)
+    _huff_vs_arith(gray, qtable=list(K1))
+    rgb = _smooth(24, 40, color=True)
+    _huff_vs_arith(rgb)
+    _huff_vs_arith(rgb, subsample=True)
+
+
+def test_jpeg_arith_odd_dims_restart_conditioning():
+    """Odd dimensions, restart intervals (per-interval stats +
+    predictor + coder reset on both sides), and non-default DAC
+    conditioning (DC L/U, AC Kx)."""
+    g = _smooth(17, 33)
+    _huff_vs_arith(g)
+    _huff_vs_arith(g, restart_interval=2)
+    _huff_vs_arith(_smooth(24, 40), dc_cond=(1, 2), kx=3)
+
+
+def test_jpeg_arith_cmyk_and_pdf(spark):
+    """SOF9 composes with the APP14 color transforms (YCCK) and with
+    PDF /DCTDecode embedding, through the distributed decode."""
+    from jpeg_arith_ref_encoder import encode_jpeg_arith
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+    from openocr_spark.kernels.media_decode import decode_media, extract_features
+    from openocr_spark.kernels.pdf_format import encode_pdf
+
+    cmyk = _smooth_cmyk(16, 24)
+    want = _luma_ref(_cmyk_to_rgb_ref(cmyk))
+    jb = encode_jpeg_arith(cmyk, qtable=[1] * 64, adobe_transform=2)
+    out = decode_jpeg(jb)
+    assert int(np.abs(_luma_ref(out).astype(int) - want.astype(int)).max()) <= 5
+    (page,) = decode_bytes(encode_pdf([jb]))
+    assert page.shape == want.shape
+    mdf = spark.createDataFrame(
+        [("d1", "a.pdf", bytearray(encode_pdf([jb])))],
+        "doc_id string, media_ref string, content binary",
+    )
+    rows = extract_features(decode_media(mdf)).collect()
+    assert len(rows) == 1 and abs(rows[0].mean_px - float(want.mean())) < 2.0
