@@ -5,9 +5,11 @@ from the public spec, numpy/stdlib only.
 The reference decodes JPEG via cv2 (opendet/preprocess/__init__.py:
 85-143); cv2/libjpeg treat arithmetic streams as a first-class coding
 mode, and round 4's fail-loud boundary here was the last JPEG coding
-mode this engine rejected. Scope: sequential DCT (SOF9), 8-bit,
-interleaved MCUs, restart intervals, DAC conditioning (L/U for DC,
-Kx for AC). Progressive arithmetic (SOF10) remains fail-loud.
+mode this engine rejected. Scope: sequential DCT (SOF9) AND
+progressive DCT (SOF10 — DC first/refine, AC band first/refine per
+F.2.1.4.3, accumulated into the same coefficient store as Huffman
+progressive), 8-bit, interleaved MCUs, restart intervals, DAC
+conditioning (L/U for DC, Kx for AC).
 
 Validation: the test-side encoder (tests/jpeg_arith_ref_encoder.py)
 implements the ENCODE direction independently (its own carry/stuff
@@ -340,3 +342,177 @@ def decode_arith_scan(
                         planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
     return _assemble(planes, frame)
+
+
+# --- progressive arithmetic (SOF10, F.2.1.4.3) -------------------------
+#
+# Same spectral-selection / successive-approximation scan structure as
+# Huffman progressive (jpeg_format._progressive_scan), with the Annex F
+# arithmetic models per scan kind: DC-first = the sequential DC model
+# over point-transformed values; DC-refine = ONE fixed-bin decision per
+# block; AC-first = the sequential AC model over the Ss..Se band;
+# AC-refine = per-coefficient correction/significance decisions.
+# Statistics and the coder reset at every scan (and restart interval).
+
+
+def _prog_ac_first(dec: ArithDecoder, st: list[_Ctx], stats: _Stats,
+                   kx: int, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if dec.decode(st[base]):  # EOB
+            return
+        while dec.decode(st[base + 1]) == 0:
+            k += 1
+            if k > se:
+                raise NotImplementedError("JPEG-arith: AC index past Se")
+            base = 3 * (k - 1)
+        sign = dec.decode(stats.fixed)
+        j = base + 2
+        m = dec.decode(st[j])
+        if m != 0 and dec.decode(st[j]):
+            m = 2
+            j = 189 if k <= kx else 217
+            while dec.decode(st[j]):
+                m <<= 1
+                if m == 0x8000:
+                    raise NotImplementedError("JPEG-arith: AC magnitude overflow")
+                j += 1
+        v = m
+        bits_ctx = st[j + 14]
+        mm = m >> 1
+        while mm:
+            if dec.decode(bits_ctx):
+                v |= mm
+            mm >>= 1
+        v += 1
+        zz[k] = -(v << al) if sign else (v << al)
+        k += 1
+
+
+def _prog_ac_refine(dec: ArithDecoder, st: list[_Ctx], stats: _Stats,
+                    zz: np.ndarray, ss: int, se: int, al: int) -> None:
+    p1 = 1 << al
+    m1 = -(1 << al)
+    kex = se
+    while kex >= ss and zz[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(st[base]):  # EOB
+                return
+        while True:
+            if zz[k]:
+                if dec.decode(st[base + 2]):
+                    zz[k] += m1 if zz[k] < 0 else p1
+                break
+            if dec.decode(st[base + 1]):
+                zz[k] = m1 if dec.decode(stats.fixed) else p1
+                break
+            k += 1
+            if k > se:
+                raise NotImplementedError("JPEG-arith: AC-refine past Se")
+            base = 3 * (k - 1)
+        k += 1
+
+
+def progressive_arith_scan(
+    data: bytes,
+    pos: int,
+    frame: dict,
+    scan: list[tuple[dict, int, int]],
+    restart_interval: int,
+    conditioning: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    store: dict[int, np.ndarray],
+) -> None:
+    """Accumulate one SOF10 scan into the shared progressive
+    coefficient store (zigzag int32, same layout as the Huffman path —
+    dequant + IDCT happen once at EOI via _progressive_reconstruct)."""
+    from openocr_spark.kernels.jpeg_format import _comp_blocks
+
+    comps = frame["comps"]
+    for comp, td, ta in scan:
+        comp["tq_dc_tbl"] = td
+        comp["tq_ac_tbl"] = ta
+    scan_comps = [c for c, _t, _a in scan]
+    stats = _Stats(scan_comps)
+    dec = ArithDecoder(data, pos)
+    unit = 0
+
+    def maybe_restart():
+        nonlocal dec, stats, unit
+        if restart_interval and unit and unit % restart_interval == 0:
+            dec.align_restart()
+            stats = _Stats(scan_comps)
+            dec = ArithDecoder(data, dec.pos)
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise NotImplementedError("JPEG-arith: DC scan with Se != 0")
+        if len(scan) > 1:  # interleaved, MCU order
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-frame["w"] // (8 * hmax))
+            mcus_y = -(-frame["h"] // (8 * vmax))
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    maybe_restart()
+                    for comp, td, _ta in scan:
+                        cid = comp["id"]
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                blk = store[cid][
+                                    my * comp["v"] + by, mx * comp["h"] + bx
+                                ]
+                                if ah == 0:
+                                    diff = _decode_dc(
+                                        dec, stats.dc[td], stats, cid,
+                                        conditioning.get(("dc", td), (0, 1)),
+                                    )
+                                    stats.pred[cid] += diff
+                                    blk[0] = stats.pred[cid] << al
+                                elif dec.decode(stats.fixed):
+                                    blk[0] |= 1 << al
+                    unit += 1
+        else:
+            comp, td, _ta = scan[0]
+            cid = comp["id"]
+            bh, bw = _comp_blocks(frame, comp)
+            for by in range(bh):
+                for bx in range(bw):
+                    maybe_restart()
+                    blk = store[cid][by, bx]
+                    if ah == 0:
+                        diff = _decode_dc(
+                            dec, stats.dc[td], stats, cid,
+                            conditioning.get(("dc", td), (0, 1)),
+                        )
+                        stats.pred[cid] += diff
+                        blk[0] = stats.pred[cid] << al
+                    elif dec.decode(stats.fixed):
+                        blk[0] |= 1 << al
+                    unit += 1
+        return
+
+    if len(scan) != 1:
+        raise NotImplementedError("JPEG-arith: interleaved AC scan")
+    comp, _td, ta = scan[0]
+    kx = conditioning.get(("ac", ta), 5)
+    arr = store[comp["id"]]
+    bh, bw = _comp_blocks(frame, comp)
+    for by in range(bh):
+        for bx in range(bw):
+            maybe_restart()
+            if ah == 0:
+                _prog_ac_first(dec, stats.ac[ta], stats, kx, arr[by, bx],
+                               ss, se, al)
+            else:
+                _prog_ac_refine(dec, stats.ac[ta], stats, arr[by, bx],
+                                ss, se, al)
+            unit += 1

@@ -22,11 +22,13 @@ through); plain 4-component streams without APP14 are direct CMYK ink.
 Output is always RGB (h, w, 3) for color (CMYK composited against the
 K plate: ch = (255−ink)·(255−K)/255), (h, w) for grayscale — the
 scanned-document corpora this engine targets embed CMYK JPEGs inside
-PDF /DCTDecode streams, which route here too. Sequential ARITHMETIC
-coding (SOF9, T.81 Annex D/F QM coder — kernels/jpeg_arith, r5) is
-decoded, including DAC conditioning and restart intervals; 16-bit
-(Pq=1) quantization tables parse. Progressive arithmetic (SOF10),
-hierarchical, lossless, and 12-bit modes raise NotImplementedError.
+PDF /DCTDecode streams, which route here too. ARITHMETIC coding is
+decoded in BOTH modes (T.81 Annex D/F QM coder — kernels/jpeg_arith,
+r5): sequential SOF9 and progressive SOF10 (spectral selection +
+successive approximation over the shared coefficient store), including
+DAC conditioning and restart intervals; 16-bit (Pq=1) quantization
+tables parse. Hierarchical, lossless, and 12-bit modes raise
+NotImplementedError.
 
 Decoding is exact per the spec's integer pipeline except IDCT rounding,
 which is float64 cosine transform + round-half-away — tests bound the
@@ -179,13 +181,13 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
             pos -= 1 if marker == 0xFF else 0
             continue
         (seglen,) = struct.unpack_from(">H", data, pos)
-        if marker in (0xC0, 0xC2, 0xC9):
+        if marker in (0xC0, 0xC2, 0xC9, 0xCA):
             _prec, h, w, nc = struct.unpack_from(">BHHB", data, pos + 2)
             return h, w, nc
         if marker == 0xDA:
             break  # scan before SOF — malformed
         pos += seglen
-    raise NotImplementedError("JPEG: no SOF0/SOF2/SOF9 header")
+    raise NotImplementedError("JPEG: no SOF0/SOF2/SOF9/SOF10 header")
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -240,7 +242,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 n = sum(bits)
                 htables[(tc, th)] = _HuffTable(bits, body[b + 17 : b + 17 + n])
                 b += 17 + n
-        elif marker in (0xC0, 0xC2, 0xC9):  # baseline / progressive / arith-seq
+        elif marker in (0xC0, 0xC2, 0xC9, 0xCA):
+            # SOF0 baseline / SOF2 progressive / SOF9 arith-sequential /
+            # SOF10 arith-progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("JPEG: 12-bit precision")
@@ -250,8 +254,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {
                 "h": h, "w": w, "comps": comps,
-                "progressive": marker == 0xC2,
-                "arith": marker == 0xC9,
+                "progressive": marker in (0xC2, 0xCA),
+                "arith": marker in (0xC9, 0xCA),
             }
         elif marker == 0xCC:  # DAC — arithmetic conditioning
             b = 0
@@ -263,10 +267,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 else:
                     conditioning[("ac", tb)] = v  # Kx
                 b += 2
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCB):
             raise NotImplementedError(
-                "JPEG: baseline (SOF0), progressive (SOF2) and sequential "
-                f"arithmetic (SOF9) supported, got SOF{marker - 0xC0}"
+                "JPEG: baseline (SOF0), progressive (SOF2) and arithmetic "
+                f"(SOF9/SOF10) supported, got SOF{marker - 0xC0}"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -287,9 +291,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             if frame.get("arith"):
                 if frame["progressive"]:
-                    raise NotImplementedError(
-                        "JPEG: progressive arithmetic (SOF10) not supported"
+                    from openocr_spark.kernels.jpeg_arith import (
+                        progressive_arith_scan,
                     )
+
+                    if coef_store is None:
+                        coef_store = _alloc_coef_store(frame)
+                    progressive_arith_scan(
+                        data, pos + seglen, frame, scan, restart_interval,
+                        conditioning, ss, se, ahal >> 4, ahal & 0x0F,
+                        coef_store,
+                    )
+                    pos = _next_marker(data, pos + seglen)
+                    continue
                 from openocr_spark.kernels.jpeg_arith import decode_arith_scan
 
                 return decode_arith_scan(

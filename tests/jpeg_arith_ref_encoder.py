@@ -295,3 +295,199 @@ def encode_jpeg_arith(
     sos += bytes([0, 63, 0])
     head += _seg(0xDA, sos)
     return bytes(head) + b"".join(chunks) + b"\xff\xd9"
+
+
+# --- progressive (SOF10) encoder ---------------------------------------
+#
+# Mirrors the Huffman progressive scan script (jpeg_ref_encoder.
+# encode_jpeg_progressive): interleaved DC at Al=1, per-component AC
+# bands (1-5)/(6-63) at Al=2, AC refine 2→1, interleaved DC refine,
+# AC refine 1→0 — each scan independently arithmetic-coded (fresh
+# coder + statistics, flushed before the next SOS).
+
+
+def _enc_prog_ac_first(enc, st, stats, kx, zz, ss, se, al):
+    ke = se
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
+        ke -= 1
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        enc.encode(st[base], 0)  # not EOB
+        while (abs(int(zz[k])) >> al) == 0:
+            enc.encode(st[base + 1], 0)
+            k += 1
+            base = 3 * (k - 1)
+        enc.encode(st[base + 1], 1)
+        val = int(zz[k])
+        sign = 1 if val < 0 else 0
+        enc.encode(stats.fixed, sign)
+        v = (abs(val) >> al) - 1
+        j = base + 2
+        m = 0
+        if v:
+            enc.encode(st[j], 1)
+            m = 1
+            v2 = v
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(st[j], 1)
+                m <<= 1
+                j = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(st[j], 1)
+                    m <<= 1
+                    j += 1
+        enc.encode(st[j], 0)
+        bits_ctx = st[j + 14]
+        mm = m >> 1
+        while mm:
+            enc.encode(bits_ctx, 1 if (mm & v) else 0)
+            mm >>= 1
+        k += 1
+    if ke < se:
+        enc.encode(st[3 * (ke + 1 - 1)], 1)  # EOB
+
+
+def _enc_prog_ac_refine(enc, st, stats, zz, ss, se, al):
+    """Per jcarith/F.1.4.3.3 structure: the EOB decision is emitted
+    only at OUTER loop entries (k > kex); the still-zero run advances
+    with significance-0 decisions alone until the next coefficient
+    that is nonzero at this precision."""
+    ke = se
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
+        ke -= 1
+    kex = ke
+    while kex >= ss and (abs(int(zz[kex])) >> (al + 1)) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st[base], 0)  # not EOB yet
+        while True:
+            val = int(zz[k])
+            sign = 1 if val < 0 else 0
+            v = abs(val) >> al
+            if v:
+                if v >> 1:  # previously nonzero: correction bit
+                    enc.encode(st[base + 2], v & 1)
+                else:  # newly significant
+                    enc.encode(st[base + 1], 1)
+                    enc.encode(stats.fixed, sign)
+                break
+            enc.encode(st[base + 1], 0)  # still zero
+            k += 1
+            base = 3 * (k - 1)
+        k += 1
+    if ke < se:
+        enc.encode(st[3 * (ke + 1 - 1)], 1)  # EOB
+
+
+def encode_jpeg_arith_progressive(
+    img: np.ndarray,
+    qtable: list[int] | None = None,
+    subsample: bool = False,
+    adobe_transform: int | None = None,
+    dc_cond: tuple[int, int] = (0, 1),
+    kx: int = 5,
+) -> bytes:
+    """Progressive arithmetic (SOF10) encoding, fully refined — the
+    package decoder's output must be bit-identical to decoding the
+    baseline Huffman encoding of the same image."""
+    q = np.array(qtable if qtable is not None else K1, dtype=np.int32)
+    h, w = img.shape[:2]
+    planes, samps, app14 = _color_planes(img, subsample, adobe_transform)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    qnat = np.empty(64, np.int32)
+    qnat[[ZIG[i] for i in range(64)]] = q
+
+    coefs = []
+    grids = []  # (padded_bh, padded_bw, ceil_bh, ceil_bw)
+    for p, (sh, sv) in zip(planes, samps):
+        tbh, tbw = mcus_y * sv, mcus_x * sh
+        pad = np.pad(
+            p, ((0, tbh * 8 - p.shape[0]), (0, tbw * 8 - p.shape[1])),
+            mode="edge",
+        )
+        cz = np.zeros((tbh, tbw, 64), np.int32)
+        for by in range(tbh):
+            for bx in range(tbw):
+                blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                cq = np.round(fdct_8x8(blk) / qnat.reshape(8, 8)).astype(np.int32)
+                cz[by, bx] = cq.reshape(-1)[ZIG]
+        coefs.append(cz)
+        cw = -(-(-(-w * sh // hmax)) // 8)
+        ch = -(-(-(-h * sv // vmax)) // 8)
+        grids.append((tbh, tbw, ch, cw))
+
+    nc = len(planes)
+
+    def sos_seg(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    def dc_scan(ah, al):
+        enc = ArithEncoder()
+        stats = _Stats(1, 1)
+        dc_context = [0] * nc
+        pred = [0] * nc
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (sh, sv) in enumerate(samps):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            zz0 = int(coefs[ci][my * sv + by, mx * sh + bx][0])
+                            if ah == 0:
+                                tv = zz0 >> al if zz0 >= 0 else -((-zz0) >> al)
+                                # point transform is an ARITHMETIC shift
+                                tv = zz0 >> al
+                                diff = tv - pred[ci]
+                                pred[ci] = tv
+                                _encode_dc(enc, stats.dc[0], dc_context,
+                                           ci, diff, dc_cond)
+                            else:
+                                enc.encode(stats.fixed, (zz0 >> al) & 1)
+        return sos_seg(list(range(1, nc + 1)), 0, 0, ah, al) + enc.flush()
+
+    def ac_scan(ci, ss, se, ah, al):
+        enc = ArithEncoder()
+        stats = _Stats(1, 1)
+        _tbh, _tbw, cbh, cbw = grids[ci]
+        for by in range(cbh):
+            for bx in range(cbw):
+                zz = coefs[ci][by, bx]
+                if ah == 0:
+                    _enc_prog_ac_first(enc, stats.ac[0], stats, kx, zz,
+                                       ss, se, al)
+                else:
+                    _enc_prog_ac_refine(enc, stats.ac[0], stats, zz,
+                                        ss, se, al)
+        return sos_seg([ci + 1], ss, se, ah, al) + enc.flush()
+
+    head = bytearray(b"\xff\xd8")
+    head += app14
+    head += _dqt_seg(q)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, (sh, sv) in enumerate(samps):
+        sof += bytes([i + 1, (sh << 4) | sv, 0])
+    head += _seg(0xCA, sof)  # SOF10: progressive arithmetic
+    head += _seg(0xCC, bytes([0x00, (dc_cond[1] << 4) | dc_cond[0], 0x10, kx]))
+    out = bytearray(head)
+    out += dc_scan(0, 1)
+    for ci in range(nc):
+        out += ac_scan(ci, 1, 5, 0, 2)
+        out += ac_scan(ci, 6, 63, 0, 2)
+    for ci in range(nc):
+        out += ac_scan(ci, 1, 63, 2, 1)
+    out += dc_scan(1, 0)
+    for ci in range(nc):
+        out += ac_scan(ci, 1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)

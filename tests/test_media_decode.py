@@ -686,19 +686,19 @@ def test_jpeg_restart_markers_and_odd_dims():
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
 
 
-def test_jpeg_progressive_arith_and_lossless_rejected():
-    """SOF10 (progressive arithmetic) and SOF3 (lossless) stay
-    fail-loud boundaries; sequential arithmetic (SOF9) is now decoded
+def test_jpeg_lossless_and_hierarchical_rejected():
+    """SOF3 (lossless) and SOF5 (hierarchical) stay fail-loud
+    boundaries; arithmetic (SOF9/SOF10) is now decoded
     (test_jpeg_arith_*)."""
     from jpeg_ref_encoder import encode_jpeg
 
     jb = bytearray(encode_jpeg(_smooth(8, 8), qtable=[1] * 64))
     idx = jb.find(b"\xff\xc0")
-    jb[idx + 1] = 0xCA
-    with pytest.raises(NotImplementedError, match="SOF10"):
-        decode_bytes(bytes(jb))
     jb[idx + 1] = 0xC3
     with pytest.raises(NotImplementedError, match="SOF3"):
+        decode_bytes(bytes(jb))
+    jb[idx + 1] = 0xC5
+    with pytest.raises(NotImplementedError, match="SOF5"):
         decode_bytes(bytes(jb))
 
 
@@ -1213,3 +1213,45 @@ def test_jpeg_arith_cmyk_and_pdf(spark):
     )
     rows = extract_features(decode_media(mdf)).collect()
     assert len(rows) == 1 and abs(rows[0].mean_px - float(want.mean())) < 2.0
+
+
+def test_jpeg_arith_progressive_equals_baseline():
+    """Progressive arithmetic (SOF10, fully refined) decodes
+    BIT-IDENTICAL to the baseline Huffman encoding — the same
+    invariant the Huffman-progressive and sequential-arithmetic paths
+    pin, over the full scan script (DC first/refine at the fixed bin,
+    AC bands first at Al=2, refine 2→1→0)."""
+    from jpeg_arith_ref_encoder import encode_jpeg_arith_progressive
+    from jpeg_ref_encoder import K1, encode_jpeg
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    gray = _smooth(24, 40)
+    rgb = _smooth(24, 40, color=True)
+    for img, kw in (
+        (gray, {}),
+        (gray, {"qtable": list(K1)}),
+        (rgb, {}),
+        (rgb, {"subsample": True}),
+        (gray[:17, :33], {}),
+        (gray, {"dc_cond": (1, 2), "kx": 3}),
+    ):
+        q = kw.pop("qtable", [1] * 64)
+        huff = decode_jpeg(encode_jpeg(
+            img, qtable=q, subsample=kw.get("subsample", False)))
+        arith = decode_jpeg(encode_jpeg_arith_progressive(img, qtable=q, **kw))
+        assert np.array_equal(huff, arith), kw
+
+
+def test_jpeg_arith_progressive_ycck():
+    """SOF10 composes with the APP14 YCCK transform (4-component
+    progressive arithmetic — the maximal coding-mode combination)."""
+    from jpeg_arith_ref_encoder import encode_jpeg_arith_progressive
+    from jpeg_ref_encoder import encode_jpeg
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    cmyk = _smooth_cmyk(16, 24)
+    huff = decode_jpeg(encode_jpeg(cmyk, qtable=[1] * 64, adobe_transform=2))
+    arith = decode_jpeg(
+        encode_jpeg_arith_progressive(cmyk, qtable=[1] * 64, adobe_transform=2)
+    )
+    assert np.array_equal(huff, arith)
