@@ -70,12 +70,12 @@ def log(msg: str) -> None:
 
 def _build_real_media(spark, n_media: int, media_dir: str) -> None:
     """Materialize (doc_id, media_ref, content) rows of REAL encoded
-    bytes: K distinct synthetic gray images, each in 4 containers —
-    PNG (package encode_png), Flate-PDF page, baseline JPEG, and
-    JPEG-embedded-in-PDF (/DCTDecode) — assigned round-robin. JPEG
-    encoding comes from the independent test-side encoder when the
-    tests/ tree is present (repo runs), else those two slots fall back
-    to PNG/Flate-PDF."""
+    bytes: K distinct synthetic gray images across 5 containers — PNG
+    (package encode_png), Flate-PDF page, baseline JPEG,
+    JPEG-embedded-in-PDF (/DCTDecode), and ARITHMETIC-coded JPEG
+    (SOF9) — assigned round-robin. JPEG encoding comes from the
+    independent test-side encoders when the tests/ tree is present
+    (repo runs), else those slots fall back to PNG/Flate-PDF."""
     import numpy as np
 
     from openocr_spark.kernels.media_decode import encode_png
@@ -83,11 +83,12 @@ def _build_real_media(spark, n_media: int, media_dir: str) -> None:
 
     try:
         sys.path.insert(0, os.path.join(ROOT, "tests"))
+        from jpeg_arith_ref_encoder import encode_jpeg_arith
         from jpeg_ref_encoder import encode_jpeg
     except ImportError:
-        encode_jpeg = None
+        encode_jpeg = encode_jpeg_arith = None
 
-    K = 48
+    K = 50
     variants: list[bytes] = []
     for k in range(K):
         x, y = np.meshgrid(np.arange(160), np.arange(96))
@@ -96,7 +97,7 @@ def _build_real_media(spark, n_media: int, media_dir: str) -> None:
             .clip(0, 255)
             .astype(np.uint8)
         )
-        fmt = k % 4
+        fmt = k % 5
         if fmt == 0:
             variants.append(encode_png(img))
         elif fmt == 1:
@@ -105,8 +106,10 @@ def _build_real_media(spark, n_media: int, media_dir: str) -> None:
             variants.append(encode_jpeg(img))
         elif fmt == 3 and encode_jpeg is not None:
             variants.append(encode_pdf([encode_jpeg(img)]))
+        elif fmt == 4 and encode_jpeg_arith is not None:
+            variants.append(encode_jpeg_arith(img))
         else:
-            variants.append(encode_png(img) if fmt == 2 else encode_pdf([img]))
+            variants.append(encode_png(img) if fmt % 2 == 0 else encode_pdf([img]))
     import pandas as pd
 
     bvar = spark.sparkContext.broadcast(variants)
@@ -256,8 +259,11 @@ def main() -> None:
             # then the timed job is the distributed decode + 1→N page
             # explode + per-page feature stats.
             n_media = int(os.environ.get("BENCH_REALMEDIA_ROWS", "20000"))
+            # v2: payload mix includes arithmetic-coded JPEG (SOF9) —
+            # the version suffix invalidates v1 caches from older runs
             media_dir = os.path.join(
-                os.environ.get("TMPDIR", "/tmp"), f"bench_realmedia_{n_media}"
+                os.environ.get("TMPDIR", "/tmp"),
+                f"bench_realmedia_v2_{n_media}",
             )
             if not os.path.exists(os.path.join(media_dir, "_SUCCESS")):
                 log(f"materializing {n_media} real-media rows -> {media_dir}")
@@ -279,6 +285,7 @@ def main() -> None:
             n_pages = out.count()
             extras["realmedia_rows"] = float(n_media)
             extras["realmedia_pages"] = float(n_pages)
+            extras["realmedia_mix"] = "v2-png-pdf-jpeg-dct-arith"
             extras["media_per_sec"] = round(n_media / dt, 2)
             extras["pages_per_sec"] = round(n_pages / dt, 2)
         elif name in SPARK_Q:

@@ -151,9 +151,10 @@ def main() -> None:
 
     _sys.path.insert(0, os.path.join(ROOT, "tests"))
     try:
+        from jpeg_arith_ref_encoder import encode_jpeg_arith
         from jpeg_ref_encoder import encode_jpeg_progressive
     except ImportError:
-        encode_jpeg_progressive = None
+        encode_jpeg_progressive = encode_jpeg_arith = None
         print("[codecs]    tests/ tree not shipped — skipping the "
               "progressive-JPEG-in-PDF demo leg")
 
@@ -176,6 +177,16 @@ def main() -> None:
         drift = abs(pages[0].mean_px - pages[1].mean_px)
         print(f"[codecs]    PDF(Flate + progressive-JPEG pages) -> "
               f"{len(pages)} pages, luma drift {drift:.3f}")
+        # the QM coder: arithmetic-coded (SOF9) decodes bit-identical
+        # to the Huffman encoding of the same quantized planes
+        from jpeg_ref_encoder import encode_jpeg as _enc_huff
+        from openocr_spark.kernels.jpeg_format import decode_jpeg as _dj
+
+        same = bool(
+            (_dj(encode_jpeg_arith(img, qtable=[1] * 64))
+             == _dj(_enc_huff(img, qtable=[1] * 64))).all()
+        )
+        print(f"[codecs]    arithmetic (SOF9) == Huffman decode: {same}")
 
     # 4c ── LMDB round-trip through the pure-python format
     from openocr_spark.sources import lmdb_format as L
