@@ -27,8 +27,9 @@ decoded in BOTH modes (T.81 Annex D/F QM coder — kernels/jpeg_arith,
 r5): sequential SOF9 and progressive SOF10 (spectral selection +
 successive approximation over the shared coefficient store), including
 DAC conditioning and restart intervals; 16-bit (Pq=1) quantization
-tables parse. Hierarchical, lossless, and 12-bit modes raise
-NotImplementedError.
+tables parse. LOSSLESS sequential (SOF3, Annex H: the 7 spatial
+predictors + point transform, bit-exact) is decoded too. Hierarchical
+and 12-bit-DCT modes raise NotImplementedError.
 
 Decoding is exact per the spec's integer pipeline except IDCT rounding,
 which is float64 cosine transform + round-half-away — tests bound the
@@ -181,7 +182,7 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
             pos -= 1 if marker == 0xFF else 0
             continue
         (seglen,) = struct.unpack_from(">H", data, pos)
-        if marker in (0xC0, 0xC2, 0xC9, 0xCA):
+        if marker in (0xC0, 0xC2, 0xC3, 0xC9, 0xCA):
             _prec, h, w, nc = struct.unpack_from(">BHHB", data, pos + 2)
             return h, w, nc
         if marker == 0xDA:
@@ -242,20 +243,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 n = sum(bits)
                 htables[(tc, th)] = _HuffTable(bits, body[b + 17 : b + 17 + n])
                 b += 17 + n
-        elif marker in (0xC0, 0xC2, 0xC9, 0xCA):
-            # SOF0 baseline / SOF2 progressive / SOF9 arith-sequential /
-            # SOF10 arith-progressive
+        elif marker in (0xC0, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0 baseline / SOF2 progressive / SOF3 lossless /
+            # SOF9 arith-sequential / SOF10 arith-progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if marker == 0xC3:
+                if not 2 <= prec <= 8:
+                    raise NotImplementedError(
+                        f"JPEG: lossless precision {prec} (2..8-bit only "
+                        "in this uint8 pipeline)"
+                    )
+            elif prec != 8:
                 raise NotImplementedError("JPEG: 12-bit precision")
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {
-                "h": h, "w": w, "comps": comps,
-                "progressive": marker in (0xC2, 0xCA),
+                "h": h, "w": w, "comps": comps, "prec": prec,
+                "progressive": marker == 0xC2 or marker == 0xCA,
                 "arith": marker in (0xC9, 0xCA),
+                "lossless": marker == 0xC3,
             }
         elif marker == 0xCC:  # DAC — arithmetic conditioning
             b = 0
@@ -267,10 +275,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 else:
                     conditioning[("ac", tb)] = v  # Kx
                 b += 2
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCB):
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xCB):
             raise NotImplementedError(
-                "JPEG: baseline (SOF0), progressive (SOF2) and arithmetic "
-                f"(SOF9/SOF10) supported, got SOF{marker - 0xC0}"
+                "JPEG: baseline (SOF0), progressive (SOF2), lossless "
+                "(SOF3) and arithmetic (SOF9/SOF10) supported, got "
+                f"SOF{marker - 0xC0}"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -289,6 +298,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if frame.get("lossless"):
+                # Ss = predictor selector (1..7), Al = point transform
+                return _decode_lossless_scan(
+                    data, pos + seglen, frame, scan, htables,
+                    restart_interval, ss, ahal & 0x0F,
+                )
             if frame.get("arith"):
                 if frame["progressive"]:
                     from openocr_spark.kernels.jpeg_arith import (
@@ -327,6 +342,61 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         frame["adobe"] = adobe
         return _progressive_reconstruct(frame, qtables, coef_store)
     raise NotImplementedError("JPEG: no scan data")
+
+
+def _decode_lossless_scan(
+    data, pos, frame, scan, htables, restart_interval, predictor, pt
+):
+    """T.81 Annex H lossless process: per-sample Huffman-coded
+    differences against one of the 7 spatial predictors, modulo-65536
+    reconstruction, point transform Pt. Sample-interleaved MCUs with
+    1×1 sampling (the only layout real lossless files use). Output
+    follows the module conventions: gray (1 comp) or RGB-stacked
+    (3 comps, components taken as direct color planes)."""
+    if restart_interval:
+        raise NotImplementedError("JPEG: lossless restart intervals")
+    h, w = frame["h"], frame["w"]
+    prec = frame["prec"]
+    if any(c["h"] != 1 or c["v"] != 1 for c, _t, _a in scan):
+        raise NotImplementedError("JPEG: subsampled lossless components")
+    if not 1 <= predictor <= 7:
+        raise NotImplementedError(f"JPEG: lossless predictor {predictor}")
+    planes = {c["id"]: np.zeros((h, w), np.int32) for c, _t, _a in scan}
+    r = _BitReader(data, pos)
+    default = 1 << (prec - 1 - pt)
+    for y in range(h):
+        for x in range(w):
+            for comp, td, _ta in scan:
+                t = _huff_decode(r, htables[(0, td)])
+                diff = 32768 if t == 16 else (_extend(r.bits(t), t) if t else 0)
+                p = planes[comp["id"]]
+                if y == 0 and x == 0:
+                    px = default
+                elif y == 0:
+                    px = int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    a = int(p[y, x - 1])
+                    b = int(p[y - 1, x])
+                    c = int(p[y - 1, x - 1])
+                    px = (
+                        a, b, c, a + b - c,
+                        a + ((b - c) >> 1), b + ((a - c) >> 1),
+                        (a + b) >> 1,
+                    )[predictor - 1]
+                p[y, x] = (px + diff) & 0xFFFF
+    out = []
+    for comp, _t, _a in scan:
+        vals = (planes[comp["id"]] << pt).astype(np.int64)
+        out.append(np.clip(vals, 0, 255).astype(np.uint8))
+    if len(out) == 1:
+        return out[0]
+    if len(out) == 3:
+        return np.dstack(out)
+    raise NotImplementedError(
+        f"JPEG: {len(out)}-component lossless frame not supported"
+    )
 
 
 def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):

@@ -543,3 +543,57 @@ def encode_jpeg_progressive(
         out += ac_scan(ci, 1, 63, 1, 0)
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray, predictor: int = 4, pt: int = 0
+) -> bytes:
+    """T.81 Annex H lossless (SOF3): per-sample Huffman-coded
+    differences against the selected spatial predictor (1-7), point
+    transform Pt, sample-interleaved 1×1 components. img: (h, w) gray
+    or (h, w, 3) RGB uint8 — decodes back bit-exactly."""
+    h, w = img.shape[:2]
+    nch = 1 if img.ndim == 2 else img.shape[2]
+    planes = [img] if nch == 1 else [img[:, :, i] for i in range(nch)]
+    arrs = [p.astype(np.int64) >> pt for p in planes]
+    dc_c = _codes(DC_BITS, DC_VALS)
+    wtr = _BitWriter()
+    prec = 8
+    default = 1 << (prec - 1 - pt)
+    for y in range(h):
+        for x in range(w):
+            for arr in arrs:
+                s = int(arr[y, x])
+                if y == 0 and x == 0:
+                    px = default
+                elif y == 0:
+                    px = int(arr[0, x - 1])
+                elif x == 0:
+                    px = int(arr[y - 1, 0])
+                else:
+                    a = int(arr[y, x - 1])
+                    b = int(arr[y - 1, x])
+                    c = int(arr[y - 1, x - 1])
+                    px = (
+                        a, b, c, a + b - c,
+                        a + ((b - c) >> 1), b + ((a - c) >> 1),
+                        (a + b) >> 1,
+                    )[predictor - 1]
+                diff = s - px
+                t = _category(diff)
+                wtr.write(*dc_c[t])
+                _enc_value(wtr, diff, t)
+    wtr.pad()
+
+    head = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", prec, h, w, nch)
+    for i in range(nch):
+        sof += bytes([i + 1, 0x11, 0])
+    head += _seg(0xC3, sof)  # SOF3: lossless sequential Huffman
+    head += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    sos = bytes([nch])
+    for i in range(nch):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    head += _seg(0xDA, sos)
+    return bytes(head) + bytes(wtr.buf) + b"\xff\xd9"

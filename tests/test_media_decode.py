@@ -686,20 +686,42 @@ def test_jpeg_restart_markers_and_odd_dims():
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
 
 
-def test_jpeg_lossless_and_hierarchical_rejected():
-    """SOF3 (lossless) and SOF5 (hierarchical) stay fail-loud
-    boundaries; arithmetic (SOF9/SOF10) is now decoded
-    (test_jpeg_arith_*)."""
+def test_jpeg_hierarchical_rejected():
+    """Hierarchical (SOF5/SOF7) stays the fail-loud boundary; every
+    non-hierarchical 8-bit mode (SOF0/2/3/9/10) is now decoded."""
     from jpeg_ref_encoder import encode_jpeg
 
     jb = bytearray(encode_jpeg(_smooth(8, 8), qtable=[1] * 64))
     idx = jb.find(b"\xff\xc0")
-    jb[idx + 1] = 0xC3
-    with pytest.raises(NotImplementedError, match="SOF3"):
-        decode_bytes(bytes(jb))
     jb[idx + 1] = 0xC5
     with pytest.raises(NotImplementedError, match="SOF5"):
         decode_bytes(bytes(jb))
+    jb[idx + 1] = 0xC7
+    with pytest.raises(NotImplementedError, match="SOF7"):
+        decode_bytes(bytes(jb))
+
+
+def test_jpeg_lossless_roundtrip():
+    """SOF3 lossless: BIT-EXACT round trip for every predictor (1-7),
+    gray and RGB, odd dims, and a nonzero point transform."""
+    from jpeg_ref_encoder import encode_jpeg_lossless
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, size=(13, 21)).astype(np.uint8)
+    for pred in range(1, 8):
+        out = decode_jpeg(encode_jpeg_lossless(gray, predictor=pred))
+        assert np.array_equal(out, gray), pred
+    rgb = rng.randint(0, 256, size=(9, 14, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_lossless(rgb, predictor=4))
+    assert np.array_equal(out, rgb)
+    # point transform drops Pt low bits (lossy by design, exact on the
+    # transformed samples): decode == (px >> 2) << 2
+    out = decode_jpeg(encode_jpeg_lossless(gray, predictor=1, pt=2))
+    assert np.array_equal(out, (gray >> 2) << 2)
+    # smooth content exercises small-category runs through Spark decode
+    (page,) = decode_bytes(encode_jpeg_lossless(_smooth(16, 24)))
+    assert np.array_equal(page, _smooth(16, 24))
 
 
 # --- progressive (SOF2): the test-side encoder emits a full successive-
