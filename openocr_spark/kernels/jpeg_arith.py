@@ -336,7 +336,9 @@ def decode_arith_scan(
                         _decode_ac(dec, stats.ac[ta], stats, kx, zz)
                         coef = np.zeros(64, np.float64)
                         coef[ZIGZAG] = zz * q
-                        block = idct_8x8(coef.reshape(8, 8)) + 128.0
+                        block = idct_8x8(coef.reshape(8, 8)) + float(
+                            1 << (frame["prec"] - 1)
+                        )
                         y0 = (my * comp["v"] + by) * 8
                         x0 = (mx * comp["h"] + bx) * 8
                         planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block

@@ -28,8 +28,10 @@ r5): sequential SOF9 and progressive SOF10 (spectral selection +
 successive approximation over the shared coefficient store), including
 DAC conditioning and restart intervals; 16-bit (Pq=1) quantization
 tables parse. LOSSLESS sequential (SOF3, Annex H: the 7 spatial
-predictors + point transform, bit-exact) is decoded too. Hierarchical
-and 12-bit-DCT modes raise NotImplementedError.
+predictors + point transform, bit-exact) is decoded too, and 12-bit
+DCT precision decodes with high-bits down-conversion to uint8 (the
+16-bit-PNG convention). Hierarchical modes raise
+NotImplementedError.
 
 Decoding is exact per the spec's integer pipeline except IDCT rounding,
 which is float64 cosine transform + round-half-away — tests bound the
@@ -253,8 +255,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         f"JPEG: lossless precision {prec} (2..8-bit only "
                         "in this uint8 pipeline)"
                     )
-            elif prec != 8:
-                raise NotImplementedError("JPEG: 12-bit precision")
+            elif prec not in (8, 12):
+                raise NotImplementedError(f"JPEG: {prec}-bit DCT precision")
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
@@ -443,7 +445,9 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                             k += 1
                         coef = np.zeros(64, np.float64)
                         coef[ZIGZAG] = zz * q
-                        block = idct_8x8(coef.reshape(8, 8)) + 128.0
+                        block = idct_8x8(coef.reshape(8, 8)) + float(
+                            1 << (frame["prec"] - 1)
+                        )
                         y0 = (my * comp["v"] + by) * 8
                         x0 = (mx * comp["h"] + bx) * 8
                         planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
@@ -469,7 +473,17 @@ def _assemble(planes: dict, frame: dict) -> np.ndarray:
         if c["h"] != hmax or c["v"] != vmax:
             p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         out_planes.append(p[:h, :w])
-    clip = lambda a: np.clip(np.round(a), 0, 255).astype(np.uint8)  # noqa: E731
+    prec = frame.get("prec", 8)
+    half = float(1 << (prec - 1))
+    mx = float((1 << prec) - 1)
+    if prec == 8:
+        clip = lambda a: np.clip(np.round(a), 0, 255).astype(np.uint8)  # noqa: E731
+    else:
+        # >8-bit samples down-convert by high-bits truncation, the same
+        # convention as the 16-bit PNG path (media_decode)
+        clip = lambda a: (  # noqa: E731
+            np.clip(np.round(a), 0, mx).astype(np.uint16) >> (prec - 8)
+        ).astype(np.uint8)
     if len(out_planes) == 1:
         return clip(out_planes[0])
     if len(out_planes) == 3:
@@ -477,14 +491,18 @@ def _assemble(planes: dict, frame: dict) -> np.ndarray:
             # Adobe transform=0 with 3 components: RGB stored directly
             return np.dstack([clip(p) for p in out_planes])
         y, cb, cr = out_planes
-        r_ = y + 1.402 * (cr - 128.0)
-        g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b_ = y + 1.772 * (cb - 128.0)
+        r_ = y + 1.402 * (cr - half)
+        g_ = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+        b_ = y + 1.772 * (cb - half)
         return np.dstack([clip(r_), clip(g_), clip(b_)])
     if len(out_planes) != 4:
         raise NotImplementedError(
             f"JPEG: {len(out_planes)}-component frame not supported"
         )
+    if prec != 8:
+        # Adobe CMYK/YCCK is an 8-bit convention; the 128-centered
+        # transforms below must not silently mis-center wider samples
+        raise NotImplementedError(f"JPEG: {prec}-bit 4-component frame")
     c_, m_, ye, k_ = out_planes
     if adobe == 2:
         # YCCK: Photoshop applies RGB→YCbCr to the INVERTED C/M/Y
@@ -715,6 +733,6 @@ def _progressive_reconstruct(frame, qtables, store) -> np.ndarray:
         coef[..., ZIGZAG] = zz
         blocks = np.einsum(
             "ij,abjk,kl->abil", _A.T, coef.reshape(bh, bw, 8, 8), _A
-        ) + 128.0
+        ) + float(1 << (frame["prec"] - 1))
         planes[c["id"]] = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
     return _assemble(planes, frame)

@@ -597,3 +597,43 @@ def encode_jpeg_lossless(
     sos += bytes([predictor, 0, pt])
     head += _seg(0xDA, sos)
     return bytes(head) + bytes(wtr.buf) + b"\xff\xd9"
+
+
+# 12-bit baseline: DC categories reach 12..15 (beyond the 8-bit K.3
+# table) and AC sizes reach 14 — use the progressive tables' canonical
+# layouts, which already cover the full symbol ranges.
+def encode_jpeg_12bit(img16: np.ndarray, qtable: list[int] | None = None) -> bytes:
+    """Baseline (SOF0) encoding of a 12-bit GRAYSCALE image
+    (uint16 values 0..4095): level shift 2048, extended-range Huffman
+    tables. The package decoder down-converts to uint8 by high-bits
+    truncation (the 16-bit-PNG convention)."""
+    assert img16.ndim == 2 and int(img16.max()) <= 4095
+    q = np.array(qtable if qtable is not None else [1] * 64, dtype=np.int32)
+    h, w = img16.shape
+    mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+    pad = np.pad(
+        img16.astype(np.float64),
+        ((0, mcus_y * 8 - h), (0, mcus_x * 8 - w)), mode="edge",
+    )
+    qnat = np.empty(64, np.int32)
+    qnat[[ZIG[i] for i in range(64)]] = q
+    # 16 DC categories (0..15) as a canonical 5-bit-codes table
+    dc_bits16 = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals16 = list(range(16))
+    dc_c = _codes(dc_bits16, dc_vals16)
+    ac_c = _codes(P_AC_BITS, P_AC_VALS)
+    wtr = _BitWriter()
+    pred = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            blk = pad[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 2048.0
+            cq = np.round(fdct_8x8(blk) / qnat.reshape(8, 8)).astype(np.int32)
+            pred = _encode_block(wtr, cq, pred, dc_c, ac_c)
+    wtr.pad()
+    head = bytearray(b"\xff\xd8")
+    head += _dqt_seg(q)
+    head += _seg(0xC0, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]))
+    head += _seg(0xC4, bytes([0x00]) + bytes(dc_bits16) + bytes(dc_vals16))
+    head += _seg(0xC4, bytes([0x10]) + bytes(P_AC_BITS) + bytes(P_AC_VALS))
+    head += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return bytes(head) + bytes(wtr.buf) + b"\xff\xd9"

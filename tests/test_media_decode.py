@@ -1277,3 +1277,22 @@ def test_jpeg_arith_progressive_ycck():
         encode_jpeg_arith_progressive(cmyk, qtable=[1] * 64, adobe_transform=2)
     )
     assert np.array_equal(huff, arith)
+
+
+def test_jpeg_12bit_precision():
+    """12-bit DCT precision (SOF0, level shift 2048, extended Huffman
+    ranges): decodes with high-bits down-conversion to uint8 — the
+    same convention as the 16-bit PNG path."""
+    from jpeg_ref_encoder import encode_jpeg_12bit
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    x, y = np.meshgrid(np.arange(24), np.arange(16))
+    img16 = (2048 + 1500 * np.sin(x / 5.0) + 500 * np.cos(y / 4.0)).clip(
+        0, 4095
+    ).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg_12bit(img16, qtable=[1] * 64))
+    want = (img16 >> 4).astype(np.uint8)
+    assert out.shape == want.shape
+    # near-lossless at 12-bit, then truncated to the high 8 bits: the
+    # ±1-at-12-bit IDCT rounding can flip a truncation boundary
+    assert int(np.abs(out.astype(int) - want.astype(int)).max()) <= 1
