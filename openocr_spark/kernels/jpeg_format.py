@@ -184,13 +184,13 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
             pos -= 1 if marker == 0xFF else 0
             continue
         (seglen,) = struct.unpack_from(">H", data, pos)
-        if marker in (0xC0, 0xC2, 0xC3, 0xC9, 0xCA):
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             _prec, h, w, nc = struct.unpack_from(">BHHB", data, pos + 2)
             return h, w, nc
         if marker == 0xDA:
             break  # scan before SOF — malformed
         pos += seglen
-    raise NotImplementedError("JPEG: no SOF0/SOF2/SOF9/SOF10 header")
+    raise NotImplementedError("JPEG: no SOF0/SOF1/SOF2/SOF9/SOF10 header")
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -245,15 +245,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 n = sum(bits)
                 htables[(tc, th)] = _HuffTable(bits, body[b + 17 : b + 17 + n])
                 b += 17 + n
-        elif marker in (0xC0, 0xC2, 0xC3, 0xC9, 0xCA):
-            # SOF0 baseline / SOF2 progressive / SOF3 lossless /
-            # SOF9 arith-sequential / SOF10 arith-progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0 baseline / SOF1 extended sequential (identical decode
+            # process, 12-bit and 4-table ids allowed) / SOF2 progressive
+            # / SOF3 lossless / SOF9 arith-sequential / SOF10
+            # arith-progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if marker == 0xC3:
-                if not 2 <= prec <= 8:
+                if not 2 <= prec <= 16:
                     raise NotImplementedError(
-                        f"JPEG: lossless precision {prec} (2..8-bit only "
-                        "in this uint8 pipeline)"
+                        f"JPEG: lossless precision {prec} (T.81 allows 2..16)"
                     )
             elif prec not in (8, 12):
                 raise NotImplementedError(f"JPEG: {prec}-bit DCT precision")
@@ -277,11 +278,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 else:
                     conditioning[("ac", tb)] = v  # Kx
                 b += 2
-        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xCB):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "JPEG: baseline (SOF0), progressive (SOF2), lossless "
-                "(SOF3) and arithmetic (SOF9/SOF10) supported, got "
-                f"SOF{marker - 0xC0}"
+                "JPEG: sequential (SOF0/SOF1), progressive (SOF2), "
+                "lossless (SOF3) and arithmetic (SOF9/SOF10) supported, "
+                f"got SOF{marker - 0xC0}"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -351,12 +352,13 @@ def _decode_lossless_scan(
 ):
     """T.81 Annex H lossless process: per-sample Huffman-coded
     differences against one of the 7 spatial predictors, modulo-65536
-    reconstruction, point transform Pt. Sample-interleaved MCUs with
-    1×1 sampling (the only layout real lossless files use). Output
-    follows the module conventions: gray (1 comp) or RGB-stacked
-    (3 comps, components taken as direct color planes)."""
-    if restart_interval:
-        raise NotImplementedError("JPEG: lossless restart intervals")
+    reconstruction, point transform Pt, 2..16-bit precision (>8-bit
+    down-converts to uint8 by high-bits truncation, the 16-bit-PNG
+    convention), restart intervals (prediction resets to the default at
+    each RSTn, T.81 H.1.1). Sample-interleaved MCUs with 1×1 sampling
+    (the only layout real lossless files use). Output follows the
+    module conventions: gray (1 comp) or RGB-stacked (3 comps,
+    components taken as direct color planes)."""
     h, w = frame["h"], frame["w"]
     prec = frame["prec"]
     if any(c["h"] != 1 or c["v"] != 1 for c, _t, _a in scan):
@@ -366,13 +368,18 @@ def _decode_lossless_scan(
     planes = {c["id"]: np.zeros((h, w), np.int32) for c, _t, _a in scan}
     r = _BitReader(data, pos)
     default = 1 << (prec - 1 - pt)
+    unit = 0  # lossless MCU = one sample position across scan components
+    fresh = True  # next sample starts a scan/restart interval
     for y in range(h):
         for x in range(w):
+            if restart_interval and unit and unit % restart_interval == 0:
+                r.restart()
+                fresh = True
             for comp, td, _ta in scan:
                 t = _huff_decode(r, htables[(0, td)])
                 diff = 32768 if t == 16 else (_extend(r.bits(t), t) if t else 0)
                 p = planes[comp["id"]]
-                if y == 0 and x == 0:
+                if fresh:
                     px = default
                 elif y == 0:
                     px = int(p[0, x - 1])
@@ -388,10 +395,16 @@ def _decode_lossless_scan(
                         (a + b) >> 1,
                     )[predictor - 1]
                 p[y, x] = (px + diff) & 0xFFFF
+            fresh = False
+            unit += 1
     out = []
     for comp, _t, _a in scan:
         vals = (planes[comp["id"]] << pt).astype(np.int64)
-        out.append(np.clip(vals, 0, 255).astype(np.uint8))
+        if prec > 8:
+            out.append((np.clip(vals, 0, (1 << prec) - 1) >> (prec - 8))
+                       .astype(np.uint8))
+        else:
+            out.append(np.clip(vals, 0, 255).astype(np.uint8))
     if len(out) == 1:
         return out[0]
     if len(out) == 3:

@@ -224,11 +224,14 @@ def encode_jpeg(
     subsample: bool = False,
     restart_interval: int = 0,
     adobe_transform: int | None = None,
+    extended: bool = False,
 ) -> bytes:
     """img: (h, w) gray, (h, w, 3) RGB, or (h, w, 4) CMYK-ink uint8.
     qtable: 64 zigzag-order values (default Annex K.1); pass [1]*64 for
     a near-lossless round trip. subsample=True → 4:2:0 chroma (2×2
-    mean). adobe_transform: emit an APP14 marker (see _color_planes)."""
+    mean). adobe_transform: emit an APP14 marker (see _color_planes).
+    extended=True → SOF1 extended sequential (identical entropy layer;
+    the decode process is the same as baseline per T.81 Annex F)."""
     q = np.array(qtable if qtable is not None else K1, dtype=np.int32)
     h, w = img.shape[:2]
     planes, samps, app14 = _color_planes(img, subsample, adobe_transform)
@@ -280,7 +283,7 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for i, (sh, sv) in enumerate(samps):
         sof += bytes([i + 1, (sh << 4) | sv, 0])
-    head += _seg(0xC0, sof)
+    head += _seg(0xC1 if extended else 0xC0, sof)
     head += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
     head += _seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
     if restart_interval:
@@ -545,26 +548,53 @@ def encode_jpeg_progressive(
     return bytes(out)
 
 
+# lossless >8-bit: diff categories reach SSSS=16 (the +32768 special
+# case, no appended bits) — 17 symbols as canonical 5-bit codes
+L16_DC_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+L16_DC_VALS = list(range(17))
+
+
 def encode_jpeg_lossless(
-    img: np.ndarray, predictor: int = 4, pt: int = 0
+    img: np.ndarray,
+    predictor: int = 4,
+    pt: int = 0,
+    prec: int = 8,
+    restart_interval: int = 0,
 ) -> bytes:
     """T.81 Annex H lossless (SOF3): per-sample Huffman-coded
     differences against the selected spatial predictor (1-7), point
-    transform Pt, sample-interleaved 1×1 components. img: (h, w) gray
-    or (h, w, 3) RGB uint8 — decodes back bit-exactly."""
+    transform Pt, sample-interleaved 1×1 components, precision 2..16
+    (pass uint16 samples for prec > 8; diffs are coded modulo 2^16
+    with the SSSS=16 special case), restart intervals (prediction
+    resets to the default after each RSTn). img: (h, w) gray or
+    (h, w, 3) RGB — decodes back bit-exactly (high-bits-truncated to
+    uint8 by the package decoder when prec > 8)."""
     h, w = img.shape[:2]
     nch = 1 if img.ndim == 2 else img.shape[2]
     planes = [img] if nch == 1 else [img[:, :, i] for i in range(nch)]
     arrs = [p.astype(np.int64) >> pt for p in planes]
-    dc_c = _codes(DC_BITS, DC_VALS)
+    dc_bits, dc_vals = (
+        (L16_DC_BITS, L16_DC_VALS) if prec > 8 else (DC_BITS, DC_VALS)
+    )
+    dc_c = _codes(dc_bits, dc_vals)
+    chunks: list[bytes] = []
     wtr = _BitWriter()
-    prec = 8
     default = 1 << (prec - 1 - pt)
+    unit = 0
+    rst = 0
+    fresh = True
     for y in range(h):
         for x in range(w):
+            if restart_interval and unit and unit % restart_interval == 0:
+                wtr.pad()
+                chunks.append(bytes(wtr.buf))
+                chunks.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                wtr = _BitWriter()
+                fresh = True
             for arr in arrs:
                 s = int(arr[y, x])
-                if y == 0 and x == 0:
+                if fresh:
                     px = default
                 elif y == 0:
                     px = int(arr[0, x - 1])
@@ -579,24 +609,34 @@ def encode_jpeg_lossless(
                         a + ((b - c) >> 1), b + ((a - c) >> 1),
                         (a + b) >> 1,
                     )[predictor - 1]
-                diff = s - px
-                t = _category(diff)
-                wtr.write(*dc_c[t])
-                _enc_value(wtr, diff, t)
+                # modulo-2^16 reduction into [-32768, 32767]; -32768 is
+                # transmitted as SSSS=16 with no appended bits (H.1.2.1)
+                diff = ((s - px + 32768) & 0xFFFF) - 32768
+                if diff == -32768:
+                    wtr.write(*dc_c[16])
+                else:
+                    t = _category(diff)
+                    wtr.write(*dc_c[t])
+                    _enc_value(wtr, diff, t)
+            fresh = False
+            unit += 1
     wtr.pad()
+    chunks.append(bytes(wtr.buf))
 
     head = bytearray(b"\xff\xd8")
     sof = struct.pack(">BHHB", prec, h, w, nch)
     for i in range(nch):
         sof += bytes([i + 1, 0x11, 0])
     head += _seg(0xC3, sof)  # SOF3: lossless sequential Huffman
-    head += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    head += _seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    if restart_interval:
+        head += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nch])
     for i in range(nch):
         sos += bytes([i + 1, 0x00])
     sos += bytes([predictor, 0, pt])
     head += _seg(0xDA, sos)
-    return bytes(head) + bytes(wtr.buf) + b"\xff\xd9"
+    return bytes(head) + b"".join(chunks) + b"\xff\xd9"
 
 
 # 12-bit baseline: DC categories reach 12..15 (beyond the 8-bit K.3
@@ -632,7 +672,9 @@ def encode_jpeg_12bit(img16: np.ndarray, qtable: list[int] | None = None) -> byt
     wtr.pad()
     head = bytearray(b"\xff\xd8")
     head += _dqt_seg(q)
-    head += _seg(0xC0, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]))
+    # SOF1 extended sequential — the conforming marker for 12-bit
+    # Huffman sequential (T.81 B.2.2: baseline SOF0 is 8-bit only)
+    head += _seg(0xC1, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]))
     head += _seg(0xC4, bytes([0x00]) + bytes(dc_bits16) + bytes(dc_vals16))
     head += _seg(0xC4, bytes([0x10]) + bytes(P_AC_BITS) + bytes(P_AC_VALS))
     head += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))

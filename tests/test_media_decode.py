@@ -724,6 +724,56 @@ def test_jpeg_lossless_roundtrip():
     assert np.array_equal(page, _smooth(16, 24))
 
 
+def test_jpeg_lossless_restart_intervals():
+    """SOF3 with DRI: prediction resets to the default at each RSTn
+    (T.81 H.1.1) and the round trip stays bit-exact."""
+    from jpeg_ref_encoder import encode_jpeg_lossless
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, size=(11, 17)).astype(np.uint8)
+    for ri in (1, 5, 17, 40):
+        data = encode_jpeg_lossless(gray, predictor=4, restart_interval=ri)
+        assert b"\xff\xd0" in data  # at least one restart marker emitted
+        assert np.array_equal(decode_jpeg(data), gray), ri
+    rgb = rng.randint(0, 256, size=(9, 13, 3)).astype(np.uint8)
+    out = decode_jpeg(
+        encode_jpeg_lossless(rgb, predictor=7, restart_interval=10)
+    )
+    assert np.array_equal(out, rgb)
+
+
+def test_jpeg_lossless_high_precision():
+    """SOF3 at 12- and 16-bit precision: mod-2^16 diffs (incl. the
+    SSSS=16 +32768 special case), decoded with high-bits
+    down-conversion to uint8 — the 16-bit-PNG convention."""
+    from jpeg_ref_encoder import encode_jpeg_lossless
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    rng = np.random.RandomState(11)
+    img12 = rng.randint(0, 4096, size=(10, 15)).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg_lossless(img12, predictor=1, prec=12))
+    assert np.array_equal(out, (img12 >> 4).astype(np.uint8))
+
+    img16 = rng.randint(0, 65536, size=(12, 9)).astype(np.uint16)
+    for pred in (1, 4, 7):
+        out = decode_jpeg(encode_jpeg_lossless(img16, predictor=pred, prec=16))
+        assert np.array_equal(out, (img16 >> 8).astype(np.uint8)), pred
+
+    # force the SSSS=16 path: alternating 0 / 32768 columns make every
+    # horizontal-predictor diff exactly ±32768 ≡ 32768 (mod 2^16)
+    jump = np.zeros((6, 8), np.uint16)
+    jump[:, 1::2] = 32768
+    data = encode_jpeg_lossless(jump, predictor=1, prec=16)
+    assert np.array_equal(decode_jpeg(data), (jump >> 8).astype(np.uint8))
+
+    # 16-bit with restart intervals composes
+    out = decode_jpeg(
+        encode_jpeg_lossless(img16, predictor=4, prec=16, restart_interval=13)
+    )
+    assert np.array_equal(out, (img16 >> 8).astype(np.uint8))
+
+
 # --- progressive (SOF2): the test-side encoder emits a full successive-
 # approximation scan script (DC Al=1 + refine, AC band splits at Al=2,
 # AC refine 2->1->0, EOBn runs, two-buffer correction-bit ordering), so
@@ -1279,8 +1329,26 @@ def test_jpeg_arith_progressive_ycck():
     assert np.array_equal(huff, arith)
 
 
+def test_jpeg_sof1_extended_sequential():
+    """SOF1 extended sequential: identical decode process to baseline
+    (T.81 Annex F) — an SOF1 stream must decode byte-identical to the
+    SOF0 encoding of the same image."""
+    from jpeg_ref_encoder import encode_jpeg
+    from openocr_spark.kernels.jpeg_format import decode_jpeg, jpeg_dimensions
+
+    rng = np.random.RandomState(41)
+    rgb = rng.randint(0, 255, size=(20, 28, 3)).astype(np.uint8)
+    ext = encode_jpeg(rgb, qtable=[1] * 64, extended=True)
+    assert b"\xff\xc1" in ext and b"\xff\xc0" not in ext
+    assert jpeg_dimensions(ext) == (20, 28, 3)
+    assert np.array_equal(
+        decode_jpeg(ext), decode_jpeg(encode_jpeg(rgb, qtable=[1] * 64))
+    )
+
+
 def test_jpeg_12bit_precision():
-    """12-bit DCT precision (SOF0, level shift 2048, extended Huffman
+    """12-bit DCT precision (SOF1 extended sequential — the conforming
+    marker for 12-bit Huffman, level shift 2048, extended Huffman
     ranges): decodes with high-bits down-conversion to uint8 — the
     same convention as the 16-bit PNG path."""
     from jpeg_ref_encoder import encode_jpeg_12bit
