@@ -1722,6 +1722,121 @@ def q_preproc_targets(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "decode_roundtrip",
+    """
+    WITH pages AS (
+      SELECT doc_id, p.page_no,
+             8 + doc_id % 5 AS h, 12 + doc_id % 7 AS w,
+             doc_id + 1000 * p.page_no AS seed,
+             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'pdf' END AS fmt
+      FROM documents,
+           LATERAL (SELECT unnest(CASE WHEN doc_id % 2 = 0
+                                       THEN [0] ELSE [0, 1] END) AS page_no) p
+    )
+    SELECT pg.doc_id, pg.fmt, pg.page_no,
+           CAST(pg.h AS INT) AS height, CAST(pg.w AS INT) AS width,
+           CAST(SUM((xs.x + 3 * ys.y + pg.seed) % 256) AS BIGINT)
+             AS pixel_sum,
+           CAST(SUM(CASE WHEN (xs.x + 3 * ys.y + pg.seed) % 256 > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS nonzero_px
+    FROM pages pg,
+         LATERAL (SELECT unnest(range(pg.w)) AS x) xs,
+         LATERAL (SELECT unnest(range(pg.h)) AS y) ys
+    GROUP BY pg.doc_id, pg.fmt, pg.page_no, pg.h, pg.w
+    """,
+)
+def q_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """From-scratch codec path, hash-checked end-to-end (SURVEY S2/S3):
+    per doc a deterministic gradient image ((x + 3y + seed) mod 256,
+    dims seeded by doc_id) is ENCODED on executors with the package
+    write sinks — even doc_ids as PNG, odd as a TWO-page Flate PDF —
+    then pushed through the distributed `decode_media` 1→N explode and
+    integer-checksummed. The oracle never decodes anything: it
+    recomputes the checksums in closed form from the seed, so any
+    pixel-level defect in the PNG/Flate/PDF codecs or the page-explode
+    plumbing hash-mismatches. (The lossy-codec and exotic-mode matrix
+    is pinned by tests/test_media_decode.py against independent
+    test-side encoders; this query puts the lossless paths inside the
+    driver's correctness window.)"""
+    import numpy as np
+    import pandas as pd
+
+    from openocr_spark.kernels.media_decode import decode_media
+
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        from openocr_spark.kernels.media_decode import encode_png
+        from openocr_spark.kernels.pdf_format import encode_pdf
+
+        def img(seed: int, h: int, w: int) -> np.ndarray:
+            y, x = np.mgrid[0:h, 0:w]
+            return ((x + 3 * y + seed) % 256).astype(np.uint8)
+
+        for pdf in batches:
+            rows = []
+            for s in pdf["doc_id"]:
+                s = int(s)
+                h, w = 8 + s % 5, 12 + s % 7
+                content = (
+                    encode_png(img(s, h, w))
+                    if s % 2 == 0
+                    else encode_pdf([img(s, h, w), img(s + 1000, h, w)])
+                )
+                rows.append(
+                    {"doc_id": str(s), "media_ref": f"m{s}", "content": content}
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "content"]
+            )
+
+    media = docs.mapInPandas(
+        gen, schema="doc_id string, media_ref string, content binary"
+    )
+
+    def sums(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, page_no, h, w, buf in zip(
+                pdf["doc_id"], pdf["page_no"], pdf["height"],
+                pdf["width"], pdf["pixels"],
+            ):
+                px = np.frombuffer(bytes(buf), dtype=np.uint8)
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "page_no": int(page_no),
+                        "height": int(h),
+                        "width": int(w),
+                        "pixel_sum": int(px.astype(np.int64).sum()),
+                        "nonzero_px": int((px > 0).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "page_no", "height", "width",
+                    "pixel_sum", "nonzero_px",
+                ],
+            )
+
+    checks = decode_media(media).mapInPandas(
+        sums,
+        schema=(
+            "doc_id long, page_no int, height int, width int, "
+            "pixel_sum long, nonzero_px long"
+        ),
+    )
+    return checks.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("png"))
+        .otherwise(F.lit("pdf"))
+        .alias("fmt"),
+        "page_no", "height", "width", "pixel_sum", "nonzero_px",
+    )
+
+
+@q(
     "rec_metric_long",
     f"""
     SELECT COUNT(*) AS all_num,
