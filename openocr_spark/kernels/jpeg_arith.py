@@ -518,3 +518,132 @@ def progressive_arith_scan(
                 _prog_ac_refine(dec, stats.ac[ta], stats, arr[by, bx],
                                 ss, se, al)
             unit += 1
+
+
+# --- lossless arithmetic (SOF11, Annex H.2) ----------------------------
+#
+# The lossless statistical model is the sequential DC model expanded to
+# two dimensions (H.2.1): contexts are conditioned on the 5-category
+# classification (zero / ±small / ±large, per the DC conditioning bounds
+# L,U of F.1.4.4.1.1) of the differences already coded for the sample to
+# the LEFT (Da) and the sample ABOVE (Db). Statistics bank layout
+# (158 bins per DC table, Table H.1's accounting):
+#   0..99    25 (Da,Db) contexts × 4 decisions (S0, SS, SP, SN)
+#   100..128 magnitude ladder X1..X15 + bits M2..M15 (Mn = Xn + 14),
+#            used when Db is NOT in a large category
+#   129..157 second ladder + bits, used when Db IS large
+# Spatial prediction, modulo-65536 reconstruction, point transform and
+# restart semantics are identical to the Huffman lossless path (Annex
+# H.1 applies to both entropy modes; only the difference coding layer
+# changes). The first sample of the scan / of a restart interval is
+# coded with the default prediction and (Da, Db) = (zero, zero).
+
+_LL_SET0 = 100  # ladder when Db classification is zero/small
+_LL_SET1 = 129  # ladder when Db classification is large
+
+
+def _ll_classify(m: int, sign: int, L: int, U: int) -> int:
+    """Classification code for a decoded difference: 0 = zero,
+    1/2 = small +/−, 3/4 = large +/− (F.1.4.4.1.2 thresholds on the
+    magnitude-category base m)."""
+    if m < ((1 << L) >> 1):
+        return 0
+    if m > ((1 << U) >> 1):
+        return 3 + sign
+    return 1 + sign
+
+
+def decode_lossless_arith_scan(
+    data: bytes,
+    pos: int,
+    frame: dict,
+    scan: list[tuple[dict, int, int]],
+    restart_interval: int,
+    conditioning: dict,
+    predictor: int,
+    pt: int,
+) -> np.ndarray:
+    """T.81 Annex H.2 lossless arithmetic scan → assembled image
+    (same output conventions as jpeg_format._decode_lossless_scan:
+    bit-exact samples, >8-bit precision down-converted to uint8)."""
+    from openocr_spark.kernels.jpeg_format import lossless_output
+
+    h, w = frame["h"], frame["w"]
+    prec = frame["prec"]
+    if any(c["h"] != 1 or c["v"] != 1 for c, _t, _a in scan):
+        raise NotImplementedError("JPEG: subsampled lossless components")
+    if not 1 <= predictor <= 7:
+        raise NotImplementedError(f"JPEG: lossless predictor {predictor}")
+    planes = {c["id"]: np.zeros((h, w), np.int32) for c, _t, _a in scan}
+    cls = {c["id"]: np.zeros((h, w), np.uint8) for c, _t, _a in scan}
+    banks = {td: _ctx_bank(158) for _c, td, _a in scan}
+    conds = {td: conditioning.get(("dc", td), (0, 1)) for _c, td, _a in scan}
+    dec = ArithDecoder(data, pos)
+    default = 1 << (prec - 1 - pt)
+    unit = 0
+    fresh = True
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and unit and unit % restart_interval == 0:
+                dec.align_restart()
+                for bank in banks.values():
+                    for ctx in bank:
+                        ctx.idx = 0
+                        ctx.mps = 0
+                dec.__init__(data, dec.pos)
+                fresh = True
+            for comp, td, _ta in scan:
+                st = banks[td]
+                L, U = conds[td]
+                p = planes[comp["id"]]
+                cl = cls[comp["id"]]
+                da = 0 if (fresh or x == 0) else int(cl[y, x - 1])
+                db = 0 if (fresh or y == 0) else int(cl[y - 1, x])
+                base = 4 * (5 * da + db)
+                if dec.decode(st[base]) == 0:
+                    diff = 0
+                    cl[y, x] = 0
+                else:
+                    sign = dec.decode(st[base + 1])
+                    k = base + 2 + sign
+                    m = dec.decode(st[k])
+                    if m != 0:
+                        k = _LL_SET1 if db >= 3 else _LL_SET0
+                        while dec.decode(st[k]):
+                            m <<= 1
+                            if m == 0x8000:
+                                raise NotImplementedError(
+                                    "JPEG-arith: lossless magnitude overflow"
+                                )
+                            k += 1
+                    v = m
+                    bits_ctx = st[k + 14]  # unused when m < 2
+                    mm = m >> 1
+                    while mm:
+                        if dec.decode(bits_ctx):
+                            v |= mm
+                        mm >>= 1
+                    v += 1
+                    cl[y, x] = _ll_classify(m, sign, L, U)
+                    diff = -v if sign else v
+                if fresh:
+                    px = default
+                elif y == 0:
+                    px = int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    a = int(p[y, x - 1])
+                    b = int(p[y - 1, x])
+                    c = int(p[y - 1, x - 1])
+                    px = (
+                        a, b, c, a + b - c,
+                        a + ((b - c) >> 1), b + ((a - c) >> 1),
+                        (a + b) >> 1,
+                    )[predictor - 1]
+                p[y, x] = (px + diff) & 0xFFFF
+            fresh = False
+            unit += 1
+    return lossless_output(
+        [planes[comp["id"]] for comp, _t, _a in scan], prec, pt
+    )

@@ -27,11 +27,14 @@ decoded in BOTH modes (T.81 Annex D/F QM coder — kernels/jpeg_arith,
 r5): sequential SOF9 and progressive SOF10 (spectral selection +
 successive approximation over the shared coefficient store), including
 DAC conditioning and restart intervals; 16-bit (Pq=1) quantization
-tables parse. LOSSLESS sequential (SOF3, Annex H: the 7 spatial
-predictors + point transform, bit-exact) is decoded too, and 12-bit
-DCT precision decodes with high-bits down-conversion to uint8 (the
-16-bit-PNG convention). Hierarchical modes raise
-NotImplementedError.
+tables parse. LOSSLESS is decoded in BOTH entropy modes: Huffman SOF3
+(Annex H.1: the 7 spatial predictors + point transform, bit-exact, 2-
+to 16-bit precision) and arithmetic SOF11 (Annex H.2: the same
+prediction pipeline with differences QM-coded under the
+two-dimensional (Da, Db) conditioning model —
+jpeg_arith.decode_lossless_arith_scan). 12-bit DCT precision decodes
+with high-bits down-conversion to uint8 (the 16-bit-PNG convention).
+Hierarchical modes raise NotImplementedError.
 
 Decoding is exact per the spec's integer pipeline except IDCT rounding,
 which is float64 cosine transform + round-half-away — tests bound the
@@ -184,13 +187,13 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
             pos -= 1 if marker == 0xFF else 0
             continue
         (seglen,) = struct.unpack_from(">H", data, pos)
-        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             _prec, h, w, nc = struct.unpack_from(">BHHB", data, pos + 2)
             return h, w, nc
         if marker == 0xDA:
             break  # scan before SOF — malformed
         pos += seglen
-    raise NotImplementedError("JPEG: no SOF0/SOF1/SOF2/SOF9/SOF10 header")
+    raise NotImplementedError("JPEG: no non-hierarchical SOF header")
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -245,13 +248,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 n = sum(bits)
                 htables[(tc, th)] = _HuffTable(bits, body[b + 17 : b + 17 + n])
                 b += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             # SOF0 baseline / SOF1 extended sequential (identical decode
             # process, 12-bit and 4-table ids allowed) / SOF2 progressive
             # / SOF3 lossless / SOF9 arith-sequential / SOF10
-            # arith-progressive
+            # arith-progressive / SOF11 arith-lossless
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if marker == 0xC3:
+            if marker in (0xC3, 0xCB):
                 if not 2 <= prec <= 16:
                     raise NotImplementedError(
                         f"JPEG: lossless precision {prec} (T.81 allows 2..16)"
@@ -265,8 +268,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             frame = {
                 "h": h, "w": w, "comps": comps, "prec": prec,
                 "progressive": marker == 0xC2 or marker == 0xCA,
-                "arith": marker in (0xC9, 0xCA),
-                "lossless": marker == 0xC3,
+                "arith": marker in (0xC9, 0xCA, 0xCB),
+                "lossless": marker in (0xC3, 0xCB),
             }
         elif marker == 0xCC:  # DAC — arithmetic conditioning
             b = 0
@@ -278,11 +281,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 else:
                     conditioning[("ac", tb)] = v  # Kx
                 b += 2
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "JPEG: sequential (SOF0/SOF1), progressive (SOF2), "
-                "lossless (SOF3) and arithmetic (SOF9/SOF10) supported, "
-                f"got SOF{marker - 0xC0}"
+                "lossless (SOF3/SOF11) and arithmetic (SOF9/SOF10/SOF11) "
+                f"supported, got SOF{marker - 0xC0} (hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -303,6 +306,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             if frame.get("lossless"):
                 # Ss = predictor selector (1..7), Al = point transform
+                if frame.get("arith"):
+                    from openocr_spark.kernels.jpeg_arith import (
+                        decode_lossless_arith_scan,
+                    )
+
+                    return decode_lossless_arith_scan(
+                        data, pos + seglen, frame, scan, restart_interval,
+                        conditioning, ss, ahal & 0x0F,
+                    )
                 return _decode_lossless_scan(
                     data, pos + seglen, frame, scan, htables,
                     restart_interval, ss, ahal & 0x0F,
@@ -397,9 +409,18 @@ def _decode_lossless_scan(
                 p[y, x] = (px + diff) & 0xFFFF
             fresh = False
             unit += 1
+    return lossless_output(
+        [planes[comp["id"]] for comp, _t, _a in scan], prec, pt
+    )
+
+
+def lossless_output(raw_planes: list, prec: int, pt: int):
+    """Shared lossless output stage (Huffman SOF3 + arithmetic SOF11):
+    undo the point transform, down-convert >8-bit precision to uint8 by
+    high-bits truncation (the 16-bit-PNG convention), stack color."""
     out = []
-    for comp, _t, _a in scan:
-        vals = (planes[comp["id"]] << pt).astype(np.int64)
+    for plane in raw_planes:
+        vals = (plane.astype(np.int64)) << pt
         if prec > 8:
             out.append((np.clip(vals, 0, (1 << prec) - 1) >> (prec - 8))
                        .astype(np.uint8))

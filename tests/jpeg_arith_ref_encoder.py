@@ -491,3 +491,131 @@ def encode_jpeg_arith_progressive(
         out += ac_scan(ci, 1, 63, 1, 0)
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --- lossless arithmetic (SOF11, Annex H.2) encoder --------------------
+#
+# Same 158-bin statistics layout as the package decoder derives from
+# the spec (25 two-dimensional (Da, Db) contexts × 4 decisions, two
+# magnitude ladders selected by Db's classification), implemented here
+# in the ENCODE direction with this module's own QM byte-out pipeline.
+
+_LL_SET0 = 100
+_LL_SET1 = 129
+
+
+def _ll_cls(m: int, sign: int, L: int, U: int) -> int:
+    if m < ((1 << L) >> 1):
+        return 0
+    if m > ((1 << U) >> 1):
+        return 3 + sign
+    return 1 + sign
+
+
+def _encode_ll_diff(enc: ArithEncoder, st: list[_Ctx], da: int, db: int,
+                    diff: int, cond: tuple[int, int]) -> int:
+    """Encode one prediction difference; returns its classification
+    code for use as a future (Da, Db) context."""
+    L, U = cond
+    base = 4 * (5 * da + db)
+    if diff == 0:
+        enc.encode(st[base], 0)
+        return 0
+    enc.encode(st[base], 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(st[base + 1], sign)
+    v = (-diff if sign else diff) - 1
+    k = base + 2 + sign
+    m = 0
+    if v:
+        enc.encode(st[k], 1)
+        m = 1
+        v2 = v
+        k = _LL_SET1 if db >= 3 else _LL_SET0
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(st[k], 1)
+            m <<= 1
+            k += 1
+    enc.encode(st[k], 0)
+    bits_ctx = st[k + 14]
+    mm = m >> 1
+    while mm:
+        enc.encode(bits_ctx, 1 if (mm & v) else 0)
+        mm >>= 1
+    return _ll_cls(m, sign, L, U)
+
+
+def encode_jpeg_arith_lossless(
+    img: np.ndarray,
+    predictor: int = 4,
+    pt: int = 0,
+    prec: int = 8,
+    restart_interval: int = 0,
+    dc_cond: tuple[int, int] = (0, 1),
+) -> bytes:
+    """T.81 Annex H.2 lossless arithmetic (SOF11): the same spatial
+    prediction / modulo-2^16 difference pipeline as jpeg_ref_encoder.
+    encode_jpeg_lossless (diff == -32768 is coded as magnitude 32768,
+    which the mod-65536 reconstruction makes equivalent), with the
+    difference values arithmetic-coded under the two-dimensional
+    conditioning model. Decodes back bit-exactly."""
+    h, w = img.shape[:2]
+    nch = 1 if img.ndim == 2 else img.shape[2]
+    planes = [img] if nch == 1 else [img[:, :, i] for i in range(nch)]
+    arrs = [p.astype(np.int64) >> pt for p in planes]
+    cls = [np.zeros((h, w), np.uint8) for _ in range(nch)]
+    st = [_Ctx() for _ in range(158)]  # single DC table (id 0), shared
+    enc = ArithEncoder()
+    chunks: list[bytes] = []
+    default = 1 << (prec - 1 - pt)
+    unit = 0
+    rst = 0
+    fresh = True
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and unit and unit % restart_interval == 0:
+                chunks.append(enc.flush())
+                chunks.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                st = [_Ctx() for _ in range(158)]
+                fresh = True
+            for ci, arr in enumerate(arrs):
+                s = int(arr[y, x])
+                if fresh:
+                    px = default
+                elif y == 0:
+                    px = int(arr[0, x - 1])
+                elif x == 0:
+                    px = int(arr[y - 1, 0])
+                else:
+                    a = int(arr[y, x - 1])
+                    b = int(arr[y - 1, x])
+                    c = int(arr[y - 1, x - 1])
+                    px = (
+                        a, b, c, a + b - c,
+                        a + ((b - c) >> 1), b + ((a - c) >> 1),
+                        (a + b) >> 1,
+                    )[predictor - 1]
+                diff = ((s - px + 32768) & 0xFFFF) - 32768
+                da = 0 if (fresh or x == 0) else int(cls[ci][y, x - 1])
+                db = 0 if (fresh or y == 0) else int(cls[ci][y - 1, x])
+                cls[ci][y, x] = _encode_ll_diff(enc, st, da, db, diff, dc_cond)
+            fresh = False
+            unit += 1
+    chunks.append(enc.flush())
+
+    head = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", prec, h, w, nch)
+    for i in range(nch):
+        sof += bytes([i + 1, 0x11, 0])
+    head += _seg(0xCB, sof)  # SOF11: lossless arithmetic
+    head += _seg(0xCC, bytes([0x00, (dc_cond[1] << 4) | dc_cond[0]]))
+    if restart_interval:
+        head += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nch])
+    for i in range(nch):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    head += _seg(0xDA, sos)
+    return bytes(head) + b"".join(chunks) + b"\xff\xd9"

@@ -1364,3 +1364,96 @@ def test_jpeg_12bit_precision():
     # near-lossless at 12-bit, then truncated to the high 8 bits: the
     # ±1-at-12-bit IDCT rounding can flip a truncation boundary
     assert int(np.abs(out.astype(int) - want.astype(int)).max()) <= 1
+
+
+# --- lossless arithmetic (SOF11, Annex H.2) — r5 -----------------------
+
+
+def test_jpeg_arith_lossless_roundtrip():
+    """SOF11: BIT-EXACT round trip for every predictor (1-7), gray and
+    RGB, against the independent test-side Annex H.2 encoder (its own
+    QM byte-out and two-dimensional conditioning bookkeeping)."""
+    from jpeg_arith_ref_encoder import encode_jpeg_arith_lossless
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    rng = np.random.RandomState(23)
+    gray = rng.randint(0, 256, size=(21, 17)).astype(np.uint8)
+    for pred in range(1, 8):
+        out = decode_jpeg(encode_jpeg_arith_lossless(gray, predictor=pred))
+        assert np.array_equal(out, gray), f"predictor {pred}"
+
+    rgb = rng.randint(0, 256, size=(13, 19, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_arith_lossless(rgb, predictor=7))
+    assert out.shape == (13, 19, 3)
+    assert np.array_equal(out, rgb)
+
+    # point transform drops the low bits before prediction
+    out = decode_jpeg(encode_jpeg_arith_lossless(gray, predictor=1, pt=2))
+    assert np.array_equal(out, (gray >> 2) << 2)
+
+    # smooth content: the adaptive model must actually compress (the
+    # conditioning contexts converge), unlike the random image above
+    smooth = np.add.outer(np.arange(32), np.arange(48) // 3).astype(np.uint8)
+    data = encode_jpeg_arith_lossless(smooth, predictor=4)
+    assert len(data) < smooth.size // 2
+    assert np.array_equal(decode_jpeg(data), smooth)
+
+
+def test_jpeg_arith_lossless_restart_conditioning_dispatch():
+    """SOF11 composes with restart intervals (coder + statistics reset,
+    prediction and contexts fresh at the interval head), non-default
+    DAC (L, U) conditioning, and routes through the magic-sniffed
+    decode_bytes dispatcher."""
+    from jpeg_arith_ref_encoder import encode_jpeg_arith_lossless
+    from openocr_spark.kernels.jpeg_format import decode_jpeg, jpeg_dimensions
+    from openocr_spark.kernels.media_decode import decode_bytes
+
+    rng = np.random.RandomState(29)
+    gray = rng.randint(0, 256, size=(14, 23)).astype(np.uint8)
+    for ri in (7, 23):  # mid-row and row-straddling intervals
+        data = encode_jpeg_arith_lossless(gray, predictor=4, restart_interval=ri)
+        assert np.array_equal(decode_jpeg(data), gray), ri
+
+    data = encode_jpeg_arith_lossless(gray, predictor=6, dc_cond=(1, 3))
+    assert np.array_equal(decode_jpeg(data), gray)
+    assert jpeg_dimensions(data) == (14, 23, 1)
+
+    # decode_bytes normalizes color pages to BT.601 luma — compare
+    # against the luma of the (bit-exactly recovered) RGB samples
+    from openocr_spark.kernels.media_decode import _luma
+
+    rgb = rng.randint(0, 256, size=(9, 9, 3)).astype(np.uint8)
+    (page,) = decode_bytes(
+        encode_jpeg_arith_lossless(rgb, predictor=4, restart_interval=5)
+    )
+    assert np.array_equal(
+        page, _luma(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
+    )
+
+
+def test_jpeg_arith_lossless_high_precision():
+    """SOF11 at 16-bit precision: mod-2^16 differences (the ±32768
+    fold coded as magnitude 32768 — the deepest magnitude ladder
+    rung), high-bits down-conversion on output."""
+    from jpeg_arith_ref_encoder import encode_jpeg_arith_lossless
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    rng = np.random.RandomState(31)
+    img16 = rng.randint(0, 65536, size=(12, 9)).astype(np.uint16)
+    for pred in (1, 4, 7):
+        out = decode_jpeg(
+            encode_jpeg_arith_lossless(img16, predictor=pred, prec=16)
+        )
+        assert np.array_equal(out, (img16 >> 8).astype(np.uint8)), pred
+
+    # alternating 0 / 32768 columns force |diff| = 32768 every sample
+    jump = np.zeros((6, 8), np.uint16)
+    jump[:, 1::2] = 32768
+    data = encode_jpeg_arith_lossless(jump, predictor=1, prec=16)
+    assert np.array_equal(decode_jpeg(data), (jump >> 8).astype(np.uint8))
+
+    out = decode_jpeg(
+        encode_jpeg_arith_lossless(img16, predictor=4, prec=16,
+                                   restart_interval=13)
+    )
+    assert np.array_equal(out, (img16 >> 8).astype(np.uint8))
