@@ -84,11 +84,12 @@ def _build_real_media(spark, n_media: int, media_dir: str) -> None:
     try:
         sys.path.insert(0, os.path.join(ROOT, "tests"))
         from jpeg_arith_ref_encoder import encode_jpeg_arith
+        from jpeg_hier_ref_encoder import encode_jpeg_hierarchical
         from jpeg_ref_encoder import encode_jpeg
     except ImportError:
-        encode_jpeg = encode_jpeg_arith = None
+        encode_jpeg = encode_jpeg_arith = encode_jpeg_hierarchical = None
 
-    K = 50
+    K = 48  # divisible by the 6-format cycle
     variants: list[bytes] = []
     for k in range(K):
         x, y = np.meshgrid(np.arange(160), np.arange(96))
@@ -97,7 +98,7 @@ def _build_real_media(spark, n_media: int, media_dir: str) -> None:
             .clip(0, 255)
             .astype(np.uint8)
         )
-        fmt = k % 5
+        fmt = k % 6
         if fmt == 0:
             variants.append(encode_png(img))
         elif fmt == 1:
@@ -108,6 +109,11 @@ def _build_real_media(spark, n_media: int, media_dir: str) -> None:
             variants.append(encode_pdf([encode_jpeg(img)]))
         elif fmt == 4 and encode_jpeg_arith is not None:
             variants.append(encode_jpeg_arith(img))
+        elif fmt == 5 and encode_jpeg_hierarchical is not None:
+            # hierarchical pyramid: DCT base + lossless correction
+            variants.append(encode_jpeg_hierarchical(
+                img, [{"kind": "dct"}, {"kind": "lossless"}]
+            ))
         else:
             variants.append(encode_png(img) if fmt % 2 == 0 else encode_pdf([img]))
     import pandas as pd

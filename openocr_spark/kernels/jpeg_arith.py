@@ -314,6 +314,10 @@ def decode_arith_scan(
         comp["tq_ac_tbl"] = ta
     stats = _Stats([c for c, _t, _a in scan])
     dec = ArithDecoder(data, pos)
+    # differential frames (hierarchical): DC coded directly (PRED = 0),
+    # no level shift — the decoded block is a difference plane
+    diff_frame = bool(frame.get("differential"))
+    shift = 0.0 if diff_frame else float(1 << (frame["prec"] - 1))
     mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -331,18 +335,21 @@ def decode_arith_scan(
                         diff = _decode_dc(
                             dec, stats.dc[td], stats, comp["id"], dc_cond
                         )
-                        stats.pred[comp["id"]] += diff
-                        zz[0] = stats.pred[comp["id"]]
+                        if diff_frame:
+                            zz[0] = diff
+                        else:
+                            stats.pred[comp["id"]] += diff
+                            zz[0] = stats.pred[comp["id"]]
                         _decode_ac(dec, stats.ac[ta], stats, kx, zz)
                         coef = np.zeros(64, np.float64)
                         coef[ZIGZAG] = zz * q
-                        block = idct_8x8(coef.reshape(8, 8)) + float(
-                            1 << (frame["prec"] - 1)
-                        )
+                        block = idct_8x8(coef.reshape(8, 8)) + shift
                         y0 = (my * comp["v"] + by) * 8
                         x0 = (mx * comp["h"] + bx) * 8
                         planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
+    if frame.get("_raw_planes"):
+        return planes
     return _assemble(planes, frame)
 
 
@@ -477,8 +484,11 @@ def progressive_arith_scan(
                                         dec, stats.dc[td], stats, cid,
                                         conditioning.get(("dc", td), (0, 1)),
                                     )
-                                    stats.pred[cid] += diff
-                                    blk[0] = stats.pred[cid] << al
+                                    if frame.get("differential"):
+                                        blk[0] = diff << al
+                                    else:
+                                        stats.pred[cid] += diff
+                                        blk[0] = stats.pred[cid] << al
                                 elif dec.decode(stats.fixed):
                                     blk[0] |= 1 << al
                     unit += 1
@@ -495,8 +505,11 @@ def progressive_arith_scan(
                             dec, stats.dc[td], stats, cid,
                             conditioning.get(("dc", td), (0, 1)),
                         )
-                        stats.pred[cid] += diff
-                        blk[0] = stats.pred[cid] << al
+                        if frame.get("differential"):
+                            blk[0] = diff << al
+                        else:
+                            stats.pred[cid] += diff
+                            blk[0] = stats.pred[cid] << al
                     elif dec.decode(stats.fixed):
                         blk[0] |= 1 << al
                     unit += 1
@@ -572,7 +585,19 @@ def decode_lossless_arith_scan(
     prec = frame["prec"]
     if any(c["h"] != 1 or c["v"] != 1 for c, _t, _a in scan):
         raise NotImplementedError("JPEG: subsampled lossless components")
-    if not 1 <= predictor <= 7:
+    # differential frames (SOF15, hierarchical): Ss = 0 — no spatial
+    # prediction; the coded values ARE the differences vs the reference
+    diff_frame = bool(frame.get("differential"))
+    if diff_frame:
+        if predictor != 0:
+            raise NotImplementedError(
+                "JPEG: differential lossless scan requires Ss = 0"
+            )
+        if pt != 0:
+            raise NotImplementedError(
+                "JPEG: point transform in differential lossless scan"
+            )
+    elif not 1 <= predictor <= 7:
         raise NotImplementedError(f"JPEG: lossless predictor {predictor}")
     planes = {c["id"]: np.zeros((h, w), np.int32) for c, _t, _a in scan}
     cls = {c["id"]: np.zeros((h, w), np.uint8) for c, _t, _a in scan}
@@ -626,7 +651,9 @@ def decode_lossless_arith_scan(
                     v += 1
                     cl[y, x] = _ll_classify(m, sign, L, U)
                     diff = -v if sign else v
-                if fresh:
+                if diff_frame:
+                    px = 0
+                elif fresh:
                     px = default
                 elif y == 0:
                     px = int(p[0, x - 1])
@@ -644,6 +671,8 @@ def decode_lossless_arith_scan(
                 p[y, x] = (px + diff) & 0xFFFF
             fresh = False
             unit += 1
+    if frame.get("_raw_planes"):
+        return planes
     return lossless_output(
         [planes[comp["id"]] for comp, _t, _a in scan], prec, pt
     )

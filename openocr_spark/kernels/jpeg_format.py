@@ -34,7 +34,12 @@ prediction pipeline with differences QM-coded under the
 two-dimensional (Da, Db) conditioning model —
 jpeg_arith.decode_lossless_arith_scan). 12-bit DCT precision decodes
 with high-bits down-conversion to uint8 (the 16-bit-PNG convention).
-Hierarchical modes raise NotImplementedError.
+HIERARCHICAL mode (T.81 Annex J, late-r5) is decoded too: DHP opens
+the pyramid, EXP expands the reference components (J.1.1.2
+interpolation), and differential frames — SOF5/6/7 Huffman,
+SOF13/14/15 arithmetic — fold into the running reference (PRED = 0
+DC coding, no level shift, clamped add for DCT frames, mod-2^16 add
+for lossless frames), so every T.81 frame type now decodes.
 
 Decoding is exact per the spec's integer pipeline except IDCT rounding,
 which is float64 cosine transform + round-half-away — tests bound the
@@ -187,7 +192,9 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
             pos -= 1 if marker == 0xFF else 0
             continue
         (seglen,) = struct.unpack_from(">H", data, pos)
-        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB, 0xDE):
+            # any non-differential SOF — or DHP, which carries the
+            # full-resolution dims of a hierarchical stream
             _prec, h, w, nc = struct.unpack_from(">BHHB", data, pos + 2)
             return h, w, nc
         if marker == 0xDA:
@@ -197,11 +204,12 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """JPEG (baseline SOF0 or progressive SOF2) → uint8 array: (h, w)
-    for grayscale, (h, w, 3) RGB for YCbCr / Adobe-RGB / CMYK / YCCK
-    (see module docstring for the APP14 conventions). Raises
-    NotImplementedError for arithmetic-coded / hierarchical / 12-bit
-    streams."""
+    """JPEG → uint8 array: (h, w) for grayscale, (h, w, 3) RGB for
+    YCbCr / Adobe-RGB / CMYK / YCCK (see module docstring for the
+    APP14 conventions). Decodes every T.81 frame type: sequential /
+    progressive / lossless, Huffman or arithmetic entropy coding,
+    non-differential or hierarchical (DHP/EXP + differential frames).
+    Raises NotImplementedError on malformed streams."""
     if data[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG (no SOI)")
     pos = 2
@@ -212,6 +220,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     adobe: int | None = None  # APP14 color-transform flag
     conditioning: dict = {}  # DAC: ("dc",tb)->(L,U) / ("ac",tb)->Kx
     coef_store: dict[int, np.ndarray] | None = None  # progressive only
+    hier: dict | None = None  # Annex J state: full dims + reference comps
+    pending_exp: tuple[int, int] | None = None  # EXP before the next SOF
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise NotImplementedError("JPEG: marker expected")
@@ -248,13 +258,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 n = sum(bits)
                 htables[(tc, th)] = _HuffTable(bits, body[b + 17 : b + 17 + n])
                 b += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
-            # SOF0 baseline / SOF1 extended sequential (identical decode
-            # process, 12-bit and 4-table ids allowed) / SOF2 progressive
-            # / SOF3 lossless / SOF9 arith-sequential / SOF10
-            # arith-progressive / SOF11 arith-lossless
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB,
+                        0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF, 0xDE):
+            # Non-differential: SOF0 baseline / SOF1 extended sequential
+            # (identical decode process, 12-bit and 4-table ids allowed)
+            # / SOF2 progressive / SOF3 lossless / SOF9 arith-sequential
+            # / SOF10 arith-progressive / SOF11 arith-lossless.
+            # Differential (hierarchical frames only): SOF5/6/7 Huffman,
+            # SOF13/14/15 arithmetic. 0xDE is DHP — same segment syntax,
+            # opens hierarchical mode with the full-resolution dims.
+            if hier is not None and coef_store is not None:
+                # a new frame header closes the previous (progressive)
+                # hierarchical frame: reconstruct and fold it now
+                _hier_fold(
+                    hier, frame, _progressive_planes(frame, qtables, coef_store)
+                )
+                coef_store = None
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if marker in (0xC3, 0xCB):
+            lossless = marker in (0xC3, 0xC7, 0xCB, 0xCF)
+            differential = marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF)
+            if lossless or marker == 0xDE:
                 if not 2 <= prec <= 16:
                     raise NotImplementedError(
                         f"JPEG: lossless precision {prec} (T.81 allows 2..16)"
@@ -265,12 +288,38 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            if marker == 0xDE:  # DHP
+                if hier is not None:
+                    raise NotImplementedError("JPEG: second DHP segment")
+                hier = {"h": h, "w": w, "prec": prec, "ref": {},
+                        "nframes": 0}
+                pos += seglen
+                continue
+            if differential and hier is None:
+                raise NotImplementedError(
+                    "JPEG: differential frame outside hierarchical mode"
+                )
             frame = {
                 "h": h, "w": w, "comps": comps, "prec": prec,
-                "progressive": marker == 0xC2 or marker == 0xCA,
-                "arith": marker in (0xC9, 0xCA, 0xCB),
-                "lossless": marker in (0xC3, 0xCB),
+                "progressive": marker in (0xC2, 0xC6, 0xCA, 0xCE),
+                "arith": marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF),
+                "lossless": lossless,
+                "differential": differential,
             }
+            if hier is not None:
+                if not differential and hier["nframes"]:
+                    raise NotImplementedError(
+                        "JPEG: non-differential frame after the first "
+                        "hierarchical frame"
+                    )
+                if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+                    raise NotImplementedError(
+                        "JPEG: subsampled hierarchical frame components "
+                        "(resolution levels carry the scaling)"
+                    )
+                frame["exp"] = pending_exp
+                pending_exp = None
+                frame["_raw_planes"] = True
         elif marker == 0xCC:  # DAC — arithmetic conditioning
             b = 0
             while b + 1 < len(body):
@@ -281,12 +330,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 else:
                     conditioning[("ac", tb)] = v  # Kx
                 b += 2
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                "JPEG: sequential (SOF0/SOF1), progressive (SOF2), "
-                "lossless (SOF3/SOF11) and arithmetic (SOF9/SOF10/SOF11) "
-                f"supported, got SOF{marker - 0xC0} (hierarchical)"
-            )
+        elif marker == 0xDF:  # EXP — expand reference before next frame
+            pending_exp = (body[0] >> 4, body[0] & 0x0F)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xEE:  # APP14 — Adobe color-transform marker
@@ -304,55 +349,77 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            out = None
             if frame.get("lossless"):
-                # Ss = predictor selector (1..7), Al = point transform
+                # Ss = predictor selector (1..7; 0 in differential
+                # frames), Al = point transform
+                if hier is not None and (ahal & 0x0F) != 0:
+                    raise NotImplementedError(
+                        "JPEG: point transform in hierarchical lossless scan"
+                    )
                 if frame.get("arith"):
                     from openocr_spark.kernels.jpeg_arith import (
                         decode_lossless_arith_scan,
                     )
 
-                    return decode_lossless_arith_scan(
+                    out = decode_lossless_arith_scan(
                         data, pos + seglen, frame, scan, restart_interval,
                         conditioning, ss, ahal & 0x0F,
                     )
-                return _decode_lossless_scan(
-                    data, pos + seglen, frame, scan, htables,
-                    restart_interval, ss, ahal & 0x0F,
+                else:
+                    out = _decode_lossless_scan(
+                        data, pos + seglen, frame, scan, htables,
+                        restart_interval, ss, ahal & 0x0F,
+                    )
+            elif frame.get("arith") and frame["progressive"]:
+                from openocr_spark.kernels.jpeg_arith import (
+                    progressive_arith_scan,
                 )
-            if frame.get("arith"):
-                if frame["progressive"]:
-                    from openocr_spark.kernels.jpeg_arith import (
-                        progressive_arith_scan,
-                    )
 
-                    if coef_store is None:
-                        coef_store = _alloc_coef_store(frame)
-                    progressive_arith_scan(
-                        data, pos + seglen, frame, scan, restart_interval,
-                        conditioning, ss, se, ahal >> 4, ahal & 0x0F,
-                        coef_store,
-                    )
-                    pos = _next_marker(data, pos + seglen)
-                    continue
+                if coef_store is None:
+                    coef_store = _alloc_coef_store(frame)
+                progressive_arith_scan(
+                    data, pos + seglen, frame, scan, restart_interval,
+                    conditioning, ss, se, ahal >> 4, ahal & 0x0F,
+                    coef_store,
+                )
+                pos = _next_marker(data, pos + seglen)
+                continue
+            elif frame.get("arith"):
                 from openocr_spark.kernels.jpeg_arith import decode_arith_scan
 
-                return decode_arith_scan(
+                out = decode_arith_scan(
                     data, pos + seglen, frame, scan, qtables,
                     restart_interval, conditioning,
                 )
-            if not frame["progressive"]:
-                return _decode_scan(
-                    data, pos + seglen, frame, scan, qtables, htables, restart_interval
+            elif not frame["progressive"]:
+                out = _decode_scan(
+                    data, pos + seglen, frame, scan, qtables, htables,
+                    restart_interval,
                 )
-            if coef_store is None:
-                coef_store = _alloc_coef_store(frame)
-            _progressive_scan(
-                data, pos + seglen, frame, scan, htables, restart_interval,
-                ss, se, ahal >> 4, ahal & 0x0F, coef_store,
-            )
+            else:
+                if coef_store is None:
+                    coef_store = _alloc_coef_store(frame)
+                _progressive_scan(
+                    data, pos + seglen, frame, scan, htables, restart_interval,
+                    ss, se, ahal >> 4, ahal & 0x0F, coef_store,
+                )
+                pos = _next_marker(data, pos + seglen)
+                continue
+            if hier is None:
+                return out  # single-frame stream: out is the image
+            _hier_fold(hier, frame, out)  # raw per-component planes
             pos = _next_marker(data, pos + seglen)
             continue
         pos += seglen
+    if hier is not None:
+        if coef_store is not None:  # progressive final frame ends at EOI
+            _hier_fold(
+                hier, frame, _progressive_planes(frame, qtables, coef_store)
+            )
+        if frame is None or not hier["ref"]:
+            raise NotImplementedError("JPEG: hierarchical stream with no frames")
+        return _hier_assemble(hier, frame, adobe)
     if coef_store is not None:
         frame["adobe"] = adobe
         return _progressive_reconstruct(frame, qtables, coef_store)
@@ -375,7 +442,19 @@ def _decode_lossless_scan(
     prec = frame["prec"]
     if any(c["h"] != 1 or c["v"] != 1 for c, _t, _a in scan):
         raise NotImplementedError("JPEG: subsampled lossless components")
-    if not 1 <= predictor <= 7:
+    # differential frames (hierarchical): Ss = 0 — no spatial
+    # prediction, the coded values ARE the differences vs the reference
+    diff_frame = bool(frame.get("differential"))
+    if diff_frame:
+        if predictor != 0:
+            raise NotImplementedError(
+                "JPEG: differential lossless scan requires Ss = 0"
+            )
+        if pt != 0:
+            raise NotImplementedError(
+                "JPEG: point transform in differential lossless scan"
+            )
+    elif not 1 <= predictor <= 7:
         raise NotImplementedError(f"JPEG: lossless predictor {predictor}")
     planes = {c["id"]: np.zeros((h, w), np.int32) for c, _t, _a in scan}
     r = _BitReader(data, pos)
@@ -391,7 +470,9 @@ def _decode_lossless_scan(
                 t = _huff_decode(r, htables[(0, td)])
                 diff = 32768 if t == 16 else (_extend(r.bits(t), t) if t else 0)
                 p = planes[comp["id"]]
-                if fresh:
+                if diff_frame:
+                    px = 0
+                elif fresh:
                     px = default
                 elif y == 0:
                     px = int(p[0, x - 1])
@@ -409,6 +490,8 @@ def _decode_lossless_scan(
                 p[y, x] = (px + diff) & 0xFFFF
             fresh = False
             unit += 1
+    if frame.get("_raw_planes"):
+        return planes
     return lossless_output(
         [planes[comp["id"]] for comp, _t, _a in scan], prec, pt
     )
@@ -435,6 +518,99 @@ def lossless_output(raw_planes: list, prec: int, pt: int):
     )
 
 
+# --- hierarchical mode (Annex J: DHP / EXP / differential frames) ------
+
+
+def _exp_upsample(p: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """J.1.1.2 reference-component expansion: output even samples copy
+    the input, odd samples are the rounded mean of the two neighbours,
+    the final odd sample replicates the edge. Doubles each expanded
+    dimension exactly (the next frame header crops to its own dims)."""
+    p = np.asarray(p, np.int64)
+    if eh:
+        q = np.empty((p.shape[0], 2 * p.shape[1]), np.int64)
+        q[:, 0::2] = p
+        if p.shape[1] > 1:
+            q[:, 1:-1:2] = (p[:, :-1] + p[:, 1:] + 1) >> 1
+        q[:, -1] = p[:, -1]
+        p = q
+    if ev:
+        q = np.empty((2 * p.shape[0], p.shape[1]), np.int64)
+        q[0::2, :] = p
+        if p.shape[0] > 1:
+            q[1:-1:2, :] = (p[:-1, :] + p[1:, :] + 1) >> 1
+        q[-1, :] = p[-1, :]
+        p = q
+    return p
+
+
+def _hier_fold(hier: dict, frame: dict, planes: dict) -> None:
+    """Fold one hierarchical frame's decoded planes into the running
+    reference components: apply the frame's pending EXP expansion to
+    the references, then replace (non-differential first frame) or add
+    (differential: clamped to the sample range for DCT frames,
+    modulo-2^16 for lossless frames — T.81 J.1)."""
+    fh, fw = frame["h"], frame["w"]
+    exp = frame.get("exp")
+    if exp:
+        eh, ev = exp
+        for cid in hier["ref"]:
+            hier["ref"][cid] = _exp_upsample(hier["ref"][cid], eh, ev)
+    mx = (1 << frame["prec"]) - 1
+    for c in frame["comps"]:
+        cid = c["id"]
+        if cid not in planes:
+            continue  # component not in this frame's scans
+        p = np.asarray(planes[cid])
+        if frame.get("lossless"):
+            newp = p.astype(np.int64)[:fh, :fw]
+        else:
+            newp = np.round(p.astype(np.float64)[:fh, :fw]).astype(np.int64)
+        if not frame.get("differential"):
+            hier["ref"][cid] = (
+                newp & 0xFFFF if frame.get("lossless")
+                else np.clip(newp, 0, mx)
+            )
+            continue
+        ref = hier["ref"].get(cid)
+        if ref is None:
+            raise NotImplementedError(
+                "JPEG: differential frame for a component with no reference"
+            )
+        if ref.shape[0] < fh or ref.shape[1] < fw:
+            raise NotImplementedError(
+                "JPEG: reference smaller than differential frame "
+                "(missing EXP segment?)"
+            )
+        ref = ref[:fh, :fw]
+        if frame.get("lossless"):
+            hier["ref"][cid] = (ref + newp) & 0xFFFF
+        else:
+            hier["ref"][cid] = np.clip(ref + newp, 0, mx)
+    hier["nframes"] += 1
+
+
+def _hier_assemble(hier: dict, frame: dict, adobe) -> np.ndarray:
+    """Final hierarchical output: the accumulated full-resolution
+    reference components through the shared crop/color stage (all
+    hierarchical components are 1×1-sampled — resolution differences
+    live in the frame dims per level, not in sampling factors). A
+    pyramid whose FINAL frame is lossless carries direct color planes
+    (the lossless convention of this module); DCT-final pyramids go
+    through the DCT color transform selected by comps + APP14."""
+    order = [c["id"] for c in frame["comps"]]
+    if frame.get("lossless"):
+        return lossless_output([hier["ref"][cid] for cid in order],
+                               hier["prec"], 0)
+    out_frame = {
+        "h": hier["h"], "w": hier["w"], "prec": hier["prec"],
+        "comps": [dict(c, h=1, v=1) for c in frame["comps"]],
+        "adobe": adobe,
+    }
+    planes = {cid: p.astype(np.float64) for cid, p in hier["ref"].items()}
+    return _assemble(planes, out_frame)
+
+
 def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     hmax = max(c["h"] for c in comps)
@@ -448,6 +624,10 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
     }
     r = _BitReader(data, pos)
     pred = {c["id"]: 0 for c in comps}
+    # differential frames (hierarchical mode) code DC directly
+    # (PRED = 0) and omit the level shift — the block IS a difference
+    diff_frame = bool(frame.get("differential"))
+    shift = 0.0 if diff_frame else float(1 << (frame["prec"] - 1))
     mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -461,8 +641,11 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                         zz = np.zeros(64, np.int32)
                         t = _huff_decode(r, htables[(0, td)])
                         diff = _extend(r.bits(t), t) if t else 0
-                        pred[comp["id"]] += diff
-                        zz[0] = pred[comp["id"]]
+                        if diff_frame:
+                            zz[0] = diff
+                        else:
+                            pred[comp["id"]] += diff
+                            zz[0] = pred[comp["id"]]
                         k = 1
                         while k < 64:
                             rs = _huff_decode(r, htables[(1, ta)])
@@ -479,13 +662,13 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                             k += 1
                         coef = np.zeros(64, np.float64)
                         coef[ZIGZAG] = zz * q
-                        block = idct_8x8(coef.reshape(8, 8)) + float(
-                            1 << (frame["prec"] - 1)
-                        )
+                        block = idct_8x8(coef.reshape(8, 8)) + shift
                         y0 = (my * comp["v"] + by) * 8
                         x0 = (mx * comp["h"] + bx) * 8
                         planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
+    if frame.get("_raw_planes"):
+        return planes
     return _assemble(planes, frame)
 
 
@@ -701,6 +884,9 @@ def _progressive_scan(data, pos, frame, scan, htables, restart_interval,
     comps = frame["comps"]
     r = _BitReader(data, pos)
     pred = {c["id"]: 0 for c in comps}
+    # differential frames: DC coded directly (PRED = 0) — zeroing the
+    # predictor after every block makes _dc_prog store the raw value
+    diff_frame = bool(frame.get("differential"))
     eobrun = 0
     unit = 0  # restart counting: MCUs (interleaved) or blocks
 
@@ -728,6 +914,8 @@ def _progressive_scan(data, pos, frame, scan, htables, restart_interval,
                             for bx in range(comp["h"]):
                                 blk = store[cid][my * comp["v"] + by, mx * comp["h"] + bx]
                                 _dc_prog(r, blk, htables.get((0, td)), ah, al, pred, cid)
+                                if diff_frame:
+                                    pred[cid] = 0
                     unit += 1
         else:
             comp, td, _ta = scan[0]
@@ -737,6 +925,8 @@ def _progressive_scan(data, pos, frame, scan, htables, restart_interval,
                     maybe_restart()
                     _dc_prog(r, store[comp["id"]][by, bx], htables.get((0, td)),
                              ah, al, pred, comp["id"])
+                    if diff_frame:
+                        pred[comp["id"]] = 0
                     unit += 1
         return
 
@@ -755,9 +945,13 @@ def _progressive_scan(data, pos, frame, scan, htables, restart_interval,
             unit += 1
 
 
-def _progressive_reconstruct(frame, qtables, store) -> np.ndarray:
+def _progressive_planes(frame, qtables, store) -> dict:
     """Dequantize the accumulated coefficient store, batch-IDCT every
-    block (one einsum pair per component), assemble like baseline."""
+    block (one einsum pair per component) → per-component sample
+    planes (level-shifted unless the frame is differential)."""
+    shift = 0.0 if frame.get("differential") else float(
+        1 << (frame["prec"] - 1)
+    )
     planes = {}
     for c in frame["comps"]:
         q = qtables[c["tq"]].astype(np.int64)
@@ -767,6 +961,10 @@ def _progressive_reconstruct(frame, qtables, store) -> np.ndarray:
         coef[..., ZIGZAG] = zz
         blocks = np.einsum(
             "ij,abjk,kl->abil", _A.T, coef.reshape(bh, bw, 8, 8), _A
-        ) + float(1 << (frame["prec"] - 1))
+        ) + shift
         planes[c["id"]] = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-    return _assemble(planes, frame)
+    return planes
+
+
+def _progressive_reconstruct(frame, qtables, store) -> np.ndarray:
+    return _assemble(_progressive_planes(frame, qtables, store), frame)

@@ -188,6 +188,15 @@ def main() -> None:
         )
         print(f"[codecs]    arithmetic (SOF9) == Huffman decode: {same}")
 
+        # hierarchical (Annex J): lossy DCT base + lossless correction
+        # frame reconstructs the source bit-exactly
+        from jpeg_hier_ref_encoder import encode_jpeg_hierarchical
+
+        hexact = bool((_dj(encode_jpeg_hierarchical(
+            img, [{"kind": "dct"}, {"kind": "lossless"}]
+        )) == img).all())
+        print(f"[codecs]    hierarchical DHP pyramid bit-exact: {hexact}")
+
     # 4c ── LMDB round-trip through the pure-python format
     from openocr_spark.sources import lmdb_format as L
 

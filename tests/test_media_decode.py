@@ -686,19 +686,17 @@ def test_jpeg_restart_markers_and_odd_dims():
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
 
 
-def test_jpeg_hierarchical_rejected():
-    """Hierarchical (SOF5/SOF7) stays the fail-loud boundary; every
-    non-hierarchical 8-bit mode (SOF0/2/3/9/10) is now decoded."""
+def test_jpeg_differential_requires_hierarchy():
+    """A differential SOF (SOF5/SOF7) with no preceding DHP segment is
+    malformed per Annex J and fails loud rather than mis-decoding."""
     from jpeg_ref_encoder import encode_jpeg
 
     jb = bytearray(encode_jpeg(_smooth(8, 8), qtable=[1] * 64))
     idx = jb.find(b"\xff\xc0")
-    jb[idx + 1] = 0xC5
-    with pytest.raises(NotImplementedError, match="SOF5"):
-        decode_bytes(bytes(jb))
-    jb[idx + 1] = 0xC7
-    with pytest.raises(NotImplementedError, match="SOF7"):
-        decode_bytes(bytes(jb))
+    for sof in (0xC5, 0xC7):
+        jb[idx + 1] = sof
+        with pytest.raises(NotImplementedError, match="hierarchical"):
+            decode_bytes(bytes(jb))
 
 
 def test_jpeg_lossless_roundtrip():
@@ -1457,3 +1455,137 @@ def test_jpeg_arith_lossless_high_precision():
                                    restart_interval=13)
     )
     assert np.array_equal(out, (img16 >> 8).astype(np.uint8))
+
+
+# --- hierarchical mode (T.81 Annex J: DHP / EXP / SOF5-7/13-15) — r5 ---
+
+
+def _hier_img(h=29, w=37, seed=5):
+    rng = np.random.RandomState(seed)
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    img = ((x * 3 + y * 5) % 256).astype(np.uint8)
+    return np.clip(
+        img.astype(int) + rng.randint(-8, 9, img.shape), 0, 255
+    ).astype(np.uint8)
+
+
+def test_jpeg_hierarchical_lossless_pyramids():
+    """All-lossless hierarchies are BIT-EXACT end-to-end: DHP + a
+    downsampled base frame + EXP-expanded differential frames, in both
+    entropy modes (SOF3+SOF7 Huffman, SOF11+SOF15 arithmetic), gray
+    and RGB, horizontal-only expansion, and a 4-level odd-dims
+    pyramid (the J.1.1.2 edge-replication path)."""
+    from jpeg_hier_ref_encoder import encode_jpeg_hierarchical
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    img = _hier_img()
+    rgb = np.dstack([img, img[::-1, :], _hier_img(seed=9)])
+    L = {"kind": "lossless"}
+    A = {"kind": "arith-lossless"}
+    for im, plan in [
+        (img, [L, dict(L, exp=(1, 1))]),
+        (img, [A, dict(A, exp=(1, 1))]),
+        (rgb, [L, dict(L, exp=(1, 1))]),
+        (rgb, [A, dict(A, exp=(1, 1))]),
+        (img, [L, dict(L, exp=(1, 0))]),  # horizontal-only EXP
+        (img[:23, :31], [L] + [dict(L, exp=(1, 1))] * 3),  # 4 levels
+    ]:
+        out = decode_jpeg(encode_jpeg_hierarchical(im, plan))
+        assert np.array_equal(out, im)
+
+
+def test_jpeg_hierarchical_dct_refinement():
+    """Lossy DCT base + differential DCT refinement + final lossless
+    correction frame — the classic hierarchical usage — reconstructs
+    the original BIT-EXACTLY, with the DCT levels in either entropy
+    mode (SOF0/SOF5 Huffman, SOF9/SOF13 arithmetic) and mixed."""
+    from jpeg_hier_ref_encoder import encode_jpeg_hierarchical
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    img = _hier_img()
+    for plan, kw in [
+        ([{"kind": "dct"}, {"kind": "lossless"}], {}),
+        ([{"kind": "dct"}, {"kind": "dct", "exp": (1, 1)},
+          {"kind": "lossless"}], {}),
+        ([{"kind": "arith-dct"}, {"kind": "arith-dct", "exp": (1, 1)},
+          {"kind": "arith-lossless"}], {}),
+        ([{"kind": "dct"}, {"kind": "arith-dct", "exp": (1, 1)},
+          {"kind": "lossless"}], {}),  # mixed entropy modes per level
+        ([{"kind": "dct"}, {"kind": "lossless"}], {"q": [4] * 64}),
+    ]:
+        out = decode_jpeg(encode_jpeg_hierarchical(img, plan, **kw))
+        assert np.array_equal(out, img), (plan, kw)
+
+    # a lossy-only hierarchy (no correction frame) is close, not exact
+    out = decode_jpeg(
+        encode_jpeg_hierarchical(img, [{"kind": "dct"}], q=[1] * 64)
+    )
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_hierarchical_progressive_differential():
+    """Differential PROGRESSIVE frames (SOF6 Huffman, SOF14
+    arithmetic): multi-scan levels (interleaved DC scan + per-component
+    AC band scans) folded at the next frame header, final lossless
+    frame makes the pyramid exact."""
+    from jpeg_hier_ref_encoder import encode_jpeg_hierarchical
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    img = _hier_img()
+    for plan in [
+        [{"kind": "prog"}, {"kind": "prog", "exp": (1, 1)},
+         {"kind": "lossless"}],
+        [{"kind": "arith-prog"}, {"kind": "arith-prog", "exp": (1, 1)},
+         {"kind": "arith-lossless"}],
+    ]:
+        out = decode_jpeg(encode_jpeg_hierarchical(img, plan))
+        assert np.array_equal(out, img), plan
+
+
+def test_jpeg_hierarchical_restarts_and_dispatch():
+    """Restart intervals inside differential scans compose; DHP
+    carries the full-resolution dims for jpeg_dimensions; hierarchical
+    streams route through the magic-sniffed decode_bytes dispatcher."""
+    from jpeg_hier_ref_encoder import encode_jpeg_hierarchical
+    from openocr_spark.kernels.jpeg_format import decode_jpeg, jpeg_dimensions
+    from openocr_spark.kernels.media_decode import decode_bytes
+
+    img = _hier_img()
+    data = encode_jpeg_hierarchical(
+        img, [{"kind": "dct"}, {"kind": "dct", "exp": (1, 1)},
+              {"kind": "lossless"}], restart_interval=7,
+    )
+    assert np.array_equal(decode_jpeg(data), img)
+    assert jpeg_dimensions(data) == (img.shape[0], img.shape[1], 1)
+    (page,) = decode_bytes(data)
+    assert np.array_equal(page, img)
+
+    data = encode_jpeg_hierarchical(
+        img, [{"kind": "arith-dct"}, {"kind": "arith-dct", "exp": (1, 1)},
+              {"kind": "arith-lossless"}], restart_interval=5,
+    )
+    assert np.array_equal(decode_jpeg(data), img)
+
+
+def test_jpeg_hierarchical_malformed():
+    """Structural errors fail loud: a differential frame whose
+    reference was never expanded (missing EXP) and a second DHP."""
+    from jpeg_hier_ref_encoder import encode_jpeg_hierarchical
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    img = _hier_img()
+    data = encode_jpeg_hierarchical(
+        img, [{"kind": "lossless"}, {"kind": "lossless", "exp": (1, 1)}]
+    )
+    # strip the EXP segment (FF DF 00 03 xx): reference stays at the
+    # base resolution, smaller than the differential frame
+    idx = data.find(b"\xff\xdf")
+    broken = data[:idx] + data[idx + 5:]
+    with pytest.raises(NotImplementedError, match="EXP"):
+        decode_jpeg(broken)
+
+    dhp = data[2:2 + 4 + 9]  # the DHP segment (1-component SOF syntax)
+    assert dhp[:2] == b"\xff\xde"
+    with pytest.raises(NotImplementedError, match="DHP"):
+        decode_jpeg(data[:2] + dhp + data[2:])
