@@ -110,9 +110,13 @@ def _build_real_media(spark, n_media: int, media_dir: str) -> None:
         elif fmt == 4 and encode_jpeg_arith is not None:
             variants.append(encode_jpeg_arith(img))
         elif fmt == 5 and encode_jpeg_hierarchical is not None:
-            # hierarchical pyramid: DCT base + lossless correction
+            # hierarchical pyramid (v3 mix): half-res DCT base + EXP +
+            # differential DCT refinement (SOF5). The DCT-only plan
+            # keeps the leg a DECODE-throughput measure — the
+            # lossless-correction variant's per-sample scan is pinned
+            # in pytest but would dominate the timing here.
             variants.append(encode_jpeg_hierarchical(
-                img, [{"kind": "dct"}, {"kind": "lossless"}]
+                img, [{"kind": "dct"}, {"kind": "dct", "exp": (1, 1)}]
             ))
         else:
             variants.append(encode_png(img) if fmt % 2 == 0 else encode_pdf([img]))

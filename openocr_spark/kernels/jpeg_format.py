@@ -76,24 +76,48 @@ def idct_8x8(coef: np.ndarray) -> np.ndarray:
 
 
 class _HuffTable:
-    """Canonical Huffman table (DHT BITS/HUFFVAL): decode by walking
-    code lengths 1..16, comparing against the running min-code per
-    length — the spec's DECODE procedure (ITU T.81 F.2.2.3)."""
+    """Canonical Huffman table (DHT BITS/HUFFVAL). Decoding uses a
+    full 16-bit lookup table: every legal code of length L fills the
+    2^(16-L) LUT slots sharing its prefix with (symbol, L), so one
+    16-bit peek resolves any symbol in O(1) instead of the spec's
+    bit-at-a-time DECODE walk (F.2.2.3) — the entropy decode is the
+    hot loop of every Huffman scan. Slots no code reaches keep length
+    0 and fail loud."""
 
     def __init__(self, bits: list[int], vals: bytes) -> None:
-        self.min_code = [0] * 17
-        self.max_code = [-1] * 17
-        self.val_ptr = [0] * 17
+        lut_sym = np.zeros(1 << 16, np.uint8)
+        lut_len = np.zeros(1 << 16, np.uint8)
         code = 0
         k = 0
         for ln in range(1, 17):
-            n = bits[ln - 1]
-            self.val_ptr[ln] = k
-            self.min_code[ln] = code
-            self.max_code[ln] = code + n - 1 if n else -1
-            code = (code + n) << 1
-            k += n
-        self.vals = vals
+            for _ in range(bits[ln - 1]):
+                lo = code << (16 - ln)
+                hi = lo + (1 << (16 - ln))
+                lut_sym[lo:hi] = vals[k]
+                lut_len[lo:hi] = ln
+                code += 1
+                k += 1
+            code <<= 1
+        self.lut_sym = lut_sym.tolist()
+        self.lut_len = lut_len.tolist()
+
+
+_HUFF_CACHE: dict[bytes, _HuffTable] = {}
+
+
+def _huff_table(bits: list[int], vals: bytes) -> _HuffTable:
+    """Content-keyed cache for decoded DHT tables: the LUT build is
+    ~ms-scale, and real corpora overwhelmingly reuse a handful of
+    tables (the Annex K / libjpeg defaults), so building each distinct
+    table once amortizes it to nothing across a partition's files."""
+    key = bytes(bits) + vals
+    t = _HUFF_CACHE.get(key)
+    if t is None:
+        if len(_HUFF_CACHE) >= 64:  # bound executor memory
+            _HUFF_CACHE.clear()
+        t = _HuffTable(bits, vals)
+        _HUFF_CACHE[key] = t
+    return t
 
 
 class _BitReader:
@@ -139,10 +163,19 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        if n == 0:
+            return 0
+        if self.nbits < n:  # _fill leaves ≥ 25 buffered bits, n ≤ 16
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def peek16(self) -> int:
+        """The next 16 bits without consuming (zero-padded past the
+        end of the entropy segment, like the rest of the reader)."""
+        if self.nbits < 16:
+            self._fill()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
 
     def restart(self) -> None:
         """Byte-align and consume one RSTn marker."""
@@ -158,12 +191,12 @@ class _BitReader:
 
 
 def _huff_decode(r: _BitReader, t: _HuffTable) -> int:
-    code = r.bit()
-    for ln in range(1, 17):
-        if t.max_code[ln] >= 0 and code <= t.max_code[ln]:
-            return t.vals[t.val_ptr[ln] + code - t.min_code[ln]]
-        code = (code << 1) | r.bit()
-    raise NotImplementedError("JPEG: invalid Huffman code")
+    w = r.peek16()
+    ln = t.lut_len[w]
+    if ln == 0:
+        raise NotImplementedError("JPEG: invalid Huffman code")
+    r.nbits -= ln  # consume exactly the code's bits
+    return t.lut_sym[w]
 
 
 def _extend(v: int, t: int) -> int:
@@ -256,7 +289,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tc, th = body[b] >> 4, body[b] & 0x0F
                 bits = list(body[b + 1 : b + 17])
                 n = sum(bits)
-                htables[(tc, th)] = _HuffTable(bits, body[b + 17 : b + 17 + n])
+                htables[(tc, th)] = _huff_table(bits, body[b + 17 : b + 17 + n])
                 b += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB,
                         0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF, 0xDE):
