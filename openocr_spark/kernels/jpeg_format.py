@@ -236,7 +236,94 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int, int]:
     raise NotImplementedError("JPEG: no non-hierarchical SOF header")
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+def exif_orientation(data: bytes) -> int:
+    """EXIF orientation (tag 0x0112, 1..8) from the first Exif APP1
+    segment, or 1 when absent/off-spec. Marker-segment scan only — the
+    entropy-coded data is never touched. Off-spec TIFF structures
+    (truncated IFD, bad byte-order mark, out-of-range value) degrade
+    to 1, matching cv2's tolerant reader rather than failing a decode
+    over metadata."""
+    if data[:2] != b"\xff\xd8":
+        return 1
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD9, 0xDA):  # EOI / SOS — no APP1 coming
+            return 1
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
+            pos -= 1 if marker == 0xFF else 0
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        if seglen < 2:
+            return 1
+        if marker == 0xE1 and data[pos + 2 : pos + 8] == b"Exif\x00\x00":
+            tiff = data[pos + 8 : pos + seglen]
+            try:
+                if tiff[:2] == b"II":
+                    end = "<"
+                elif tiff[:2] == b"MM":
+                    end = ">"
+                else:
+                    return 1
+                magic, ifd0 = struct.unpack_from(end + "HI", tiff, 2)
+                if magic != 42:
+                    return 1
+                (count,) = struct.unpack_from(end + "H", tiff, ifd0)
+                for i in range(count):
+                    tag, typ, n = struct.unpack_from(
+                        end + "HHI", tiff, ifd0 + 2 + 12 * i
+                    )
+                    if tag == 0x0112 and typ == 3 and n == 1:
+                        (v,) = struct.unpack_from(
+                            end + "H", tiff, ifd0 + 2 + 12 * i + 8
+                        )
+                        return v if 1 <= v <= 8 else 1
+            except struct.error:
+                return 1
+            return 1  # Exif APP1 present but no orientation entry
+        pos += seglen
+    return 1
+
+
+def apply_exif_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
+    """Transform stored pixels to display orientation (EXIF 1..8) —
+    the composition cv2.imread / PIL exif_transpose apply. Operates on
+    the first two axes only, so (h, w) and (h, w, 3) both work."""
+    if orientation == 2:
+        px = px[:, ::-1]
+    elif orientation == 3:
+        px = px[::-1, ::-1]
+    elif orientation == 4:
+        px = px[::-1, :]
+    elif orientation == 5:
+        px = np.swapaxes(px, 0, 1)
+    elif orientation == 6:
+        px = np.swapaxes(px, 0, 1)[:, ::-1]
+    elif orientation == 7:
+        px = np.swapaxes(px, 0, 1)[::-1, ::-1]
+    elif orientation == 8:
+        px = np.swapaxes(px, 0, 1)[::-1, :]
+    return np.ascontiguousarray(px)
+
+
+def decode_jpeg(data: bytes, apply_orientation: bool = True) -> np.ndarray:
+    """Public entry: `_decode_stream` + EXIF orientation. cv2 applies
+    the orientation tag by default in BOTH imread (tools/infer_e2e.py:289)
+    and imdecode (opendet/preprocess/__init__.py:104 DecodeImage), so
+    the default here matches; PDF /DCTDecode streams pass False —
+    PDF renderers ignore EXIF inside embedded images."""
+    px = _decode_stream(data)
+    if apply_orientation:
+        ori = exif_orientation(data)
+        if ori != 1:
+            px = apply_exif_orientation(px, ori)
+    return px
+
+
+def _decode_stream(data: bytes) -> np.ndarray:
     """JPEG → uint8 array: (h, w) for grayscale, (h, w, 3) RGB for
     YCbCr / Adobe-RGB / CMYK / YCCK (see module docstring for the
     APP14 conventions). Decodes every T.81 frame type: sequential /

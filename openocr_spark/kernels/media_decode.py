@@ -450,11 +450,13 @@ def _decode_gif(data: bytes) -> np.ndarray:
 def decode_bytes(data: bytes) -> list[np.ndarray]:
     """Codec entrypoint — format sniffed from the magic bytes. Real
     from-scratch decoders: PGM/PPM, uncompressed BMP, PNG (stdlib zlib
-    inflate, all 5 filters), GIF87a/89a first frame (pure-python LZW),
-    Flate/DCT-PDF image pages (kernels/pdf_format.py), and baseline
-    JPEG — baseline and progressive (kernels/jpeg_format.py;
-    arithmetic-coded streams raise). Single-image formats return a 1-page list (check_and_read's
-    contract,
+    inflate, all 5 filters, Adam7, full depth matrix), GIF87a/89a
+    first frame (pure-python LZW), Flate/DCT-PDF image pages
+    (kernels/pdf_format.py), and JPEG across the full T.81 process
+    matrix (kernels/jpeg_format.py: sequential/progressive/lossless/
+    hierarchical × Huffman/arithmetic), with EXIF orientation applied
+    to standalone JPEGs as cv2.imread/imdecode do. Single-image
+    formats return a 1-page list (check_and_read's contract,
     tools/utils/utility.py:76-107: everything normalizes to a page
     list); PDFs return one entry per page (1→N)."""
     if data[: len(_MAGIC)] == _MAGIC:
@@ -487,9 +489,10 @@ def decode_bytes(data: bytes) -> list[np.ndarray]:
         return [px]
     raise NotImplementedError(
         "unknown media magic; supported from-scratch codecs: FAKEIMG1, "
-        "PGM/PPM (P2/P5/P6), uncompressed BMP (8/24-bit), PNG (8-bit "
-        "non-interlaced), GIF87a/89a first frame, PDF (Flate/raw image "
-        "XObjects), JPEG (SOF0 baseline + SOF2 progressive)"
+        "PGM/PPM (P2/P5/P6), uncompressed BMP (8/24-bit), PNG (all "
+        "depths incl. Adam7), GIF87a/89a first frame, PDF (Flate/"
+        "DCTDecode/ObjStm), JPEG (T.81 sequential/progressive/"
+        "lossless/hierarchical, Huffman + arithmetic)"
     )
 
 

@@ -292,7 +292,9 @@ def _decode_image_xobject(objects: dict[int, object], obj) -> np.ndarray:
         # checks below (a /Width//Height mismatch is corrupt input)
         from openocr_spark.kernels.jpeg_format import decode_jpeg
 
-        px = decode_jpeg(raw)
+        # apply_orientation=False: PDF renderers ignore EXIF tags in
+        # embedded images — page geometry comes from the content stream
+        px = decode_jpeg(raw, apply_orientation=False)
         ph, pw = px.shape[:2]
         if (ph, pw) != (h, w):
             raise NotImplementedError(

@@ -1,6 +1,8 @@
 """Multimodal plumbing tests: fake-codec roundtrip, 1→N page explosion,
 feature extraction batch shapes, and the NotImplementedError stub gate."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -1589,3 +1591,108 @@ def test_jpeg_hierarchical_malformed():
     assert dhp[:2] == b"\xff\xde"
     with pytest.raises(NotImplementedError, match="DHP"):
         decode_jpeg(data[:2] + dhp + data[2:])
+
+
+def _exif_app1(orientation, order=">"):
+    """Minimal Exif APP1 segment: TIFF header + 1-entry IFD0 holding
+    tag 0x0112 (orientation, SHORT). Independent of the package's
+    parser — built straight from the TIFF/EXIF layout."""
+    bom = b"MM" if order == ">" else b"II"
+    tiff = bom + struct.pack(order + "HI", 42, 8)
+    tiff += struct.pack(order + "H", 1)  # one IFD0 entry
+    tiff += struct.pack(order + "HHI", 0x0112, 3, 1)
+    tiff += struct.pack(order + "H", orientation) + b"\x00\x00"
+    tiff += struct.pack(order + "I", 0)  # no next IFD
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _exif_expected(stored, o):
+    """Display image from stored pixels per the EXIF row0/col0 table,
+    by direct index formulas (independent of the package's
+    flip/rot composition)."""
+    hs, ws = stored.shape[:2]
+    if o in (1, 2, 3, 4):
+        out = np.zeros_like(stored)
+        for i in range(hs):
+            for j in range(ws):
+                si = hs - 1 - i if o in (3, 4) else i
+                sj = ws - 1 - j if o in (2, 3) else j
+                out[i, j] = stored[si, sj]
+    else:
+        out = np.zeros((ws, hs) + stored.shape[2:], stored.dtype)
+        for i in range(ws):
+            for j in range(hs):
+                sj = ws - 1 - i if o in (7, 8) else i
+                si = hs - 1 - j if o in (6, 7) else j
+                out[i, j] = stored[si, sj]
+    return out
+
+
+def test_jpeg_exif_orientation():
+    """All 8 EXIF orientations, both TIFF byte orders, applied by
+    default exactly as cv2.imread (tools/infer_e2e.py:289) and
+    cv2.imdecode with default flags (opendet/preprocess/__init__.py:104)
+    apply them; apply_orientation=False returns stored pixels."""
+    from jpeg_ref_encoder import encode_jpeg
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    plain = encode_jpeg(img, qtable=[1] * 64)
+    stored = decode_jpeg(plain)
+    for order in (">", "<"):
+        for o in range(1, 9):
+            tagged = plain[:2] + _exif_app1(o, order) + plain[2:]
+            out = decode_jpeg(tagged)
+            assert np.array_equal(out, _exif_expected(stored, o)), (o, order)
+            assert out.flags["C_CONTIGUOUS"]
+            assert np.array_equal(
+                decode_jpeg(tagged, apply_orientation=False), stored
+            ), (o, order)
+    # grayscale 2-D arrays route through the same axis-0/1 transforms
+    gray = encode_jpeg(rng.integers(0, 256, (10, 14), dtype=np.uint8),
+                       qtable=[1] * 64)
+    gstored = decode_jpeg(gray)
+    gtagged = gray[:2] + _exif_app1(6) + gray[2:]
+    assert np.array_equal(
+        decode_jpeg(gtagged), _exif_expected(gstored, 6)
+    )
+
+
+def test_jpeg_exif_orientation_edge_cases():
+    """Off-spec metadata degrades to orientation 1 (cv2's tolerance);
+    XMP APP1 segments are not Exif; PDF-embedded /DCTDecode JPEGs keep
+    stored orientation (PDF renderers ignore EXIF)."""
+    from jpeg_ref_encoder import encode_jpeg
+    from openocr_spark.kernels.jpeg_format import (
+        decode_jpeg,
+        exif_orientation,
+    )
+    from openocr_spark.kernels.pdf_format import encode_pdf, decode_pdf_pages
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    plain = encode_jpeg(img, qtable=[1] * 64)
+    stored = decode_jpeg(plain)
+
+    assert exif_orientation(plain) == 1  # no APP1 at all
+    # XMP APP1 (not Exif) — ignored
+    xmp = b"http://ns.adobe.com/xap/1.0/\x00<x/>"
+    app1 = b"\xff\xe1" + struct.pack(">H", len(xmp) + 2) + xmp
+    assert exif_orientation(plain[:2] + app1 + plain[2:]) == 1
+    # bad byte-order mark / truncated IFD / out-of-range value -> 1
+    good = _exif_app1(6)
+    bad_bom = good.replace(b"MM", b"XX", 1)
+    assert exif_orientation(plain[:2] + bad_bom + plain[2:]) == 1
+    trunc = good[:14]
+    trunc = trunc[:2] + struct.pack(">H", len(trunc) - 2) + trunc[4:]
+    assert exif_orientation(plain[:2] + trunc + plain[2:]) == 1
+    assert exif_orientation(plain[:2] + _exif_app1(9) + plain[2:]) == 1
+    # orientation after SOS is never scanned (metadata precedes scan)
+    assert exif_orientation(plain + _exif_app1(6)) == 1
+
+    # embedded in a PDF: the page ignores the tag
+    tagged = plain[:2] + _exif_app1(6) + plain[2:]
+    (page,) = decode_pdf_pages(encode_pdf([tagged]))
+    assert page.shape[:2] == stored.shape[:2]
