@@ -269,11 +269,12 @@ def main() -> None:
             # then the timed job is the distributed decode + 1→N page
             # explode + per-page feature stats.
             n_media = int(os.environ.get("BENCH_REALMEDIA_ROWS", "20000"))
-            # v2: payload mix includes arithmetic-coded JPEG (SOF9) —
-            # the version suffix invalidates v1 caches from older runs
+            # v3: payload mix adds hierarchical JPEG (SOF5 pyramid) to
+            # the v2 arithmetic mix — the version suffix invalidates
+            # stale caches from older mixes
             media_dir = os.path.join(
                 os.environ.get("TMPDIR", "/tmp"),
-                f"bench_realmedia_v2_{n_media}",
+                f"bench_realmedia_v3_{n_media}",
             )
             if not os.path.exists(os.path.join(media_dir, "_SUCCESS")):
                 log(f"materializing {n_media} real-media rows -> {media_dir}")
@@ -295,7 +296,7 @@ def main() -> None:
             n_pages = out.count()
             extras["realmedia_rows"] = float(n_media)
             extras["realmedia_pages"] = float(n_pages)
-            extras["realmedia_mix"] = "v2-png-pdf-jpeg-dct-arith"
+            extras["realmedia_mix"] = "v3-png-pdf-jpeg-dct-arith-hier"
             extras["media_per_sec"] = round(n_media / dt, 2)
             extras["pages_per_sec"] = round(n_pages / dt, 2)
         elif name in SPARK_Q:
