@@ -2,12 +2,17 @@
 
 Closes the last entropy-codec stub in media_decode (the reference
 decodes JPEG via cv2.imdecode, opendet/preprocess/__init__.py:85-143):
-segment parse (DQT/DHT/SOF/DRI/SOS), canonical Huffman decode with
-0xFF00 byte-unstuffing and RSTn restart handling, DC-diff + AC
-run-length/EOB/ZRL, dequantize → inverse zigzag → 8×8 IDCT (separable
-cosine basis, one matmul pair per block), interleaved MCU layout with
-arbitrary (h,v) sampling factors (4:4:4 and 4:2:0 covered by tests),
-nearest-neighbor chroma upsample, BT.601 YCbCr→RGB.
+segment parse (DQT/DHT/SOF/DRI/SOS), canonical Huffman decode via a
+16-bit LUT (one peek per symbol) with 0xFF00 byte-unstuffing and RSTn
+restart handling, DC-diff + AC run-length/EOB/ZRL into a per-component
+zigzag coefficient store, then dequantize → inverse zigzag → 8×8 IDCT
+batched as one einsum per component (separable cosine basis) — the
+same reconstruction path sequential and progressive scans share.
+Interleaved MCU layout with arbitrary (h,v) sampling factors (4:4:4
+and 4:2:0 covered by tests) and non-interleaved single-component
+scans (T.81 A.2.2), nearest-neighbor chroma upsample, BT.601
+YCbCr→RGB. EXIF orientation (APP1 tag 0x0112) is applied by default,
+matching cv2.imread/imdecode.
 
 Scope: baseline sequential (SOF0) AND progressive (SOF2 — spectral
 selection, successive approximation with DC/AC refinement scans, EOBn
@@ -388,8 +393,9 @@ def _decode_stream(data: bytes) -> np.ndarray:
             # SOF13/14/15 arithmetic. 0xDE is DHP — same segment syntax,
             # opens hierarchical mode with the full-resolution dims.
             if hier is not None and coef_store is not None:
-                # a new frame header closes the previous (progressive)
-                # hierarchical frame: reconstruct and fold it now
+                # a new frame header closes the previous (store-based:
+                # sequential or progressive Huffman) hierarchical
+                # frame: reconstruct and fold it now
                 _hier_fold(
                     hier, frame, _progressive_planes(frame, qtables, coef_store)
                 )
@@ -513,10 +519,19 @@ def _decode_stream(data: bytes) -> np.ndarray:
                     restart_interval, conditioning,
                 )
             elif not frame["progressive"]:
-                out = _decode_scan(
-                    data, pos + seglen, frame, scan, qtables, htables,
-                    restart_interval,
+                # sequential Huffman: entropy-decode into the zigzag
+                # coefficient store; reconstruction is the shared
+                # batched-IDCT path at EOI / the next frame header —
+                # this also lets a sequential frame carry several
+                # non-interleaved scans (one per component, T.81 A.2.2)
+                if coef_store is None:
+                    coef_store = _alloc_coef_store(frame)
+                _sequential_scan(
+                    data, pos + seglen, frame, scan, htables,
+                    restart_interval, coef_store,
                 )
+                pos = _next_marker(data, pos + seglen)
+                continue
             else:
                 if coef_store is None:
                     coef_store = _alloc_coef_store(frame)
@@ -533,7 +548,7 @@ def _decode_stream(data: bytes) -> np.ndarray:
             continue
         pos += seglen
     if hier is not None:
-        if coef_store is not None:  # progressive final frame ends at EOI
+        if coef_store is not None:  # store-based final frame ends at EOI
             _hier_fold(
                 hier, frame, _progressive_planes(frame, qtables, coef_store)
             )
@@ -731,65 +746,81 @@ def _hier_assemble(hier: dict, frame: dict, adobe) -> np.ndarray:
     return _assemble(planes, out_frame)
 
 
-def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-w // mcu_w)
-    mcus_y = -(-h // mcu_h)
-    planes = {
-        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), np.float64)
-        for c in comps
-    }
+def _sequential_scan(data, pos, frame, scan, htables, restart_interval, store):
+    """Sequential-DCT Huffman entropy decode (SOF0/SOF1, differential
+    SOF5 in hierarchical streams) into the zigzag coefficient store —
+    reconstruction is the batched-IDCT path shared with progressive
+    (_progressive_planes), so dequant + inverse zigzag + IDCT run as
+    one einsum per component instead of per-block tiny-ndarray ops.
+    Interleaved scans (Ns>1) walk the padded MCU grid; single-component
+    scans are non-interleaved per T.81 A.2.2 — block raster over the
+    component's own grid with one data unit per MCU — which also lets
+    a sequential frame spread its components across several scans.
+    Per block, coefficients accumulate in a plain Python list (the
+    entropy loop is serial bit work; per-coefficient ndarray stores
+    measured ~2× slower) and land in the store with one assignment."""
     r = _BitReader(data, pos)
-    pred = {c["id"]: 0 for c in comps}
+    pred = {c["id"]: 0 for c, _td, _ta in scan}
     # differential frames (hierarchical mode) code DC directly
-    # (PRED = 0) and omit the level shift — the block IS a difference
+    # (PRED = 0); _progressive_planes omits their level shift
     diff_frame = bool(frame.get("differential"))
-    shift = 0.0 if diff_frame else float(1 << (frame["prec"] - 1))
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                r.restart()
-                pred = {c["id"]: 0 for c in comps}
-            for comp, td, ta in scan:
-                q = qtables[comp["tq"]]
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        zz = np.zeros(64, np.int32)
-                        t = _huff_decode(r, htables[(0, td)])
-                        diff = _extend(r.bits(t), t) if t else 0
-                        if diff_frame:
-                            zz[0] = diff
-                        else:
-                            pred[comp["id"]] += diff
-                            zz[0] = pred[comp["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(r, htables[(1, ta)])
-                            rrrr, ssss = rs >> 4, rs & 0x0F
-                            if ssss == 0:
-                                if rrrr == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += rrrr
-                            if k > 63:
-                                raise NotImplementedError("JPEG: AC index overflow")
-                            zz[k] = _extend(r.bits(ssss), ssss)
-                            k += 1
-                        coef = np.zeros(64, np.float64)
-                        coef[ZIGZAG] = zz * q
-                        block = idct_8x8(coef.reshape(8, 8)) + shift
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
-    if frame.get("_raw_planes"):
-        return planes
-    return _assemble(planes, frame)
+
+    def decode_block(comp, td, ta, by, bx):
+        zz = [0] * 64
+        t = _huff_decode(r, htables[(0, td)])
+        diff = _extend(r.bits(t), t) if t else 0
+        if diff_frame:
+            zz[0] = diff
+        else:
+            pred[comp["id"]] += diff
+            zz[0] = pred[comp["id"]]
+        k = 1
+        while k < 64:
+            rs = _huff_decode(r, htables[(1, ta)])
+            rrrr, ssss = rs >> 4, rs & 0x0F
+            if ssss == 0:
+                if rrrr == 15:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                break  # EOB
+            k += rrrr
+            if k > 63:
+                raise NotImplementedError("JPEG: AC index overflow")
+            zz[k] = _extend(r.bits(ssss), ssss)
+            k += 1
+        store[comp["id"]][by, bx] = zz
+
+    n = 0  # MCUs since scan start (restart intervals count MCUs)
+    if len(scan) > 1:  # interleaved: MCU order over the padded grid
+        comps = frame["comps"]
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcus_x = -(-frame["w"] // (8 * hmax))
+        mcus_y = -(-frame["h"] // (8 * vmax))
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and n and n % restart_interval == 0:
+                    r.restart()
+                    for cid in pred:
+                        pred[cid] = 0
+                for comp, td, ta in scan:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            decode_block(
+                                comp, td, ta,
+                                my * comp["v"] + by, mx * comp["h"] + bx,
+                            )
+                n += 1
+    else:
+        comp, td, ta = scan[0]
+        bh, bw = _comp_blocks(frame, comp)
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and n and n % restart_interval == 0:
+                    r.restart()
+                    pred[comp["id"]] = 0
+                decode_block(comp, td, ta, by, bx)
+                n += 1
 
 
 def _assemble(planes: dict, frame: dict) -> np.ndarray:

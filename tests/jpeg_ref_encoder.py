@@ -225,13 +225,17 @@ def encode_jpeg(
     restart_interval: int = 0,
     adobe_transform: int | None = None,
     extended: bool = False,
+    noninterleaved: bool = False,
 ) -> bytes:
     """img: (h, w) gray, (h, w, 3) RGB, or (h, w, 4) CMYK-ink uint8.
     qtable: 64 zigzag-order values (default Annex K.1); pass [1]*64 for
     a near-lossless round trip. subsample=True → 4:2:0 chroma (2×2
     mean). adobe_transform: emit an APP14 marker (see _color_planes).
     extended=True → SOF1 extended sequential (identical entropy layer;
-    the decode process is the same as baseline per T.81 Annex F)."""
+    the decode process is the same as baseline per T.81 Annex F).
+    noninterleaved=True → one scan per component in block-raster order
+    over the component's own grid (T.81 A.2.2: Ns=1 scans are never
+    MCU-padded), the layout libjpeg emits for -scans scripts."""
     q = np.array(qtable if qtable is not None else K1, dtype=np.int32)
     h, w = img.shape[:2]
     planes, samps, app14 = _color_planes(img, subsample, adobe_transform)
@@ -253,28 +257,59 @@ def encode_jpeg(
     deq[ZIG] = np.arange(64)  # natural-order index of each zigzag slot
     qnat = np.empty(64, np.int32)
     qnat[[ZIG[i] for i in range(64)]] = q  # quant table in natural order
-    mcu_count = 0
-    out_chunks = []
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                wtr.pad()
-                out_chunks.append(bytes(wtr.buf))
-                out_chunks.append(bytes([0xFF, 0xD0 + ((mcu_count // restart_interval - 1) % 8)]))
-                wtr = _BitWriter()
-                pred = [0] * len(planes)
-            for ci, (p, (sh, sv)) in enumerate(zip(padded, samps)):
-                for by in range(sv):
-                    for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                        coef = fdct_8x8(block)
-                        cq = np.round(coef / qnat.reshape(8, 8)).astype(np.int32)
-                        pred[ci] = _encode_block(wtr, cq, pred[ci], dc_c, ac_c)
-            mcu_count += 1
-    wtr.pad()
-    out_chunks.append(bytes(wtr.buf))
+    scan_blobs: list[tuple[list[int], bytes]] = []  # (comp ids, data)
+    if noninterleaved:
+        for ci, (p, (sh, sv)) in enumerate(zip(padded, samps)):
+            ph = -(-h * sv // vmax)
+            pw = -(-w * sh // hmax)
+            bh, bw = -(-ph // 8), -(-pw // 8)
+            wtr = _BitWriter()
+            chunks: list[bytes] = []
+            pred_c = 0
+            n = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and n and n % restart_interval == 0:
+                        wtr.pad()
+                        chunks.append(bytes(wtr.buf))
+                        chunks.append(bytes(
+                            [0xFF, 0xD0 + ((n // restart_interval - 1) % 8)]
+                        ))
+                        wtr = _BitWriter()
+                        pred_c = 0
+                    block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                    cq = np.round(
+                        fdct_8x8(block) / qnat.reshape(8, 8)
+                    ).astype(np.int32)
+                    pred_c = _encode_block(wtr, cq, pred_c, dc_c, ac_c)
+                    n += 1
+            wtr.pad()
+            chunks.append(bytes(wtr.buf))
+            scan_blobs.append(([ci], b"".join(chunks)))
+    else:
+        mcu_count = 0
+        out_chunks = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    wtr.pad()
+                    out_chunks.append(bytes(wtr.buf))
+                    out_chunks.append(bytes([0xFF, 0xD0 + ((mcu_count // restart_interval - 1) % 8)]))
+                    wtr = _BitWriter()
+                    pred = [0] * len(planes)
+                for ci, (p, (sh, sv)) in enumerate(zip(padded, samps)):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            y0 = (my * sv + by) * 8
+                            x0 = (mx * sh + bx) * 8
+                            block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                            coef = fdct_8x8(block)
+                            cq = np.round(coef / qnat.reshape(8, 8)).astype(np.int32)
+                            pred[ci] = _encode_block(wtr, cq, pred[ci], dc_c, ac_c)
+                mcu_count += 1
+        wtr.pad()
+        out_chunks.append(bytes(wtr.buf))
+        scan_blobs.append((list(range(len(planes))), b"".join(out_chunks)))
 
     head = bytearray(b"\xff\xd8")
     head += app14
@@ -288,12 +323,14 @@ def encode_jpeg(
     head += _seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
     if restart_interval:
         head += _seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([nc])
-    for i in range(nc):
-        sos += bytes([i + 1, 0x00])
-    sos += bytes([0, 63, 0])
-    head += _seg(0xDA, sos)
-    return bytes(head) + b"".join(out_chunks) + b"\xff\xd9"
+    body = bytearray()
+    for comp_ids, blob in scan_blobs:
+        sos = bytes([len(comp_ids)])
+        for i in comp_ids:
+            sos += bytes([i + 1, 0x00])
+        sos += bytes([0, 63, 0])
+        body += _seg(0xDA, sos) + blob
+    return bytes(head) + bytes(body) + b"\xff\xd9"
 
 
 # --- progressive (SOF2) encoder ---------------------------------------

@@ -1696,3 +1696,31 @@ def test_jpeg_exif_orientation_edge_cases():
     tagged = plain[:2] + _exif_app1(6) + plain[2:]
     (page,) = decode_pdf_pages(encode_pdf([tagged]))
     assert page.shape[:2] == stored.shape[:2]
+
+
+def test_jpeg_noninterleaved_sequential_scans():
+    """A sequential frame whose components arrive in separate Ns=1
+    scans (block raster over each component's own grid, T.81 A.2.2 —
+    never MCU-padded) decodes identically to the interleaved encoding
+    of the same image, including 4:2:0 sampling and restart intervals
+    counted per data unit."""
+    from jpeg_ref_encoder import encode_jpeg
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    rng = np.random.default_rng(13)
+    gray = rng.integers(0, 256, (21, 19), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(gray, qtable=[1] * 64, noninterleaved=True)),
+        decode_jpeg(encode_jpeg(gray, qtable=[1] * 64)),
+    )
+    rgb = rng.integers(0, 256, (22, 27, 3), dtype=np.uint8)
+    for subsample in (False, True):
+        for ri in (0, 3):
+            a = decode_jpeg(encode_jpeg(
+                rgb, qtable=[1] * 64, subsample=subsample,
+                noninterleaved=True, restart_interval=ri,
+            ))
+            b = decode_jpeg(encode_jpeg(
+                rgb, qtable=[1] * 64, subsample=subsample,
+            ))
+            assert np.array_equal(a, b), (subsample, ri)
