@@ -290,67 +290,76 @@ def decode_arith_scan(
     pos: int,
     frame: dict,
     scan: list[tuple[dict, int, int]],
-    qtables: dict[int, np.ndarray],
     restart_interval: int,
     conditioning: dict,
-) -> np.ndarray:
-    """Sequential arithmetic scan → assembled image (same MCU layout
-    and IDCT pipeline as the Huffman path; only the entropy layer
-    differs)."""
-    from openocr_spark.kernels.jpeg_format import ZIGZAG, _assemble, idct_8x8
+    store: dict[int, np.ndarray],
+) -> None:
+    """Sequential arithmetic scan → the zigzag coefficient store (the
+    same store-based reconstruction as the Huffman path — decode_jpeg
+    batch-IDCTs it at EOI / the next frame header; only the entropy
+    layer differs here). Interleaved scans walk the padded MCU grid;
+    Ns=1 scans are non-interleaved per T.81 A.2.2 (block raster over
+    the component's own grid), so a sequential arithmetic frame may
+    spread its components across several scans."""
+    from openocr_spark.kernels.jpeg_format import _comp_blocks
 
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), np.float64)
-        for c in comps
-    }
+    comps = frame["comps"]
     # scan entry: (comp, td, ta) — arithmetic tables use the same ids
     for comp, td, ta in scan:
         comp["tq_dc_tbl"] = td
         comp["tq_ac_tbl"] = ta
     stats = _Stats([c for c, _t, _a in scan])
     dec = ArithDecoder(data, pos)
-    # differential frames (hierarchical): DC coded directly (PRED = 0),
-    # no level shift — the decoded block is a difference plane
+    # differential frames (hierarchical): DC coded directly (PRED = 0)
     diff_frame = bool(frame.get("differential"))
-    shift = 0.0 if diff_frame else float(1 << (frame["prec"] - 1))
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                dec.align_restart()
-                stats.reset([c for c, _t, _a in scan])
-                dec.__init__(data, dec.pos)
-            for comp, td, ta in scan:
-                q = qtables[comp["tq"]]
-                dc_cond = conditioning.get(("dc", td), (0, 1))
-                kx = conditioning.get(("ac", ta), 5)
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        zz = np.zeros(64, np.int32)
-                        diff = _decode_dc(
-                            dec, stats.dc[td], stats, comp["id"], dc_cond
-                        )
-                        if diff_frame:
-                            zz[0] = diff
-                        else:
-                            stats.pred[comp["id"]] += diff
-                            zz[0] = stats.pred[comp["id"]]
-                        _decode_ac(dec, stats.ac[ta], stats, kx, zz)
-                        coef = np.zeros(64, np.float64)
-                        coef[ZIGZAG] = zz * q
-                        block = idct_8x8(coef.reshape(8, 8)) + shift
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
-    if frame.get("_raw_planes"):
-        return planes
-    return _assemble(planes, frame)
+
+    def decode_block(comp, td, ta, by, bx):
+        zz = [0] * 64
+        diff = _decode_dc(
+            dec, stats.dc[td], stats, comp["id"],
+            conditioning.get(("dc", td), (0, 1)),
+        )
+        if diff_frame:
+            zz[0] = diff
+        else:
+            stats.pred[comp["id"]] += diff
+            zz[0] = stats.pred[comp["id"]]
+        _decode_ac(dec, stats.ac[ta], stats,
+                   conditioning.get(("ac", ta), 5), zz)
+        store[comp["id"]][by, bx] = zz
+
+    def restart():
+        dec.align_restart()
+        stats.reset([c for c, _t, _a in scan])
+        dec.__init__(data, dec.pos)
+
+    n = 0  # MCUs since scan start
+    if len(scan) > 1:  # interleaved: MCU order over the padded grid
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcus_x = -(-frame["w"] // (8 * hmax))
+        mcus_y = -(-frame["h"] // (8 * vmax))
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and n and n % restart_interval == 0:
+                    restart()
+                for comp, td, ta in scan:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            decode_block(
+                                comp, td, ta,
+                                my * comp["v"] + by, mx * comp["h"] + bx,
+                            )
+                n += 1
+    else:
+        comp, td, ta = scan[0]
+        bh, bw = _comp_blocks(frame, comp)
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and n and n % restart_interval == 0:
+                    restart()
+                decode_block(comp, td, ta, by, bx)
+                n += 1
 
 
 # --- progressive arithmetic (SOF10, F.2.1.4.3) -------------------------

@@ -512,12 +512,19 @@ def _decode_stream(data: bytes) -> np.ndarray:
                 pos = _next_marker(data, pos + seglen)
                 continue
             elif frame.get("arith"):
+                # sequential arithmetic: same store-based flow as the
+                # Huffman branch below (batched IDCT at EOI / the next
+                # frame header; multi-scan non-interleaved frames work)
                 from openocr_spark.kernels.jpeg_arith import decode_arith_scan
 
-                out = decode_arith_scan(
-                    data, pos + seglen, frame, scan, qtables,
-                    restart_interval, conditioning,
+                if coef_store is None:
+                    coef_store = _alloc_coef_store(frame)
+                decode_arith_scan(
+                    data, pos + seglen, frame, scan,
+                    restart_interval, conditioning, coef_store,
                 )
+                pos = _next_marker(data, pos + seglen)
+                continue
             elif not frame["progressive"]:
                 # sequential Huffman: entropy-decode into the zigzag
                 # coefficient store; reconstruction is the shared

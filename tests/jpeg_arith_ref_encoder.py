@@ -221,11 +221,15 @@ def encode_jpeg_arith(
     adobe_transform: int | None = None,
     dc_cond: tuple[int, int] = (0, 1),
     kx: int = 5,
+    noninterleaved: bool = False,
 ) -> bytes:
     """Sequential arithmetic-coded (SOF9) encoding of the same pixel
     pipeline as encode_jpeg — the quantized planes are identical, only
     the entropy layer differs, so the package decoder's output must be
-    bit-identical to decoding the Huffman encoding."""
+    bit-identical to decoding the Huffman encoding. noninterleaved=True
+    emits one Ns=1 scan per component (T.81 A.2.2 block raster over the
+    component's own grid, never MCU-padded), each with fresh statistics
+    and its own arithmetic codestream."""
     q = np.array(qtable if qtable is not None else K1, dtype=np.int32)
     h, w = img.shape[:2]
     planes, samps, app14 = _color_planes(img, subsample, adobe_transform)
@@ -242,38 +246,73 @@ def encode_jpeg_arith(
     qnat[[ZIG[i] for i in range(64)]] = q
 
     nc = len(planes)
-    enc = ArithEncoder()
-    stats = _Stats(1, 1)  # one shared DC + one shared AC table (ids 0)
-    dc_context = [0] * nc
-    pred = [0] * nc
-    chunks: list[bytes] = []
-    mcu_count = 0
-    rst = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                chunks.append(enc.flush())
-                chunks.append(bytes([0xFF, 0xD0 + (rst % 8)]))
-                rst += 1
-                stats = _Stats(1, 1)
-                dc_context = [0] * nc
-                pred = [0] * nc
-            for ci, (p, (sh, sv)) in enumerate(zip(padded, samps)):
-                for by in range(sv):
-                    for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                        cq = np.round(
-                            fdct_8x8(block) / qnat.reshape(8, 8)
-                        ).astype(np.int32)
-                        zz = cq.reshape(-1)[ZIG]
-                        diff = int(zz[0]) - pred[ci]
-                        pred[ci] = int(zz[0])
-                        _encode_dc(enc, stats.dc[0], dc_context, ci, diff, dc_cond)
-                        _encode_ac(enc, stats.ac[0], stats, kx, zz)
-            mcu_count += 1
-    chunks.append(enc.flush())
+
+    def block_zz(p, by, bx):
+        block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        cq = np.round(fdct_8x8(block) / qnat.reshape(8, 8)).astype(np.int32)
+        return cq.reshape(-1)[ZIG]
+
+    scan_blobs: list[tuple[list[int], bytes]] = []  # (comp ids, data)
+    if noninterleaved:
+        for ci, (p, (sh, sv)) in enumerate(zip(padded, samps)):
+            ph = -(-h * sv // vmax)
+            pw = -(-w * sh // hmax)
+            bh, bw = -(-ph // 8), -(-pw // 8)
+            enc = ArithEncoder()
+            stats = _Stats(1, 1)
+            dc_context = [0]
+            pred_c = 0
+            chunks: list[bytes] = []
+            n = 0
+            rst = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and n and n % restart_interval == 0:
+                        chunks.append(enc.flush())
+                        chunks.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+                        rst += 1
+                        enc = ArithEncoder()
+                        stats = _Stats(1, 1)
+                        dc_context = [0]
+                        pred_c = 0
+                    zz = block_zz(p, by, bx)
+                    diff = int(zz[0]) - pred_c
+                    pred_c = int(zz[0])
+                    _encode_dc(enc, stats.dc[0], dc_context, 0, diff, dc_cond)
+                    _encode_ac(enc, stats.ac[0], stats, kx, zz)
+                    n += 1
+            chunks.append(enc.flush())
+            scan_blobs.append(([ci], b"".join(chunks)))
+    else:
+        enc = ArithEncoder()
+        stats = _Stats(1, 1)  # one shared DC + one shared AC table (ids 0)
+        dc_context = [0] * nc
+        pred = [0] * nc
+        chunks = []
+        mcu_count = 0
+        rst = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    chunks.append(enc.flush())
+                    chunks.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+                    rst += 1
+                    stats = _Stats(1, 1)
+                    dc_context = [0] * nc
+                    pred = [0] * nc
+                for ci, (p, (sh, sv)) in enumerate(zip(padded, samps)):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            zz = block_zz(p, my * sv + by, mx * sh + bx)
+                            diff = int(zz[0]) - pred[ci]
+                            pred[ci] = int(zz[0])
+                            _encode_dc(
+                                enc, stats.dc[0], dc_context, ci, diff, dc_cond
+                            )
+                            _encode_ac(enc, stats.ac[0], stats, kx, zz)
+                mcu_count += 1
+        chunks.append(enc.flush())
+        scan_blobs.append((list(range(nc)), b"".join(chunks)))
 
     head = bytearray(b"\xff\xd8")
     head += app14
@@ -289,12 +328,14 @@ def encode_jpeg_arith(
     )
     if restart_interval:
         head += _seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([nc])
-    for i in range(nc):
-        sos += bytes([i + 1, 0x00])
-    sos += bytes([0, 63, 0])
-    head += _seg(0xDA, sos)
-    return bytes(head) + b"".join(chunks) + b"\xff\xd9"
+    body = bytearray()
+    for comp_ids, blob in scan_blobs:
+        sos = bytes([len(comp_ids)])
+        for i in comp_ids:
+            sos += bytes([i + 1, 0x00])
+        sos += bytes([0, 63, 0])
+        body += _seg(0xDA, sos) + blob
+    return bytes(head) + bytes(body) + b"\xff\xd9"
 
 
 # --- progressive (SOF10) encoder ---------------------------------------

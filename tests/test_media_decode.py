@@ -1724,3 +1724,29 @@ def test_jpeg_noninterleaved_sequential_scans():
                 rgb, qtable=[1] * 64, subsample=subsample,
             ))
             assert np.array_equal(a, b), (subsample, ri)
+
+
+def test_jpeg_arith_noninterleaved_sequential_scans():
+    """SOF9 with one Ns=1 scan per component (fresh statistics and
+    codestream each) decodes identically to the interleaved arithmetic
+    encoding — which itself is pinned bit-identical to Huffman."""
+    from jpeg_arith_ref_encoder import encode_jpeg_arith
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    rng = np.random.default_rng(14)
+    gray = rng.integers(0, 256, (21, 19), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_arith(gray, qtable=[1] * 64, noninterleaved=True)),
+        decode_jpeg(encode_jpeg_arith(gray, qtable=[1] * 64)),
+    )
+    rgb = rng.integers(0, 256, (18, 23, 3), dtype=np.uint8)
+    for subsample in (False, True):
+        for ri in (0, 4):
+            a = decode_jpeg(encode_jpeg_arith(
+                rgb, qtable=[1] * 64, subsample=subsample,
+                noninterleaved=True, restart_interval=ri,
+            ))
+            b = decode_jpeg(encode_jpeg_arith(
+                rgb, qtable=[1] * 64, subsample=subsample,
+            ))
+            assert np.array_equal(a, b), (subsample, ri)
