@@ -86,10 +86,12 @@ def _build_real_media(spark, n_media: int, media_dir: str) -> None:
         from jpeg_arith_ref_encoder import encode_jpeg_arith
         from jpeg_hier_ref_encoder import encode_jpeg_hierarchical
         from jpeg_ref_encoder import encode_jpeg
+        from tiff_ref_encoder import write_tiff
     except ImportError:
         encode_jpeg = encode_jpeg_arith = encode_jpeg_hierarchical = None
+        write_tiff = None
 
-    K = 48  # divisible by the 6-format cycle
+    K = 48  # divisible by the 8-format cycle
     variants: list[bytes] = []
     for k in range(K):
         x, y = np.meshgrid(np.arange(160), np.arange(96))
@@ -98,7 +100,7 @@ def _build_real_media(spark, n_media: int, media_dir: str) -> None:
             .clip(0, 255)
             .astype(np.uint8)
         )
-        fmt = k % 6
+        fmt = k % 8
         if fmt == 0:
             variants.append(encode_png(img))
         elif fmt == 1:
@@ -118,6 +120,16 @@ def _build_real_media(spark, n_media: int, media_dir: str) -> None:
             variants.append(encode_jpeg_hierarchical(
                 img, [{"kind": "dct"}, {"kind": "dct", "exp": (1, 1)}]
             ))
+        elif fmt == 6 and write_tiff is not None:
+            # v4 mix: CCITT G4 bilevel TIFF — the dominant scanned-page
+            # container in document corpora
+            variants.append(write_tiff([{"pixels": img > 128, "compression": 4}]))
+        elif fmt == 7 and write_tiff is not None and encode_jpeg is not None:
+            # v4 mix: abbreviated JPEG-in-TIFF (JPEGTables split)
+            variants.append(write_tiff([{
+                "pixels": img, "compression": 7, "photometric": 1,
+                "jpeg_bytes": encode_jpeg(img), "jpeg_split_tables": True,
+            }]))
         else:
             variants.append(encode_png(img) if fmt % 2 == 0 else encode_pdf([img]))
     import pandas as pd
@@ -269,12 +281,12 @@ def main() -> None:
             # then the timed job is the distributed decode + 1→N page
             # explode + per-page feature stats.
             n_media = int(os.environ.get("BENCH_REALMEDIA_ROWS", "20000"))
-            # v3: payload mix adds hierarchical JPEG (SOF5 pyramid) to
-            # the v2 arithmetic mix — the version suffix invalidates
-            # stale caches from older mixes
+            # v4: payload mix adds CCITT-G4 TIFF and abbreviated
+            # JPEG-in-TIFF to the v3 hierarchical mix — the version
+            # suffix invalidates stale caches from older mixes
             media_dir = os.path.join(
                 os.environ.get("TMPDIR", "/tmp"),
-                f"bench_realmedia_v3_{n_media}",
+                f"bench_realmedia_v4_{n_media}",
             )
             if not os.path.exists(os.path.join(media_dir, "_SUCCESS")):
                 log(f"materializing {n_media} real-media rows -> {media_dir}")
@@ -296,7 +308,7 @@ def main() -> None:
             n_pages = out.count()
             extras["realmedia_rows"] = float(n_media)
             extras["realmedia_pages"] = float(n_pages)
-            extras["realmedia_mix"] = "v3-png-pdf-jpeg-dct-arith-hier"
+            extras["realmedia_mix"] = "v4-png-pdf-jpeg-dct-arith-hier-g4tiff-jpegtiff"
             extras["media_per_sec"] = round(n_media / dt, 2)
             extras["pages_per_sec"] = round(n_pages / dt, 2)
         elif name in SPARK_Q:

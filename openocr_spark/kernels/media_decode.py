@@ -455,10 +455,13 @@ def decode_bytes(data: bytes) -> list[np.ndarray]:
     (kernels/pdf_format.py), and JPEG across the full T.81 process
     matrix (kernels/jpeg_format.py: sequential/progressive/lossless/
     hierarchical × Huffman/arithmetic), with EXIF orientation applied
-    to standalone JPEGs as cv2.imread/imdecode do. Single-image
+    to standalone JPEGs as cv2.imread/imdecode do, and TIFF
+    (kernels/tiff_format.py: strips/tiles, CCITT G3/G4 fax, LZW,
+    Deflate, PackBits, JPEG-in-TIFF). Single-image
     formats return a 1-page list (check_and_read's contract,
     tools/utils/utility.py:76-107: everything normalizes to a page
-    list); PDFs return one entry per page (1→N)."""
+    list); PDFs and multi-page TIFF IFD chains return one entry per
+    page (1→N)."""
     if data[: len(_MAGIC)] == _MAGIC:
         h, w, n = struct.unpack("<HHB", data[len(_MAGIC) : len(_MAGIC) + 5])
         body = data[len(_MAGIC) + 5 :]
@@ -487,12 +490,23 @@ def decode_bytes(data: bytes) -> list[np.ndarray]:
         if px.ndim == 3:
             px = _luma(px[:, :, 0], px[:, :, 1], px[:, :, 2])
         return [px]
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from openocr_spark.kernels.tiff_format import decode_tiff
+
+        pages = []
+        for px in decode_tiff(data):
+            if px.ndim == 3:
+                px = _luma(px[:, :, 0], px[:, :, 1], px[:, :, 2])
+            pages.append(px)
+        return pages
     raise NotImplementedError(
         "unknown media magic; supported from-scratch codecs: FAKEIMG1, "
         "PGM/PPM (P2/P5/P6), uncompressed BMP (8/24-bit), PNG (all "
         "depths incl. Adam7), GIF87a/89a first frame, PDF (Flate/"
         "DCTDecode/ObjStm), JPEG (T.81 sequential/progressive/"
-        "lossless/hierarchical, Huffman + arithmetic)"
+        "lossless/hierarchical, Huffman + arithmetic), TIFF (strips/"
+        "tiles, CCITT G3/G4, LZW, Deflate, PackBits, JPEG-in-TIFF, "
+        "multi-page IFD chain)"
     )
 
 
