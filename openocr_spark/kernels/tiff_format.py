@@ -625,6 +625,100 @@ def _decode_ifd(data: bytes, tags: dict, bo: str) -> np.ndarray:
     raise NotImplementedError(f"TIFF photometric {photo} with {spp} samples")
 
 
+def _enc_run_bits(run: int, white: bool) -> str:
+    """Run length → T.4 code bits (makeups + terminating)."""
+    enc = _WHITE_ENC if white else _BLACK_ENC
+    out = []
+    while run >= 2624:
+        out.append(enc[2560])
+        run -= 2560
+    if run >= 64:
+        makeup = (run // 64) * 64
+        out.append(enc[makeup])
+        run -= makeup
+    out.append(enc[run])
+    return "".join(out)
+
+
+def encode_tiff_pages(gray: np.ndarray, ink: np.ndarray) -> bytes:
+    """Minimal TIFF WRITE sink (the encode side of S8/S10, like
+    encode_png): a two-IFD little-endian chain — page 0 the uint8 gray
+    image uncompressed (single strip, BlackIsZero), page 1 the bool ink
+    page CCITT-MH coded (compression 2, WhiteIsZero, byte-aligned 1D
+    rows). Lossless by construction; decode_tiff round-trips both pages
+    bit-exact (pinned by test and by the decode_roundtrip driver
+    oracle). The full compression/photometric matrix is exercised by
+    the independent test-side encoder; this sink stays deliberately
+    small."""
+    gray = np.ascontiguousarray(gray, dtype=np.uint8)
+    ink = np.ascontiguousarray(ink).astype(bool)
+
+    blob = bytearray(b"II*\x00\x00\x00\x00\x00")
+    link = 4  # offset of the pointer to patch with each IFD's position
+
+    def put(data: bytes) -> int:
+        if len(blob) % 2:
+            blob.append(0)
+        off = len(blob)
+        blob.extend(data)
+        return off
+
+    def add_ifd(entries: list[tuple[int, int, int, int]]) -> None:
+        nonlocal link
+        if len(blob) % 2:
+            blob.append(0)
+        ifd = len(blob)
+        blob.extend(struct.pack("<H", len(entries)))
+        for tag, typ, cnt, val in sorted(entries):
+            blob.extend(struct.pack("<HHII", tag, typ, cnt, val))
+        blob.extend(b"\x00\x00\x00\x00")
+        struct.pack_into("<I", blob, link, ifd)
+        link = ifd + 2 + 12 * len(entries)
+
+    h, w = gray.shape
+    off = put(gray.tobytes())
+    add_ifd([
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, off), (277, 3, 1, 1),
+        (278, 4, 1, h), (279, 4, 1, h * w),
+    ])
+
+    ih, iw = ink.shape
+    bits: list[str] = []
+    for y in range(ih):
+        row = ink[y]
+        # alternating white-first runs (a 0-length leading white run is
+        # legal and required when the row starts black, T.4 §4.1.2)
+        acc = []
+        pos, white = 0, True
+        while pos < iw:
+            if white:
+                run_end = pos
+                while run_end < iw and not row[run_end]:
+                    run_end += 1
+            else:
+                run_end = pos
+                while run_end < iw and row[run_end]:
+                    run_end += 1
+            acc.append(_enc_run_bits(run_end - pos, white))
+            pos, white = run_end, not white
+        rowbits = "".join(acc)
+        bits.append(rowbits + "0" * ((-len(rowbits)) % 8))
+    allbits = "".join(bits)
+    fax = bytes(int(allbits[i : i + 8], 2) for i in range(0, len(allbits), 8))
+    off = put(fax)
+    add_ifd([
+        (256, 4, 1, iw), (257, 4, 1, ih), (258, 3, 1, 1), (259, 3, 1, 2),
+        (262, 3, 1, 0), (273, 4, 1, off), (277, 3, 1, 1),
+        (278, 4, 1, ih), (279, 4, 1, len(fax)),
+    ])
+    return bytes(blob)
+
+
+_WHITE_ENC = {v: k for k, v in _WHITE_CODES.items()}
+_BLACK_ENC = {v: k for k, v in _BLACK_CODES.items()}
+
+
 def decode_tiff(data: bytes) -> list[np.ndarray]:
     """Full-chain TIFF decode → one ndarray per IFD page, each
     (h, w) uint8 gray or (h, w, 3) uint8 RGB."""

@@ -1728,16 +1728,23 @@ def q_preproc_targets(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, p.page_no,
              8 + doc_id % 5 AS h, 12 + doc_id % 7 AS w,
              doc_id + 1000 * p.page_no AS seed,
-             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'pdf' END AS fmt
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'pdf'
+                             ELSE 'tiff' END AS fmt
       FROM documents,
-           LATERAL (SELECT unnest(CASE WHEN doc_id % 2 = 0
+           LATERAL (SELECT unnest(CASE WHEN doc_id % 3 = 0
                                        THEN [0] ELSE [0, 1] END) AS page_no) p
     )
     SELECT pg.doc_id, pg.fmt, pg.page_no,
            CAST(pg.h AS INT) AS height, CAST(pg.w AS INT) AS width,
-           CAST(SUM((xs.x + 3 * ys.y + pg.seed) % 256) AS BIGINT)
+           CAST(SUM(CASE WHEN pg.fmt = 'tiff' AND pg.page_no = 1
+                         THEN CASE WHEN (xs.x + 3 * ys.y + pg.seed) % 256 > 127
+                                   THEN 0 ELSE 255 END
+                         ELSE (xs.x + 3 * ys.y + pg.seed) % 256 END) AS BIGINT)
              AS pixel_sum,
-           CAST(SUM(CASE WHEN (xs.x + 3 * ys.y + pg.seed) % 256 > 0
+           CAST(SUM(CASE WHEN pg.fmt = 'tiff' AND pg.page_no = 1
+                         THEN CASE WHEN (xs.x + 3 * ys.y + pg.seed) % 256 > 127
+                                   THEN 0 ELSE 1 END
+                         WHEN (xs.x + 3 * ys.y + pg.seed) % 256 > 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS nonzero_px
     FROM pages pg,
          LATERAL (SELECT unnest(range(pg.w)) AS x) xs,
@@ -1749,15 +1756,18 @@ def q_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """From-scratch codec path, hash-checked end-to-end (SURVEY S2/S3):
     per doc a deterministic gradient image ((x + 3y + seed) mod 256,
     dims seeded by doc_id) is ENCODED on executors with the package
-    write sinks — even doc_ids as PNG, odd as a TWO-page Flate PDF —
-    then pushed through the distributed `decode_media` 1→N explode and
-    integer-checksummed. The oracle never decodes anything: it
-    recomputes the checksums in closed form from the seed, so any
-    pixel-level defect in the PNG/Flate/PDF codecs or the page-explode
-    plumbing hash-mismatches. (The lossy-codec and exotic-mode matrix
-    is pinned by tests/test_media_decode.py against independent
-    test-side encoders; this query puts the lossless paths inside the
-    driver's correctness window.)"""
+    write sinks — doc_id%3==0 as PNG, ==1 as a TWO-page Flate PDF,
+    ==2 as a TWO-page TIFF IFD chain (uncompressed gray page + a
+    CCITT-MH bilevel page of the gradient thresholded at 127, decoded
+    as ink=0/paper=255) — then pushed through the distributed
+    `decode_media` 1→N explode and integer-checksummed. The oracle
+    never decodes anything: it recomputes the checksums in closed form
+    from the seed, so any pixel-level defect in the PNG/Flate/PDF/TIFF
+    codecs or the page-explode plumbing hash-mismatches. (The
+    lossy-codec and exotic-mode matrix is pinned by
+    tests/test_media_decode.py and tests/test_tiff.py against
+    independent test-side encoders; this query puts the lossless paths
+    inside the driver's correctness window.)"""
     import numpy as np
     import pandas as pd
 
@@ -1768,6 +1778,7 @@ def q_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     def gen(batches):
         from openocr_spark.kernels.media_decode import encode_png
         from openocr_spark.kernels.pdf_format import encode_pdf
+        from openocr_spark.kernels.tiff_format import encode_tiff_pages
 
         def img(seed: int, h: int, w: int) -> np.ndarray:
             y, x = np.mgrid[0:h, 0:w]
@@ -1778,11 +1789,15 @@ def q_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             for s in pdf["doc_id"]:
                 s = int(s)
                 h, w = 8 + s % 5, 12 + s % 7
-                content = (
-                    encode_png(img(s, h, w))
-                    if s % 2 == 0
-                    else encode_pdf([img(s, h, w), img(s + 1000, h, w)])
-                )
+                m = s % 3
+                if m == 0:
+                    content = encode_png(img(s, h, w))
+                elif m == 1:
+                    content = encode_pdf([img(s, h, w), img(s + 1000, h, w)])
+                else:
+                    content = encode_tiff_pages(
+                        img(s, h, w), img(s + 1000, h, w) > 127
+                    )
                 rows.append(
                     {"doc_id": str(s), "media_ref": f"m{s}", "content": content}
                 )
@@ -1829,8 +1844,9 @@ def q_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
     return checks.select(
         "doc_id",
-        F.when(F.col("doc_id") % 2 == 0, F.lit("png"))
-        .otherwise(F.lit("pdf"))
+        F.when(F.col("doc_id") % 3 == 0, F.lit("png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("pdf"))
+        .otherwise(F.lit("tiff"))
         .alias("fmt"),
         "page_no", "height", "width", "pixel_sum", "nonzero_px",
     )

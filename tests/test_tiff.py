@@ -308,6 +308,19 @@ def test_tiff_through_spark_decode(spark):
         np.frombuffer(got[0].pixels, np.uint8).reshape(12, 16), gray)
 
 
+def test_package_sink_roundtrip():
+    """The minimal package WRITE sink (encode_tiff_pages — the
+    decode_roundtrip driver query's TIFF leg) round-trips bit-exact."""
+    from openocr_spark.kernels.tiff_format import encode_tiff_pages
+
+    gray = _gray(11, 15, seed=91)
+    ink = _doc_bilevel(9, 14, seed=92)
+    pages = decode_tiff(encode_tiff_pages(gray, ink))
+    assert len(pages) == 2
+    assert np.array_equal(pages[0], gray)
+    assert np.array_equal(pages[1], np.where(ink, 0, 255))
+
+
 def test_magic_dispatch():
     px = _gray(6, 6)
     pages = decode_bytes(write_tiff([{"pixels": px}]))
