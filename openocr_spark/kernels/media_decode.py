@@ -124,6 +124,146 @@ def _decode_pnm(data: bytes) -> np.ndarray:
     raise NotImplementedError(f"netpbm magic {magic!r} not supported")
 
 
+def _decode_pfm(data: bytes) -> np.ndarray:
+    """Portable Float Map (PF color / Pf gray — the netpbm float
+    extension cv2.imread supports): header tokens width/height/scale,
+    scale's SIGN selects endianness (negative = little), float32 raster
+    stored BOTTOM-UP. Output clips [0,1]-normalized values to 8-bit
+    (|scale| is the normalization divisor), matching cv2's 8-bit read
+    convention of clamping the float image."""
+    lines = data.split(b"\n", 3)
+    if len(lines) < 4:
+        raise NotImplementedError("truncated PFM header")
+    magic = lines[0].strip()
+    w, h = (int(t) for t in lines[1].split())
+    scale = float(lines[2].decode("ascii"))
+    raster = lines[3]
+    nch = 3 if magic == b"PF" else 1
+    dt = np.dtype(np.float32).newbyteorder("<" if scale < 0 else ">")
+    n = h * w * nch
+    px = np.frombuffer(raster[: n * 4], dtype=dt).reshape(h, w, nch)
+    px = px[::-1]  # bottom-up
+    norm = abs(scale) or 1.0
+    u8 = np.clip(px / norm * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    if nch == 1:
+        return u8[:, :, 0]
+    return _luma(u8[:, :, 0], u8[:, :, 1], u8[:, :, 2])
+
+
+def _decode_sun_raster(data: bytes) -> np.ndarray:
+    """Sun Raster (.ras/.sr, cv2-readable): 8 big-endian int32 header
+    words (magic 0x59a66a95, w, h, depth, length, rastype, maptype,
+    maplength), optional RGB colormap, rows padded to 16 bits; depths
+    1/8/24; RT_OLD/RT_STANDARD raw and RT_BYTE_ENCODED RLE (0x80 esc)."""
+    magic, w, h, depth, _length, rastype, maptype, maplen = struct.unpack(
+        ">8I", data[:32]
+    )
+    if magic != 0x59A66A95:
+        raise NotImplementedError("not a Sun Raster stream")
+    pos = 32
+    cmap = None
+    if maptype == 1 and maplen:  # RMT_EQUAL_RGB: r-plane, g-plane, b-plane
+        planes = np.frombuffer(data[pos : pos + maplen], dtype=np.uint8)
+        cmap = planes.reshape(3, maplen // 3)
+        pos += maplen
+    elif maplen:
+        pos += maplen  # RMT_RAW: skip
+    row_bytes = ((w * depth + 15) // 16) * 2  # rows pad to 16 bits
+    need = row_bytes * h
+    if rastype == 2:  # RT_BYTE_ENCODED: 0x80 <count> <byte> runs
+        out = bytearray()
+        i = pos
+        while i < len(data) and len(out) < need:
+            b = data[i]
+            if b == 0x80:
+                cnt = data[i + 1]
+                if cnt == 0:
+                    out.append(0x80)
+                    i += 2
+                else:
+                    out += bytes([data[i + 2]]) * (cnt + 1)
+                    i += 3
+            else:
+                out.append(b)
+                i += 1
+        raw = bytes(out[:need])
+    elif rastype in (0, 1):  # RT_OLD / RT_STANDARD
+        raw = data[pos : pos + need]
+    else:
+        raise NotImplementedError(f"Sun Raster type {rastype} (RT_FORMAT_*)")
+    buf = np.frombuffer(raw.ljust(need, b"\x00"), dtype=np.uint8).reshape(h, row_bytes)
+    if depth == 1:
+        bits = np.unpackbits(buf, axis=1)[:, :w]
+        return np.where(bits > 0, 0, 255).astype(np.uint8)  # 1 = black ink
+    if depth == 8:
+        idx = buf[:, :w]
+        if cmap is not None:
+            return _luma(cmap[0][idx], cmap[1][idx], cmap[2][idx])
+        return idx.copy()
+    if depth == 24:  # BGR order (like BMP)
+        px = buf[:, : w * 3].reshape(h, w, 3)
+        return _luma(px[:, :, 2], px[:, :, 1], px[:, :, 0])
+    raise NotImplementedError(f"Sun Raster depth {depth}")
+
+
+def _decode_hdr(data: bytes) -> np.ndarray:
+    """Radiance HDR / RGBE (.hdr, cv2-readable): '#?RADIANCE' text
+    header, '-Y h +X w' resolution line, per-scanline RGBE — new-style
+    per-channel RLE (scanline marker 0x02 0x02) or flat/old-RLE rows.
+    Shared-exponent decode (2^(e-136) per byte mantissa), then clamp to
+    8-bit like cv2's LDR read of an HDR file."""
+    nl = data.find(b"\n")
+    if not data[:nl].startswith((b"#?RADIANCE", b"#?RGBE")):
+        raise NotImplementedError("not a Radiance HDR stream")
+    pos = 0
+    # header ends at the first empty line; next line is the resolution
+    while True:
+        nl = data.find(b"\n", pos)
+        line = data[pos:nl]
+        pos = nl + 1
+        if line == b"":
+            break
+    nl = data.find(b"\n", pos)
+    res = data[pos:nl].split()
+    pos = nl + 1
+    if res[0] != b"-Y" or res[2] != b"+X":
+        raise NotImplementedError(f"HDR orientation {b' '.join(res)!r}")
+    h, w = int(res[1]), int(res[3])
+    rgbe = np.zeros((h, w, 4), dtype=np.uint8)
+    for y in range(h):
+        if (
+            w >= 8
+            and w < 0x8000
+            and data[pos] == 2
+            and data[pos + 1] == 2
+            and (data[pos + 2] << 8 | data[pos + 3]) == w
+        ):
+            pos += 4  # new-style: 4 channels, each RLE'd over the row
+            for c in range(4):
+                x = 0
+                while x < w:
+                    n = data[pos]
+                    if n > 128:  # run of n-128 copies
+                        rgbe[y, x : x + n - 128, c] = data[pos + 1]
+                        x += n - 128
+                        pos += 2
+                    else:  # n literals
+                        lit = np.frombuffer(data[pos + 1 : pos + 1 + n], np.uint8)
+                        rgbe[y, x : x + n, c] = lit
+                        x += n
+                        pos += 1 + n
+        else:  # flat row of RGBE quadruples
+            row = np.frombuffer(data[pos : pos + w * 4], np.uint8)
+            rgbe[y] = row.reshape(w, 4)
+            pos += w * 4
+    mant = rgbe[:, :, :3].astype(np.float64)
+    exp = rgbe[:, :, 3].astype(np.int32)
+    scale = np.where(exp > 0, np.power(2.0, exp - 136), 0.0)[:, :, None]
+    rgb = mant * scale
+    u8 = np.clip(rgb * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    return _luma(u8[:, :, 0], u8[:, :, 1], u8[:, :, 2])
+
+
 def _decode_bmp(data: bytes) -> np.ndarray:
     """Uncompressed BMP parser (BITMAPFILEHEADER + BITMAPINFOHEADER):
     8-bit palette or 24-bit BGR, bottom-up (positive height) or top-down
@@ -490,6 +630,12 @@ def decode_bytes(data: bytes) -> list[np.ndarray]:
         if px.ndim == 3:
             px = _luma(px[:, :, 0], px[:, :, 1], px[:, :, 2])
         return [px]
+    if data[:2] in (b"PF", b"Pf") and data[2:3].isspace():
+        return [_decode_pfm(data)]
+    if data[:4] == b"\x59\xa6\x6a\x95":
+        return [_decode_sun_raster(data)]
+    if data[:2] == b"#?" and data[: data.find(b"\n")] in (b"#?RADIANCE", b"#?RGBE"):
+        return [_decode_hdr(data)]
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         from openocr_spark.kernels.tiff_format import decode_tiff
 
@@ -506,7 +652,8 @@ def decode_bytes(data: bytes) -> list[np.ndarray]:
         "DCTDecode/ObjStm), JPEG (T.81 sequential/progressive/"
         "lossless/hierarchical, Huffman + arithmetic), TIFF (strips/"
         "tiles, CCITT G3/G4, LZW, Deflate, PackBits, JPEG-in-TIFF, "
-        "multi-page IFD chain)"
+        "multi-page IFD chain), PFM (float maps), Sun Raster "
+        "(raw + RLE), Radiance HDR (RGBE)"
     )
 
 
