@@ -636,6 +636,13 @@ def decode_bytes(data: bytes) -> list[np.ndarray]:
         return [_decode_sun_raster(data)]
     if data[:2] == b"#?" and data[: data.find(b"\n")] in (b"#?RADIANCE", b"#?RGBE"):
         return [_decode_hdr(data)]
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from openocr_spark.kernels.webp_format import decode_webp
+
+        px = decode_webp(data)
+        if px.ndim == 3:
+            px = _luma(px[:, :, 0], px[:, :, 1], px[:, :, 2])
+        return [px]
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         from openocr_spark.kernels.tiff_format import decode_tiff
 
@@ -652,8 +659,8 @@ def decode_bytes(data: bytes) -> list[np.ndarray]:
         "DCTDecode/ObjStm), JPEG (T.81 sequential/progressive/"
         "lossless/hierarchical, Huffman + arithmetic), TIFF (strips/"
         "tiles, CCITT G3/G4, LZW, Deflate, PackBits, JPEG-in-TIFF, "
-        "multi-page IFD chain), PFM (float maps), Sun Raster "
-        "(raw + RLE), Radiance HDR (RGBE)"
+        "multi-page IFD chain), WebP lossless (VP8L), PFM (float maps), "
+        "Sun Raster (raw + RLE), Radiance HDR (RGBE)"
     )
 
 

@@ -1,0 +1,467 @@
+"""From-scratch WebP lossless (VP8L) decoder — numpy + stdlib only.
+
+The reference reads WebP implicitly through cv2.imread/imdecode
+(opendet/preprocess/__init__.py:85-143, tools/utils/utility.py:76-107)
+— web-crawl corpora, this engine's 100-TB target, carry WebP heavily.
+Implements the published "WebP Lossless Bitstream Specification":
+
+- RIFF/WEBP container walk (VP8L chunk direct, or inside a VP8X
+  extended container; lossy VP8 chunks fail loudly at a documented
+  boundary).
+- LSB-first bit reader; 14-bit dimensions header.
+- Prefix codes: "simple" (1-2 symbol) and full code-length-coded
+  canonical codes (code-length-code ordering, repeat opcodes 16/17/18,
+  and the optional max_symbol early-stop), decoded MSB-first within
+  the code as the spec prescribes.
+- Entropy image / meta prefix groups (per-block code-group selection),
+  color cache (the 0x1e35a7bd multiplicative hash), LZ77 backward
+  references with the 120-entry 2D plane-code distance mapping, and
+  the length/distance extra-bits prefix ranges.
+- All four transforms, inverted in reverse order: PREDICTOR (the 14
+  spatial predictors incl. Select and the two ClampAddSubtract modes,
+  per-channel mod-256), COLOR (signed 3.5 fixed-point cross-channel
+  deltas), SUBTRACT_GREEN, and COLOR_INDEXING (cumulative palette with
+  1/2/4-bit pixel bundling and the packed sub-resolution width).
+
+The fixed constants below (code-length-code order, the plane-code
+table) are published spec tables — the same sharing stance as the JPEG
+Qe table and the T.4 run-length codes: constants ARE the wire
+contract; the machinery here and in the independent test-side encoder
+(tests/webp_ref_encoder.py) is written separately on each side.
+
+Output: (h, w, 3) uint8 RGB (alpha dropped — cv2.imread's default
+LDR/BGR read path does the same) or (h, w) when the image is gray.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# spec table: order in which code-length-code lengths are transmitted
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+# spec table: the first 120 LZ77 distance codes map to 2D neighborhood
+# offsets (x in [-8, 7], y in [0, 7]) in this exact order
+_CODE_TO_PLANE = [
+    0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1A,
+    0x26, 0x2A, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1B, 0x36, 0x3A,
+    0x25, 0x2B, 0x48, 0x04, 0x47, 0x49, 0x14, 0x1C, 0x35, 0x3B,
+    0x46, 0x4A, 0x24, 0x2C, 0x58, 0x45, 0x4B, 0x34, 0x3C, 0x03,
+    0x57, 0x59, 0x13, 0x1D, 0x56, 0x5A, 0x23, 0x2D, 0x44, 0x4C,
+    0x55, 0x5B, 0x33, 0x3D, 0x68, 0x02, 0x67, 0x69, 0x12, 0x1E,
+    0x66, 0x6A, 0x22, 0x2E, 0x54, 0x5C, 0x43, 0x4D, 0x65, 0x6B,
+    0x32, 0x3E, 0x78, 0x01, 0x77, 0x79, 0x53, 0x5D, 0x11, 0x1F,
+    0x64, 0x6C, 0x42, 0x4E, 0x76, 0x7A, 0x21, 0x2F, 0x75, 0x7B,
+    0x31, 0x3F, 0x63, 0x6D, 0x52, 0x5E, 0x00, 0x74, 0x7C, 0x41,
+    0x4F, 0x10, 0x20, 0x62, 0x6E, 0x30, 0x73, 0x7D, 0x51, 0x5F,
+    0x40, 0x72, 0x7E, 0x61, 0x6F, 0x50, 0x71, 0x7F, 0x60, 0x70,
+]
+
+
+class _LSBReader:
+    """LSB-first bit reader (DEFLATE-style byte packing)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.pos = 0
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            p = self.pos + i
+            byte = self.d[p >> 3] if (p >> 3) < len(self.d) else 0
+            v |= ((byte >> (p & 7)) & 1) << i
+        self.pos += n
+        return v
+
+
+class _Prefix:
+    """Canonical prefix code decoded MSB-first within the code."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        # canonical assignment: shorter codes first, ties by symbol
+        self.map: dict[tuple[int, int], int] = {}
+        self.single: int | None = None
+        nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if not nz:
+            raise NotImplementedError("VP8L prefix code with no symbols")
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            return
+        code = 0
+        prev_len = 0
+        for ln, sym in sorted(nz):
+            code <<= ln - prev_len
+            self.map[(ln, code)] = sym
+            code += 1
+            prev_len = ln
+        self.max_len = max(ln for ln, _ in nz)
+
+    def read(self, br: _LSBReader) -> int:
+        if self.single is not None:
+            return self.single
+        code, ln = 0, 0
+        while ln <= self.max_len:
+            code = (code << 1) | br.bits(1)
+            ln += 1
+            sym = self.map.get((ln, code))
+            if sym is not None:
+                return sym
+        raise NotImplementedError("invalid VP8L prefix code in stream")
+
+
+def _read_prefix_code(br: _LSBReader, alphabet_size: int) -> _Prefix:
+    if br.bits(1):  # simple code: 1 or 2 symbols
+        num_symbols = br.bits(1) + 1
+        first_8bit = br.bits(1)
+        lengths = [0] * alphabet_size
+        s0 = br.bits(8 if first_8bit else 1)
+        lengths[s0] = 1
+        if num_symbols == 2:
+            s1 = br.bits(8)
+            lengths[s1] = 1
+        return _Prefix(lengths)
+    # full code: code lengths are themselves prefix-coded
+    num_codes = br.bits(4) + 4
+    clc_lengths = [0] * 19
+    for i in range(num_codes):
+        clc_lengths[_CLC_ORDER[i]] = br.bits(3)
+    clc = _Prefix(clc_lengths)
+    lengths = [0] * alphabet_size
+    if br.bits(1):  # optional early-stop symbol count
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    sym = 0
+    prev_len = 8
+    while sym < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code_len = clc.read(br)
+        if code_len < 16:
+            lengths[sym] = code_len
+            sym += 1
+            if code_len != 0:
+                prev_len = code_len
+        elif code_len == 16:
+            for _ in range(3 + br.bits(2)):
+                if sym < alphabet_size:
+                    lengths[sym] = prev_len
+                    sym += 1
+        elif code_len == 17:
+            sym += 3 + br.bits(3)
+        else:  # 18
+            sym += 11 + br.bits(7)
+    return _Prefix(lengths)
+
+
+def _prefix_value(code: int, br: _LSBReader) -> int:
+    """LZ77 length/distance prefix range decode (spec §4.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+def _cache_key(argb: int, bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def _decode_entropy_image(br: _LSBReader, w: int, h: int,
+                          level0: bool) -> np.ndarray:
+    """Spatially-coded ARGB image (used for the main image, entropy
+    image, transform sub-images, and palettes) → uint32 (h, w). Every
+    stream carries the color-cache flag; only the level-0 (main) image
+    carries the meta-prefix-codes flag."""
+    cache_bits = 0
+    if br.bits(1):
+        cache_bits = br.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise NotImplementedError(f"VP8L color-cache bits {cache_bits}")
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if level0 and br.bits(1):  # meta prefix codes (main image only)
+        meta_bits = br.bits(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta = _decode_entropy_image(br, mw, mh, level0=False)
+        groups = ((meta >> 8) & 0xFFFF).astype(np.int64)
+        meta = groups
+        n_groups = int(groups.max()) + 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green_alpha = 256 + 24 + cache_size
+    codes = []
+    for _ in range(n_groups):
+        g = _read_prefix_code(br, green_alpha)
+        r = _read_prefix_code(br, 256)
+        b = _read_prefix_code(br, 256)
+        a = _read_prefix_code(br, 256)
+        d = _read_prefix_code(br, 40)
+        codes.append((g, r, b, a, d))
+    cache = [0] * cache_size
+    out = np.zeros(w * h, dtype=np.uint32)
+    pos = 0
+    total = w * h
+    while pos < total:
+        if meta is not None:
+            x, y = pos % w, pos // w
+            grp = codes[int(meta[y >> meta_bits, x >> meta_bits])]
+        else:
+            grp = codes[0]
+        gcode, rcode, bcode, acode, dcode = grp
+        s = gcode.read(br)
+        if s < 256:
+            red = rcode.read(br)
+            blue = bcode.read(br)
+            alpha = acode.read(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            pos += 1
+            if cache_size:
+                cache[_cache_key(px, cache_bits)] = px
+        elif s < 280:  # LZ77 backward reference
+            length = _prefix_value(s - 256, br)
+            dist_code = _prefix_value(dcode.read(br), br)
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                plane = _CODE_TO_PLANE[dist_code - 1]
+                yoff = plane >> 4
+                xoff = 8 - (plane & 0xF)
+                dist = max(1, yoff * w + xoff)
+            if dist > pos:
+                raise NotImplementedError("VP8L backref beyond start")
+            for _ in range(length):
+                if pos >= total:
+                    break
+                px = int(out[pos - dist])
+                out[pos] = px
+                pos += 1
+                if cache_size:
+                    cache[_cache_key(px, cache_bits)] = px
+        else:  # color-cache reference
+            out[pos] = cache[s - 280]
+            pos += 1
+    return out.reshape(h, w)
+
+
+# ------------------------------------------------------- inverse transforms
+
+
+def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a.astype(np.uint16) + b.astype(np.uint16)) // 2
+
+
+def _predict(mode: int, L, T, TL, TR) -> np.ndarray:
+    """One of the 14 spatial predictors over per-channel uint8 [4]."""
+    if mode == 0:
+        return np.array([0xFF, 0, 0, 0], dtype=np.uint8)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T).astype(np.uint8)
+    if mode == 6:
+        return _avg2(L, TL).astype(np.uint8)
+    if mode == 7:
+        return _avg2(L, T).astype(np.uint8)
+    if mode == 8:
+        return _avg2(TL, T).astype(np.uint8)
+    if mode == 9:
+        return _avg2(T, TR).astype(np.uint8)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR)).astype(np.uint8)
+    if mode == 11:  # Select: whole-pixel Manhattan choice
+        pl = np.abs(T.astype(np.int32) - TL.astype(np.int32)).sum()
+        pt = np.abs(L.astype(np.int32) - TL.astype(np.int32)).sum()
+        return L if pl < pt else T
+    if mode == 12:  # ClampAddSubtractFull, per channel
+        v = L.astype(np.int32) + T.astype(np.int32) - TL.astype(np.int32)
+        return np.clip(v, 0, 255).astype(np.uint8)
+    if mode == 13:  # ClampAddSubtractHalf (C-style truncating half-delta)
+        ave = _avg2(L, T).astype(np.int32)
+        d = ave - TL.astype(np.int32)
+        v = ave + np.sign(d) * (np.abs(d) // 2)
+        return np.clip(v, 0, 255).astype(np.uint8)
+    raise NotImplementedError(f"VP8L predictor mode {mode}")
+
+
+def _inv_predictor(px: np.ndarray, modes: np.ndarray, bits: int) -> np.ndarray:
+    """px: (h, w, 4) uint8 ARGB residuals → actual pixels (mod 256)."""
+    h, w, _ = px.shape
+    out = np.zeros_like(px)
+    black = np.array([0xFF, 0, 0, 0], dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = black
+            elif y == 0:
+                pred = out[0, x - 1]  # first row: L
+            elif x == 0:
+                pred = out[y - 1, 0]  # first column: T
+            else:
+                mode = int(modes[y >> bits, x >> bits])
+                L = out[y, x - 1]
+                T = out[y - 1, x]
+                TL = out[y - 1, x - 1]
+                # TR off the right edge: the leftmost pixel of the row
+                # above (scan-order wrap, per the lossless spec)
+                TR = out[y - 1, x + 1] if x + 1 < w else out[y - 1, 0]
+                pred = _predict(mode, L, T, TL, TR)
+            out[y, x] = (px[y, x].astype(np.uint16) + pred.astype(np.uint16)) % 256
+    return out
+
+
+def _ct_delta(pred: np.ndarray, val: np.ndarray) -> np.ndarray:
+    """Signed 3.5 fixed-point cross-channel delta: (int8(p)*int8(v))>>5."""
+    return (pred.astype(np.int8).astype(np.int32)
+            * val.astype(np.int8).astype(np.int32)) >> 5
+
+
+def _inv_color_transform(px: np.ndarray, elems: np.ndarray, bits: int) -> np.ndarray:
+    h, w, _ = px.shape
+    by = np.arange(h) >> bits
+    bx = np.arange(w) >> bits
+    blk = elems[np.ix_(by, bx)]
+    g2r = (blk & 0xFF).astype(np.uint8)
+    g2b = ((blk >> 8) & 0xFF).astype(np.uint8)
+    r2b = ((blk >> 16) & 0xFF).astype(np.uint8)
+    a, r, g, b = (px[:, :, i].astype(np.int32) for i in range(4))
+    r = (r + _ct_delta(g2r, px[:, :, 2])) & 0xFF
+    b = (b + _ct_delta(g2b, px[:, :, 2])) & 0xFF
+    b = (b + _ct_delta(r2b, r.astype(np.uint8))) & 0xFF
+    return np.stack([a, r, g, b], axis=2).astype(np.uint8)
+
+
+def _inv_subtract_green(px: np.ndarray) -> np.ndarray:
+    g = px[:, :, 2].astype(np.uint16)
+    px = px.copy()
+    px[:, :, 1] = ((px[:, :, 1] + g) % 256).astype(np.uint8)
+    px[:, :, 3] = ((px[:, :, 3] + g) % 256).astype(np.uint8)
+    return px
+
+
+def decode_vp8l(data: bytes) -> np.ndarray:
+    """VP8L chunk payload (starting at the 0x2F signature) → (h, w, 4)
+    uint8 ARGB."""
+    if data[0] != 0x2F:
+        raise NotImplementedError("bad VP8L signature byte")
+    br = _LSBReader(data[1:])
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bits(1)  # alpha-used hint
+    if br.bits(3) != 0:
+        raise NotImplementedError("VP8L version != 0")
+
+    transforms = []  # applied forward in stream order; invert in reverse
+    xsize = w
+    palette = None
+    while br.bits(1):
+        ttype = br.bits(2)
+        if ttype == 0:  # PREDICTOR
+            bits = br.bits(3) + 2
+            bw = (xsize + (1 << bits) - 1) >> bits
+            bh = (h + (1 << bits) - 1) >> bits
+            sub = _decode_entropy_image(br, bw, bh, level0=False)
+            transforms.append(("pred", bits, (sub >> 8) & 0xFF))
+        elif ttype == 1:  # COLOR
+            bits = br.bits(3) + 2
+            bw = (xsize + (1 << bits) - 1) >> bits
+            bh = (h + (1 << bits) - 1) >> bits
+            sub = _decode_entropy_image(br, bw, bh, level0=False)
+            transforms.append(("color", bits, sub))
+        elif ttype == 2:  # SUBTRACT_GREEN
+            transforms.append(("subg", 0, None))
+        else:  # COLOR_INDEXING
+            n_colors = br.bits(8) + 1
+            pal_img = _decode_entropy_image(br, n_colors, 1, level0=False)
+            # palette entries are delta-coded component-wise
+            pal = pal_img[0].astype(np.uint32)
+            acc = np.zeros(4, dtype=np.uint32)
+            out_pal = np.zeros(n_colors, dtype=np.uint32)
+            for i in range(n_colors):
+                e = int(pal[i])
+                comps = [(e >> s) & 0xFF for s in (24, 16, 8, 0)]
+                acc = (acc + comps) % 256
+                out_pal[i] = (int(acc[0]) << 24) | (int(acc[1]) << 16) | (
+                    int(acc[2]) << 8) | int(acc[3])
+            palette = out_pal
+            if n_colors <= 2:
+                pack_bits = 3
+            elif n_colors <= 4:
+                pack_bits = 2
+            elif n_colors <= 16:
+                pack_bits = 1
+            else:
+                pack_bits = 0
+            transforms.append(("palette", pack_bits, out_pal))
+            xsize = (xsize + (1 << pack_bits) - 1) >> pack_bits
+
+    argb_flat = _decode_entropy_image(br, xsize, h, level0=True)
+    # unpack to (h, w, 4) uint8 ARGB channels
+    img = np.stack([
+        (argb_flat >> 24) & 0xFF, (argb_flat >> 16) & 0xFF,
+        (argb_flat >> 8) & 0xFF, argb_flat & 0xFF,
+    ], axis=2).astype(np.uint8)
+
+    for kind, bits, aux in reversed(transforms):
+        if kind == "palette":
+            if bits:  # unbundle sub-pixels from the green channel
+                packed = img[:, :, 2]
+                per = 1 << bits
+                ibits = 8 >> bits
+                mask = (1 << ibits) - 1
+                idx = np.zeros((h, w), dtype=np.int64)
+                for i in range(per):
+                    cols = np.arange(packed.shape[1]) * per + i
+                    keep = cols < w
+                    idx[:, cols[keep]] = (packed[:, keep] >> (i * ibits)) & mask
+            else:
+                idx = img[:, :, 2].astype(np.int64)
+            if (idx >= len(aux)).any():
+                idx = np.clip(idx, 0, len(aux) - 1)  # spec: out-of-range → clamp behavior is undefined; clamp
+            px = aux[idx]
+            img = np.stack([
+                (px >> 24) & 0xFF, (px >> 16) & 0xFF,
+                (px >> 8) & 0xFF, px & 0xFF,
+            ], axis=2).astype(np.uint8)
+        elif kind == "subg":
+            img = _inv_subtract_green(img)
+        elif kind == "color":
+            img = _inv_color_transform(img, aux, bits)
+        elif kind == "pred":
+            img = _inv_predictor(img, aux, bits)
+    return img
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """RIFF/WEBP container → (h, w, 3) uint8 RGB (alpha dropped, like
+    cv2.imread's default read)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise NotImplementedError("not a RIFF/WEBP stream")
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if tag == b"VP8L":
+            argb = decode_vp8l(body)
+            return argb[:, :, 1:4]  # RGB
+        if tag == b"VP8 ":
+            raise NotImplementedError(
+                "lossy VP8 WebP not supported (VP8L lossless only)"
+            )
+        # VP8X/ALPH/ICCP/EXIF/XMP etc: keep walking to the image chunk
+        pos += 8 + size + (size & 1)
+    raise NotImplementedError("WEBP container without a VP8L chunk")

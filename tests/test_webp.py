@@ -1,0 +1,181 @@
+"""WebP-lossless (VP8L) decode validation: every decoder path is
+round-tripped through the INDEPENDENT test-side encoder
+(tests/webp_ref_encoder.py — own bit writer, own Huffman construction,
+own forward transforms and LZ77 tokenizer; only the spec-fixed
+code-length order and plane-code tables shared). VP8L is lossless, so
+every comparison is exact.
+"""
+
+import numpy as np
+import pytest
+
+from openocr_spark.kernels.webp_format import decode_webp
+from tests.webp_ref_encoder import encode_vp8l
+
+
+def _rgb(h, w, seed=0, levels=256):
+    rng = np.random.RandomState(seed)
+    return (rng.randint(0, levels, (h, w, 3)) * (256 // levels)).astype(np.uint8)
+
+
+def _check(img, **kw):
+    out = decode_webp(encode_vp8l(img, **kw))
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=2)
+    assert out.shape == img.shape
+    assert np.array_equal(out, img), f"mismatch for {kw}"
+
+
+# ----------------------------------------------------------- entropy layer
+
+
+def test_literals_full_codes():
+    _check(_rgb(13, 17, seed=1))
+
+
+def test_literals_no_repeat_opcodes():
+    _check(_rgb(9, 9, seed=2), use_repeats=False)
+
+
+def test_max_symbol_early_stop():
+    _check(_rgb(11, 12, seed=3), use_max_symbol=True)
+
+
+def test_simple_codes_two_tone():
+    img = np.zeros((10, 14, 3), dtype=np.uint8)
+    img[::2] = [200, 30, 90]  # two distinct pixels → 1-2 symbol codes
+    _check(img)
+
+
+def test_single_color_image():
+    img = np.full((6, 31, 3), 77, dtype=np.uint8)
+    _check(img)
+
+
+def test_color_cache():
+    rng = np.random.RandomState(4)
+    tiles = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+    img = tiles[rng.randint(0, 4, (16, 16))]
+    _check(img, cache_bits=4)
+    _check(img, cache_bits=1)
+
+
+def test_lz77_runs_and_plane_codes():
+    img = _rgb(12, 40, seed=5)
+    img[:, 8:30] = [10, 200, 40]      # horizontal runs (dist 1)
+    img[6:] = img[5]                  # vertical copies (dist = width)
+    _check(img, lz77=True)
+    _check(img, lz77=True, cache_bits=3)
+
+
+def test_long_backref_big_distance():
+    img = _rgb(9, 30, seed=6)
+    img[5:9] = img[0:4]  # distance 5*width > plane neighborhood → code+120
+    _check(img, lz77=True)
+
+
+def test_meta_prefix_groups():
+    img = _rgb(17, 23, seed=7)
+    bits = 3
+    mh, mw = (17 + 7) >> 3, (23 + 7) >> 3
+    groups = (np.indices((mh, mw)).sum(axis=0) % 2).astype(np.int64)
+    _check(img, meta={"bits": bits, "groups": groups})
+
+
+# -------------------------------------------------------------- transforms
+
+
+def test_subtract_green():
+    _check(_rgb(10, 11, seed=8), subtract_green=True)
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_predictor_modes_uniform(mode):
+    img = _rgb(14, 19, seed=20 + mode, levels=32)
+    bits = 4
+    bh, bw = (14 + 15) >> 4, (19 + 15) >> 4
+    modes = np.full((bh, bw), mode, dtype=np.int64)
+    _check(img, predictor=(modes, bits))
+
+
+def test_predictor_mixed_blocks():
+    img = _rgb(20, 33, seed=40)
+    bits = 3
+    bh, bw = (20 + 7) >> 3, (33 + 7) >> 3
+    rng = np.random.RandomState(41)
+    modes = rng.randint(0, 14, (bh, bw)).astype(np.int64)
+    _check(img, predictor=(modes, bits))
+
+
+def test_predictor_after_subtract_green():
+    img = _rgb(15, 16, seed=42)
+    bits = 4
+    modes = np.full((1, 1), 7, dtype=np.int64)
+    _check(img, subtract_green=True, predictor=(modes, bits))
+
+
+def test_color_transform():
+    img = _rgb(13, 14, seed=43)
+    _check(img, color=(0x23, 0xF1, 0x4C, 3))
+    _check(img, color=(0x80, 0x7F, 0x01, 2))  # extreme signed deltas
+
+
+@pytest.mark.parametrize("n_colors", [2, 4, 16, 180])
+def test_palette_with_bundling(n_colors):
+    rng = np.random.RandomState(50 + n_colors)
+    pal = rng.randint(0, 256, (n_colors, 3)).astype(np.uint8)
+    idx = rng.randint(0, n_colors, (11, 29))
+    _check(pal[idx])
+
+
+def test_palette_width_not_multiple_of_bundle():
+    rng = np.random.RandomState(60)
+    pal = rng.randint(0, 256, (3, 3)).astype(np.uint8)
+    idx = rng.randint(0, 3, (7, 13))  # 4px/byte bundling, 13 % 4 != 0
+    _check(pal[idx])
+
+
+# --------------------------------------------------------------- container
+
+
+def test_vp8x_container():
+    _check(_rgb(8, 8, seed=70), vp8x=True)
+
+
+def test_lossy_vp8_fails_loudly():
+    import struct
+
+    payload = b"\x00" * 10
+    riff = b"WEBP" + b"VP8 " + struct.pack("<I", len(payload)) + payload
+    data = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp(data)
+
+
+def test_gray_input_roundtrip():
+    rng = np.random.RandomState(71)
+    _check(rng.randint(0, 256, (9, 21)).astype(np.uint8))
+
+
+# ------------------------------------------------------------- Spark path
+
+
+def test_webp_through_spark_decode(spark):
+    from openocr_spark.kernels.media_decode import _luma, decode_bytes, decode_media
+
+    img = _rgb(12, 18, seed=80)
+    data = encode_vp8l(img, lz77=True, cache_bits=2, subtract_green=True)
+    pages = decode_bytes(data)
+    assert len(pages) == 1
+    expect = _luma(img[:, :, 0].astype(np.uint32), img[:, :, 1], img[:, :, 2])
+    assert np.array_equal(pages[0], expect)
+
+    df = spark.createDataFrame(
+        [("d1", "m1", bytearray(data))],
+        "doc_id string, media_ref string, content binary",
+    )
+    got = decode_media(df).collect()
+    assert (got[0].height, got[0].width) == (12, 18)
+    assert np.array_equal(
+        np.frombuffer(got[0].pixels, np.uint8).reshape(12, 18), expect
+    )
