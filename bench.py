@@ -70,10 +70,12 @@ def log(msg: str) -> None:
 
 def _build_real_media(spark, n_media: int, media_dir: str) -> None:
     """Materialize (doc_id, media_ref, content) rows of REAL encoded
-    bytes: K distinct synthetic gray images across 5 containers — PNG
+    bytes: K distinct synthetic gray images across 10 containers — PNG
     (package encode_png), Flate-PDF page, baseline JPEG,
-    JPEG-embedded-in-PDF (/DCTDecode), and ARITHMETIC-coded JPEG
-    (SOF9) — assigned round-robin. JPEG encoding comes from the
+    JPEG-embedded-in-PDF (/DCTDecode), ARITHMETIC-coded JPEG (SOF9),
+    hierarchical JPEG (SOF5 pyramid), CCITT-G4 TIFF, abbreviated
+    JPEG-in-TIFF, WebP lossless (VP8L), and the VP8L palette path —
+    assigned round-robin. Non-package encoders come from the
     independent test-side encoders when the tests/ tree is present
     (repo runs), else those slots fall back to PNG/Flate-PDF."""
     import numpy as np
@@ -87,11 +89,12 @@ def _build_real_media(spark, n_media: int, media_dir: str) -> None:
         from jpeg_hier_ref_encoder import encode_jpeg_hierarchical
         from jpeg_ref_encoder import encode_jpeg
         from tiff_ref_encoder import write_tiff
+        from webp_ref_encoder import encode_vp8l
     except ImportError:
         encode_jpeg = encode_jpeg_arith = encode_jpeg_hierarchical = None
-        write_tiff = None
+        write_tiff = encode_vp8l = None
 
-    K = 48  # divisible by the 8-format cycle
+    K = 40  # divisible by the 10-format cycle
     variants: list[bytes] = []
     for k in range(K):
         x, y = np.meshgrid(np.arange(160), np.arange(96))
@@ -100,7 +103,7 @@ def _build_real_media(spark, n_media: int, media_dir: str) -> None:
             .clip(0, 255)
             .astype(np.uint8)
         )
-        fmt = k % 8
+        fmt = k % 10
         if fmt == 0:
             variants.append(encode_png(img))
         elif fmt == 1:
@@ -130,6 +133,14 @@ def _build_real_media(spark, n_media: int, media_dir: str) -> None:
                 "pixels": img, "compression": 7, "photometric": 1,
                 "jpeg_bytes": encode_jpeg(img), "jpeg_split_tables": True,
             }]))
+        elif fmt == 8 and encode_vp8l is not None:
+            # v5 mix: WebP lossless (subtract-green + LZ77 + color cache)
+            variants.append(encode_vp8l(img, subtract_green=True, lz77=True,
+                                        cache_bits=6))
+        elif fmt == 9 and encode_vp8l is not None:
+            # v5 mix: WebP palette path (16-level quantize → 4-bit bundling)
+            variants.append(encode_vp8l((img >> 4) << 4, palette=True,
+                                        lz77=True))
         else:
             variants.append(encode_png(img) if fmt % 2 == 0 else encode_pdf([img]))
     import pandas as pd
@@ -281,12 +292,12 @@ def main() -> None:
             # then the timed job is the distributed decode + 1→N page
             # explode + per-page feature stats.
             n_media = int(os.environ.get("BENCH_REALMEDIA_ROWS", "20000"))
-            # v4: payload mix adds CCITT-G4 TIFF and abbreviated
-            # JPEG-in-TIFF to the v3 hierarchical mix — the version
-            # suffix invalidates stale caches from older mixes
+            # v5: payload mix adds WebP lossless (VP8L entropy +
+            # palette paths) to the v4 TIFF mix — the version suffix
+            # invalidates stale caches from older mixes
             media_dir = os.path.join(
                 os.environ.get("TMPDIR", "/tmp"),
-                f"bench_realmedia_v4_{n_media}",
+                f"bench_realmedia_v5_{n_media}",
             )
             if not os.path.exists(os.path.join(media_dir, "_SUCCESS")):
                 log(f"materializing {n_media} real-media rows -> {media_dir}")
@@ -308,7 +319,7 @@ def main() -> None:
             n_pages = out.count()
             extras["realmedia_rows"] = float(n_media)
             extras["realmedia_pages"] = float(n_pages)
-            extras["realmedia_mix"] = "v4-png-pdf-jpeg-dct-arith-hier-g4tiff-jpegtiff"
+            extras["realmedia_mix"] = "v5-png-pdf-jpeg-dct-arith-hier-g4tiff-jpegtiff-vp8l-vp8lpal"
             extras["media_per_sec"] = round(n_media / dt, 2)
             extras["pages_per_sec"] = round(n_pages / dt, 2)
         elif name in SPARK_Q:

@@ -61,28 +61,40 @@ _CODE_TO_PLANE = [
 
 
 class _LSBReader:
-    """LSB-first bit reader (DEFLATE-style byte packing)."""
+    """LSB-first bit reader with a refillable bit buffer (the DEFLATE
+    byte-packing convention)."""
 
     def __init__(self, data: bytes) -> None:
         self.d = data
-        self.pos = 0
+        self.bytepos = 0
+        self.buf = 0
+        self.n = 0
 
-    def bits(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            p = self.pos + i
-            byte = self.d[p >> 3] if (p >> 3) < len(self.d) else 0
-            v |= ((byte >> (p & 7)) & 1) << i
-        self.pos += n
+    def _fill(self, need: int) -> None:
+        d, bp, buf, n = self.d, self.bytepos, self.buf, self.n
+        ln = len(d)
+        while n < need:
+            buf |= (d[bp] if bp < ln else 0) << n
+            n += 8
+            bp += 1
+        self.bytepos, self.buf, self.n = bp, buf, n
+
+    def bits(self, k: int) -> int:
+        if self.n < k:
+            self._fill(k)
+        v = self.buf & ((1 << k) - 1)
+        self.buf >>= k
+        self.n -= k
         return v
 
 
 class _Prefix:
-    """Canonical prefix code decoded MSB-first within the code."""
+    """Canonical prefix code (codes are MSB-first in the spec; against
+    the LSB-first stream that makes the raw peeked value the
+    bit-reversed code, so a full-width LUT indexes directly on it)."""
 
     def __init__(self, lengths: list[int]) -> None:
         # canonical assignment: shorter codes first, ties by symbol
-        self.map: dict[tuple[int, int], int] = {}
         self.single: int | None = None
         nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
         if not nz:
@@ -90,26 +102,40 @@ class _Prefix:
         if len(nz) == 1:
             self.single = nz[0][1]
             return
+        max_len = max(ln for ln, _ in nz)
+        if max_len > 15:
+            raise NotImplementedError("VP8L prefix code deeper than 15")
+        self.max_len = max_len
+        lut = [None] * (1 << max_len)
         code = 0
         prev_len = 0
         for ln, sym in sorted(nz):
             code <<= ln - prev_len
-            self.map[(ln, code)] = sym
-            code += 1
             prev_len = ln
-        self.max_len = max(ln for ln, _ in nz)
+            rev = 0
+            c = code
+            for _ in range(ln):
+                rev = (rev << 1) | (c & 1)
+                c >>= 1
+            step = 1 << ln
+            entry = (sym, ln)
+            for filler in range(rev, 1 << max_len, step):
+                lut[filler] = entry
+            code += 1
+        if any(e is None for e in lut):
+            raise NotImplementedError("incomplete VP8L prefix code")
+        self.lut = lut
 
     def read(self, br: _LSBReader) -> int:
         if self.single is not None:
             return self.single
-        code, ln = 0, 0
-        while ln <= self.max_len:
-            code = (code << 1) | br.bits(1)
-            ln += 1
-            sym = self.map.get((ln, code))
-            if sym is not None:
-                return sym
-        raise NotImplementedError("invalid VP8L prefix code in stream")
+        k = self.max_len
+        if br.n < k:
+            br._fill(k)
+        sym, ln = self.lut[br.buf & ((1 << k) - 1)]
+        br.buf >>= ln
+        br.n -= ln
+        return sym
 
 
 def _read_prefix_code(br: _LSBReader, alphabet_size: int) -> _Prefix:
@@ -205,9 +231,10 @@ def _decode_entropy_image(br: _LSBReader, w: int, h: int,
         d = _read_prefix_code(br, 40)
         codes.append((g, r, b, a, d))
     cache = [0] * cache_size
-    out = np.zeros(w * h, dtype=np.uint32)
+    out: list[int] = [0] * (w * h)
     pos = 0
     total = w * h
+    cache_shift = 32 - cache_bits if cache_bits else 0
     while pos < total:
         if meta is not None:
             x, y = pos % w, pos // w
@@ -224,7 +251,7 @@ def _decode_entropy_image(br: _LSBReader, w: int, h: int,
             out[pos] = px
             pos += 1
             if cache_size:
-                cache[_cache_key(px, cache_bits)] = px
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> cache_shift] = px
         elif s < 280:  # LZ77 backward reference
             length = _prefix_value(s - 256, br)
             dist_code = _prefix_value(dcode.read(br), br)
@@ -237,18 +264,21 @@ def _decode_entropy_image(br: _LSBReader, w: int, h: int,
                 dist = max(1, yoff * w + xoff)
             if dist > pos:
                 raise NotImplementedError("VP8L backref beyond start")
-            for _ in range(length):
-                if pos >= total:
-                    break
-                px = int(out[pos - dist])
-                out[pos] = px
-                pos += 1
-                if cache_size:
-                    cache[_cache_key(px, cache_bits)] = px
+            length = min(length, total - pos)
+            if dist >= length and not cache_size:
+                out[pos : pos + length] = out[pos - dist : pos - dist + length]
+                pos += length
+            else:
+                for _ in range(length):
+                    px = out[pos - dist]
+                    out[pos] = px
+                    pos += 1
+                    if cache_size:
+                        cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> cache_shift] = px
         else:  # color-cache reference
             out[pos] = cache[s - 280]
             pos += 1
-    return out.reshape(h, w)
+    return np.array(out, dtype=np.uint32).reshape(h, w)
 
 
 # ------------------------------------------------------- inverse transforms
