@@ -636,6 +636,13 @@ def decode_bytes(data: bytes) -> list[np.ndarray]:
         return [_decode_sun_raster(data)]
     if data[:2] == b"#?" and data[: data.find(b"\n")] in (b"#?RADIANCE", b"#?RGBE"):
         return [_decode_hdr(data)]
+    if data[:4] == b"\x76\x2f\x31\x01":
+        from openocr_spark.kernels.exr_format import decode_exr
+
+        px = decode_exr(data)
+        if px.ndim == 3:
+            px = _luma(px[:, :, 0], px[:, :, 1], px[:, :, 2])
+        return [px]
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         from openocr_spark.kernels.webp_format import decode_webp
 
@@ -659,8 +666,9 @@ def decode_bytes(data: bytes) -> list[np.ndarray]:
         "DCTDecode/ObjStm), JPEG (T.81 sequential/progressive/"
         "lossless/hierarchical, Huffman + arithmetic), TIFF (strips/"
         "tiles, CCITT G3/G4, LZW, Deflate, PackBits, JPEG-in-TIFF, "
-        "multi-page IFD chain), WebP lossless (VP8L), PFM (float maps), "
-        "Sun Raster (raw + RLE), Radiance HDR (RGBE)"
+        "multi-page IFD chain), WebP lossless (VP8L), OpenEXR scanline "
+        "(NONE/ZIPS/ZIP, half+float), PFM (float maps), Sun Raster "
+        "(raw + RLE), Radiance HDR (RGBE)"
     )
 
 
