@@ -492,6 +492,25 @@ def decode_webp(data: bytes) -> np.ndarray:
             raise NotImplementedError(
                 "lossy VP8 WebP not supported (VP8L lossless only)"
             )
-        # VP8X/ALPH/ICCP/EXIF/XMP etc: keep walking to the image chunk
+        if tag == b"ANMF":
+            # animated WebP: decode the FIRST frame's pixels — the same
+            # first-frame convention the GIF path (and cv2.imread)
+            # applies to animations. The 16-byte ANMF header (frame
+            # x/y/w/h/duration/flags) precedes the frame's own chunks.
+            inner = body[16:]
+            ipos = 0
+            while ipos + 8 <= len(inner):
+                itag = inner[ipos : ipos + 4]
+                (isize,) = struct.unpack("<I", inner[ipos + 4 : ipos + 8])
+                if itag == b"VP8L":
+                    argb = decode_vp8l(inner[ipos + 8 : ipos + 8 + isize])
+                    return argb[:, :, 1:4]
+                if itag == b"VP8 ":
+                    raise NotImplementedError(
+                        "lossy VP8 WebP not supported (VP8L lossless only)"
+                    )
+                ipos += 8 + isize + (isize & 1)
+            raise NotImplementedError("ANMF frame without a VP8L chunk")
+        # VP8X/ANIM/ALPH/ICCP/EXIF/XMP etc: walk on to the image chunk
         pos += 8 + size + (size & 1)
     raise NotImplementedError("WEBP container without a VP8L chunk")

@@ -197,6 +197,23 @@ def main() -> None:
         )) == img).all())
         print(f"[codecs]    hierarchical DHP pyramid bit-exact: {hexact}")
 
+        # G4-fax TIFF and lossless WebP round-trip bit-exact too
+        from tiff_ref_encoder import write_tiff
+        from webp_ref_encoder import encode_vp8l
+        from openocr_spark.kernels.tiff_format import decode_tiff
+        from openocr_spark.kernels.webp_format import decode_webp
+
+        ink = img > 128
+        g4ok = bool((decode_tiff(write_tiff(
+            [{"pixels": ink, "compression": 4}]
+        ))[0] == np.where(ink, 0, 255)).all())
+        rgb = np.stack([img] * 3, axis=2)
+        webp_ok = bool((decode_webp(encode_vp8l(
+            rgb, subtract_green=True, lz77=True, cache_bits=6
+        )) == rgb).all())
+        print(f"[codecs]    G4-fax TIFF bit-exact: {g4ok}; "
+              f"VP8L WebP bit-exact: {webp_ok}")
+
     # 4c ── LMDB round-trip through the pure-python format
     from openocr_spark.sources import lmdb_format as L
 

@@ -152,6 +152,36 @@ def test_lossy_vp8_fails_loudly():
         decode_webp(data)
 
 
+def test_animated_webp_first_frame():
+    """ANIM/ANMF containers decode to the FIRST frame's pixels — the
+    same convention the GIF path (and cv2.imread) applies."""
+    import struct
+
+    f1 = _rgb(6, 9, seed=72)
+    f2 = _rgb(6, 9, seed=73)
+
+    def anmf(img):
+        payload = encode_vp8l(img)
+        # extract the raw VP8L chunk from the encoder's RIFF wrapper
+        idx = payload.index(b"VP8L")
+        (sz,) = struct.unpack("<I", payload[idx + 4 : idx + 8])
+        chunk = payload[idx : idx + 8 + sz + (sz & 1)]
+        # 16-byte ANMF header: x/3, y/3, (w-1)/3, (h-1)/3, duration/3, flags/1
+        head = (b"\x00\x00\x00" + b"\x00\x00\x00"
+                + bytes([8, 0, 0]) + bytes([5, 0, 0])
+                + b"\x00\x00\x00" + b"\x00")
+        body = head + chunk
+        return b"ANMF" + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x02, 0, 0, 0]) + bytes(
+        [8, 0, 0]) + bytes([5, 0, 0])
+    anim = b"ANIM" + struct.pack("<I", 6) + b"\x00" * 6
+    riff = b"WEBP" + vp8x + anim + anmf(f1) + anmf(f2)
+    data = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    out = decode_webp(data)
+    assert np.array_equal(out, f1)
+
+
 def test_gray_input_roundtrip():
     rng = np.random.RandomState(71)
     _check(rng.randint(0, 256, (9, 21)).astype(np.uint8))
