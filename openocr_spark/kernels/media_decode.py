@@ -109,17 +109,29 @@ def _decode_pnm(data: bytes) -> np.ndarray:
             pos += 1
         tokens.append(int(data[start:pos]))
     w, h, maxval = tokens
-    if maxval > 255:
-        raise NotImplementedError("16-bit netpbm samples not supported")
     if magic == b"P2":
-        vals = np.array(data[pos:].split()[: h * w], dtype=np.uint16)
+        vals = np.array(data[pos:].split()[: h * w], dtype=np.uint32)
         return (vals * 255 // maxval).astype(np.uint8).reshape(h, w)
     pos += 1  # single whitespace byte after maxval before raster
+    # raw rasters: 1 byte/sample for maxval ≤ 255, else 2 bytes
+    # BIG-endian (netpbm "plain raster" rule), scaled to 8-bit
+    wide = maxval > 255
     if magic == b"P5":
-        px = np.frombuffer(data[pos : pos + h * w], dtype=np.uint8).reshape(h, w)
+        n = h * w
+        if wide:
+            v = np.frombuffer(data[pos : pos + 2 * n], dtype=">u2").astype(np.uint32)
+            return (v * 255 // maxval).astype(np.uint8).reshape(h, w)
+        px = np.frombuffer(data[pos : pos + n], dtype=np.uint8).reshape(h, w)
         return px if maxval == 255 else (px.astype(np.uint16) * 255 // maxval).astype(np.uint8)
     if magic == b"P6":
-        rgb = np.frombuffer(data[pos : pos + h * w * 3], dtype=np.uint8).reshape(h, w, 3)
+        n = h * w * 3
+        if wide:
+            v = np.frombuffer(data[pos : pos + 2 * n], dtype=">u2").astype(np.uint32)
+            rgb = (v * 255 // maxval).astype(np.uint8).reshape(h, w, 3)
+        else:
+            rgb = np.frombuffer(data[pos : pos + n], dtype=np.uint8).reshape(h, w, 3)
+            if maxval != 255:
+                rgb = (rgb.astype(np.uint16) * 255 // maxval).astype(np.uint8)
         return _luma(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
     raise NotImplementedError(f"netpbm magic {magic!r} not supported")
 
@@ -264,10 +276,57 @@ def _decode_hdr(data: bytes) -> np.ndarray:
     return _luma(u8[:, :, 0], u8[:, :, 1], u8[:, :, 2])
 
 
+def _bmp_rle_decode(data: bytes, pos: int, w: int, h: int, four_bit: bool) -> np.ndarray:
+    """BI_RLE8 / BI_RLE4 → (h, w) palette indices in FILE row order
+    (bottom-up; caller flips). Escapes: 00 00 end-of-line, 00 01
+    end-of-bitmap, 00 02 dx dy delta, 00 n absolute run (word-padded)."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    while pos + 1 < len(data) and y < h:
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt > 0:
+            if four_bit:
+                pair = [(val >> 4) & 0xF, val & 0xF]
+                for i in range(cnt):
+                    if x < w:
+                        out[y, x] = pair[i & 1]
+                        x += 1
+            else:
+                end = min(x + cnt, w)
+                out[y, x:end] = val
+                x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute run of `val` pixels, padded to a word boundary
+            if four_bit:
+                nbytes = (val + 1) // 2
+                for i in range(val):
+                    b = data[pos + (i >> 1)]
+                    if x < w:
+                        out[y, x] = (b >> 4) & 0xF if i & 1 == 0 else b & 0xF
+                        x += 1
+                pos += nbytes + (nbytes & 1)
+            else:
+                end = min(x + val, w)
+                out[y, x:end] = np.frombuffer(data[pos : pos + (end - x)], np.uint8)
+                x += val
+                pos += val + (val & 1)
+    return out
+
+
 def _decode_bmp(data: bytes) -> np.ndarray:
-    """Uncompressed BMP parser (BITMAPFILEHEADER + BITMAPINFOHEADER):
-    8-bit palette or 24-bit BGR, bottom-up (positive height) or top-down
-    (negative), rows padded to 4 bytes; output 8-bit grayscale."""
+    """BMP parser (BITMAPFILEHEADER + BITMAPINFO/V4/V5 header):
+    1/4/8-bit palette (raw + BI_RLE4/BI_RLE8), 16-bit (555 default or
+    BI_BITFIELDS masks), 24-bit BGR, 32-bit BGRA/bitfields; bottom-up
+    (positive height) or top-down (negative), rows padded to 4 bytes;
+    output 8-bit grayscale."""
     if data[:2] != b"BM":
         raise NotImplementedError("not a BMP")
     (px_offset,) = struct.unpack_from("<I", data, 10)
@@ -275,40 +334,77 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     w, h_signed = struct.unpack_from("<ii", data, 18)
     _planes, bpp = struct.unpack_from("<HH", data, 26)
     (compression,) = struct.unpack_from("<I", data, 30)
-    if hdr_size < 40 or compression != 0 or bpp not in (8, 24):
+    if hdr_size < 40 or bpp not in (1, 4, 8, 16, 24, 32):
         raise NotImplementedError(
-            f"only uncompressed 8/24-bit BITMAPINFOHEADER BMPs supported "
-            f"(hdr={hdr_size}, comp={compression}, bpp={bpp})"
+            f"unsupported BMP shape (hdr={hdr_size}, comp={compression}, bpp={bpp})"
         )
+    if compression not in (0, 1, 2, 3) or (compression == 1 and bpp != 8) or (
+            compression == 2 and bpp != 4):
+        raise NotImplementedError(f"BMP compression {compression} at {bpp} bpp")
     top_down = h_signed < 0
     h = abs(h_signed)
-    row_bytes = (w * bpp // 8 + 3) & ~3
-    if bpp == 8:
-        # palette: 4 bytes/entry (B,G,R,0) right after the info header;
-        # its length is biClrUsed (offset 46, 0 meaning the full 2^bpp),
-        # further bounded by the bytes before pixel data — a fixed
-        # 1024-byte slice would read PIXELS as palette for encoders that
-        # write a truncated table (biClrUsed < 256)
+    row_bytes = ((w * bpp + 7) // 8 + 3) & ~3
+    if bpp <= 8:
+        # palette: 4 bytes/entry (B,G,R,0) after the info header (and
+        # after the 12 mask bytes if comp=3 with a plain 40-byte header);
+        # length is biClrUsed (0 = full 2^bpp), further bounded by the
+        # bytes before pixel data — a fixed slice would read PIXELS as
+        # palette for encoders that write a truncated table
         (clr_used,) = struct.unpack_from("<I", data, 46)
-        n_entries = clr_used or 256
-        n_entries = min(n_entries, max((px_offset - (14 + hdr_size)) // 4, 0))
+        pal_at = 14 + hdr_size + (12 if (compression == 3 and hdr_size == 40) else 0)
+        n_entries = clr_used or (1 << bpp)
+        n_entries = min(n_entries, max((px_offset - pal_at) // 4, 0))
         if n_entries <= 0:
             raise NotImplementedError("BMP palette missing")
         pal = np.frombuffer(
-            data[14 + hdr_size : 14 + hdr_size + 4 * n_entries], dtype=np.uint8
+            data[pal_at : pal_at + 4 * n_entries], dtype=np.uint8
         ).reshape(-1, 4)
         gray_lut = _luma(pal[:, 2], pal[:, 1], pal[:, 0])
+        if compression in (1, 2):
+            idx = _bmp_rle_decode(data, px_offset, w, h, compression == 2)
+        elif bpp == 8:
+            rows = [
+                np.frombuffer(data[px_offset + y * row_bytes :][:w], np.uint8)
+                for y in range(h)
+            ]
+            idx = np.stack(rows)
+        else:  # 1/4-bit packed, MSB-first within the byte
+            nb = (w * bpp + 7) // 8
+            buf = np.stack([
+                np.frombuffer(data[px_offset + y * row_bytes :][:nb], np.uint8)
+                for y in range(h)
+            ])
+            bits = np.unpackbits(buf, axis=1)[:, : w * bpp].reshape(h, w, bpp)
+            weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
+            idx = (bits * weights).sum(axis=2).astype(np.uint8)
+        if int(idx.max(initial=0)) >= n_entries:
+            # an index past the palette is corrupt input — fail loud
+            # rather than clamp to a garbage luma value
+            raise NotImplementedError("BMP palette index out of range")
+        px = gray_lut[idx]
+    elif bpp in (16, 32):
+        if compression == 3:
+            rmask, gmask, bmask = struct.unpack_from("<III", data, 54)
+        elif bpp == 16:
+            rmask, gmask, bmask = 0x7C00, 0x03E0, 0x001F  # 555 default
+        else:
+            rmask, gmask, bmask = 0x00FF0000, 0x0000FF00, 0x000000FF
+
+        def extract(v: np.ndarray, mask: int) -> np.ndarray:
+            shift = (mask & -mask).bit_length() - 1
+            width = int(mask >> shift).bit_length()
+            c = (v >> shift) & (mask >> shift)
+            return ((c.astype(np.uint32) * 255) // ((1 << width) - 1)).astype(np.uint8)
+
+        step = bpp // 8
+        dt = np.uint16 if bpp == 16 else np.uint32
         rows = []
         for y in range(h):
             off = px_offset + y * row_bytes
-            idx = np.frombuffer(data[off : off + w], dtype=np.uint8)
-            if int(idx.max(initial=0)) >= n_entries:
-                # an index past the palette is corrupt input — fail loud
-                # rather than clamp to a garbage luma value
-                raise NotImplementedError("BMP palette index out of range")
-            rows.append(gray_lut[idx])
+            v = np.frombuffer(data[off : off + w * step], dtype=f"<u{step}").astype(dt)
+            rows.append(_luma(extract(v, rmask), extract(v, gmask), extract(v, bmask)))
         px = np.stack(rows)
-    else:
+    else:  # 24-bit BGR
         rows = []
         for y in range(h):
             off = px_offset + y * row_bytes
