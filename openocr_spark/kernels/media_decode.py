@@ -755,6 +755,20 @@ def decode_bytes(data: bytes) -> list[np.ndarray]:
                 px = _luma(px[:, :, 0], px[:, :, 1], px[:, :, 2])
             pages.append(px)
         return pages
+    if data[:4] in (b"\x28\x00\x00\x00", b"\x6c\x00\x00\x00", b"\x7c\x00\x00\x00"):
+        # headerless DIB (.dib — the BITMAPINFO/V4/V5 header with no BM
+        # file header, as cv2.imread accepts): synthesize the 14-byte
+        # file header; pixel data follows header (+ masks) + palette
+        (hdr_size,) = struct.unpack_from("<I", data, 0)
+        _w, _h = struct.unpack_from("<ii", data, 4)
+        (bpp,) = struct.unpack_from("<H", data, 14)
+        (comp,) = struct.unpack_from("<I", data, 16)
+        (clr_used,) = struct.unpack_from("<I", data, 32)
+        masks = 12 if (comp == 3 and hdr_size == 40) else 0
+        pal = 4 * (clr_used or ((1 << bpp) if bpp <= 8 else 0))
+        px_offset = 14 + hdr_size + masks + pal
+        filehdr = b"BM" + struct.pack("<IHHI", 14 + len(data), 0, 0, px_offset)
+        return [_decode_bmp(filehdr + data)]
     raise NotImplementedError(
         "unknown media magic; supported from-scratch codecs: FAKEIMG1, "
         "PGM/PPM (P2/P5/P6), uncompressed BMP (8/24-bit), PNG (all "

@@ -148,6 +148,24 @@ def test_bmp_rle4():
     assert np.array_equal(out, _pal_luma(pal)[expect_idx][::-1])
 
 
+def test_headerless_dib():
+    """A .dib (BITMAPINFOHEADER with no BM file header) decodes like
+    the equivalent BMP."""
+    rng = np.random.RandomState(9)
+    rgb = rng.randint(0, 256, (4, 6, 3)).astype(np.uint8)
+    rows = b""
+    for y in range(3, -1, -1):
+        row = b"".join(bytes([rgb[y, x, 2], rgb[y, x, 1], rgb[y, x, 0]])
+                       for x in range(6))
+        rows += row + b"\x00" * ((-len(row)) % 4)
+    full = _bmp_headers(6, 4, 24, 0, len(rows)) + rows
+    dib = full[14:]  # strip the BM file header
+    out = decode_bytes(dib)[0]
+    assert np.array_equal(out, decode_bytes(full)[0])
+    assert np.array_equal(out, _luma(rgb[:, :, 0].astype(np.uint32),
+                                     rgb[:, :, 1], rgb[:, :, 2]))
+
+
 def test_pnm_16bit():
     rng = np.random.RandomState(4)
     v = rng.randint(0, 65536, (6, 9)).astype(np.uint16)
