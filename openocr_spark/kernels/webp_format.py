@@ -345,9 +345,11 @@ def _inv_predictor(px: np.ndarray, modes: np.ndarray, bits: int) -> np.ndarray:
                 L = out[y, x - 1]
                 T = out[y - 1, x]
                 TL = out[y - 1, x - 1]
-                # TR off the right edge: the leftmost pixel of the row
-                # above (scan-order wrap, per the lossless spec)
-                TR = out[y - 1, x + 1] if x + 1 < w else out[y - 1, 0]
+                # TR off the right edge: the FIRST pixel of the CURRENT
+                # row (already reconstructed at x=0) — the spec codifies
+                # the reference decoder's contiguous-buffer addressing,
+                # where top[width] aliases row y's pixel 0
+                TR = out[y - 1, x + 1] if x + 1 < w else out[y, 0]
                 pred = _predict(mode, L, T, TL, TR)
             out[y, x] = (px[y, x].astype(np.uint16) + pred.astype(np.uint16)) % 256
     return out

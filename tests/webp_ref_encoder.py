@@ -448,8 +448,10 @@ def _fwd_predictor(argb: np.ndarray, modes: np.ndarray, bits: int) -> np.ndarray
                 L = _chan(int(argb[y, x - 1]))
                 T = _chan(int(argb[y - 1, x]))
                 TL = _chan(int(argb[y - 1, x - 1]))
+                # TR at the right edge: first pixel of the CURRENT row
+                # (the reference decoder's top[width] buffer aliasing)
                 TR = _chan(int(argb[y - 1, x + 1])) if x + 1 < w else _chan(
-                    int(argb[y - 1, 0]))
+                    int(argb[y, 0]))
                 pred = _predict_px(mode, L, T, TL, TR)
             res[y, x] = _pack(tuple((c - p) & 0xFF for c, p in zip(cur, pred)))
     return res
