@@ -490,6 +490,119 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     return img
 
 
+class _LSBWriterMin:
+    """Minimal LSB-first bit writer for the encode sink below."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc |= value << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def tobytes(self) -> bytes:
+        out = bytes(self.buf)
+        if self.n:
+            out += bytes([self.acc & ((1 << self.n) - 1)])
+        return out
+
+
+def encode_webp_gray(gray: np.ndarray) -> bytes:
+    """Minimal WebP-lossless WRITE sink (the encode side of S8/S10,
+    like encode_png/encode_tiff_pages): a gray image as a literal-only
+    VP8L stream — subtract-green transform makes red/blue residuals a
+    constant 0, so the red/blue/alpha channels are single-symbol codes
+    (zero bits per pixel) and only the green channel carries an 8-bit
+    simple/full code per pixel. Lossless by construction; decode_webp
+    round-trips bit-exact (pinned by test and usable by the
+    decode_roundtrip driver oracle). The full feature matrix is
+    exercised by the independent test-side encoder; this sink stays
+    deliberately small and shares NO machinery with the decoder above
+    beyond the module's spec constants."""
+    gray = np.ascontiguousarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    wtr = _LSBWriterMin()
+    wtr.write(w - 1, 14)
+    wtr.write(h - 1, 14)
+    wtr.write(0, 1)  # alpha hint
+    wtr.write(0, 3)  # version
+    wtr.write(1, 1)  # one transform...
+    wtr.write(2, 2)  # ...subtract-green (r/b residuals become 0)
+    wtr.write(0, 1)  # no more transforms
+    wtr.write(0, 1)  # no color cache
+    wtr.write(0, 1)  # no meta prefix codes
+
+    # green channel: a full code-length-coded table with every byte
+    # value at length 8 (a complete, canonical, order-preserving code:
+    # code(v) = v) and the 24 LZ77-length symbols at 0. Lengths go out
+    # as one literal 8, repeat-16 runs to 256, then one repeat-18 zero
+    # run over the tail. clc = {8:'0', 16:'10', 18:'11'} (canonical,
+    # Kraft-complete).
+    wtr.write(0, 1)  # not simple
+    clc = {8: 1, 16: 2, 18: 2}
+    order_pos = {s: i for i, s in enumerate(_CLC_ORDER)}
+    num_codes = max(order_pos[s] for s in clc) + 1
+    wtr.write(num_codes - 4, 4)
+    for i in range(num_codes):
+        wtr.write(clc.get(_CLC_ORDER[i], 0), 3)
+    wtr.write(0, 1)  # no max_symbol
+
+    def clc_emit(sym: int) -> None:  # codes written MSB-first, bit by bit
+        if sym == 8:
+            wtr.write(0, 1)
+        elif sym == 16:
+            wtr.write(1, 1)
+            wtr.write(0, 1)
+        else:  # 18
+            wtr.write(1, 1)
+            wtr.write(1, 1)
+
+    clc_emit(8)  # literal length 8 for symbol 0 (prev_len := 8)
+    emitted = 1
+    while emitted < 256:
+        run = min(6, 256 - emitted)
+        if run >= 3:
+            clc_emit(16)          # repeat prev_len
+            wtr.write(run - 3, 2)
+            emitted += run
+        else:
+            clc_emit(8)
+            emitted += 1
+    clc_emit(18)                  # 24 zeros for the LZ77-length symbols
+    wtr.write(24 - 11, 7)
+    # red/blue/alpha/distance: single-symbol simple codes (0 bits/px)
+    for sym in (0, 0, 255, 0):
+        wtr.write(1, 1)  # simple
+        wtr.write(0, 1)  # one symbol
+        if sym > 1:
+            wtr.write(1, 1)
+            wtr.write(sym, 8)
+        else:
+            wtr.write(0, 1)
+            wtr.write(sym, 1)
+    # pixels: green byte per pixel, canonical code(v) = v at length 8,
+    # written MSB-first
+    for v in gray.ravel():
+        b = int(v)
+        rev = 0
+        for _ in range(8):
+            rev = (rev << 1) | (b & 1)
+            b >>= 1
+        wtr.write(rev, 8)  # LSB-writer emits rev low-bit-first == MSB of v first
+    payload = b"\x2f" + wtr.tobytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
 def decode_webp(data: bytes) -> np.ndarray:
     """RIFF/WEBP container → (h, w, 3) uint8 RGB (alpha dropped, like
     cv2.imread's default read)."""

@@ -1728,10 +1728,10 @@ def q_preproc_targets(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, p.page_no,
              8 + doc_id % 5 AS h, 12 + doc_id % 7 AS w,
              doc_id + 1000 * p.page_no AS seed,
-             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'pdf'
-                             ELSE 'tiff' END AS fmt
+             CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'pdf'
+                             WHEN 2 THEN 'tiff' ELSE 'webp' END AS fmt
       FROM documents,
-           LATERAL (SELECT unnest(CASE WHEN doc_id % 3 = 0
+           LATERAL (SELECT unnest(CASE WHEN doc_id % 4 IN (0, 3)
                                        THEN [0] ELSE [0, 1] END) AS page_no) p
     )
     SELECT pg.doc_id, pg.fmt, pg.page_no,
@@ -1756,16 +1756,17 @@ def q_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """From-scratch codec path, hash-checked end-to-end (SURVEY S2/S3):
     per doc a deterministic gradient image ((x + 3y + seed) mod 256,
     dims seeded by doc_id) is ENCODED on executors with the package
-    write sinks — doc_id%3==0 as PNG, ==1 as a TWO-page Flate PDF,
+    write sinks — doc_id%4==0 as PNG, ==1 as a TWO-page Flate PDF,
     ==2 as a TWO-page TIFF IFD chain (uncompressed gray page + a
     CCITT-MH bilevel page of the gradient thresholded at 127, decoded
-    as ink=0/paper=255) — then pushed through the distributed
+    as ink=0/paper=255), ==3 as a lossless WebP (VP8L subtract-green
+    literal stream) — then pushed through the distributed
     `decode_media` 1→N explode and integer-checksummed. The oracle
     never decodes anything: it recomputes the checksums in closed form
-    from the seed, so any pixel-level defect in the PNG/Flate/PDF/TIFF
-    codecs or the page-explode plumbing hash-mismatches. (The
+    from the seed, so any pixel-level defect in the PNG/Flate/PDF/TIFF/
+    VP8L codecs or the page-explode plumbing hash-mismatches. (The
     lossy-codec and exotic-mode matrix is pinned by
-    tests/test_media_decode.py and tests/test_tiff.py against
+    tests/test_media_decode.py, test_tiff.py and test_webp.py against
     independent test-side encoders; this query puts the lossless paths
     inside the driver's correctness window.)"""
     import numpy as np
@@ -1779,6 +1780,7 @@ def q_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         from openocr_spark.kernels.media_decode import encode_png
         from openocr_spark.kernels.pdf_format import encode_pdf
         from openocr_spark.kernels.tiff_format import encode_tiff_pages
+        from openocr_spark.kernels.webp_format import encode_webp_gray
 
         def img(seed: int, h: int, w: int) -> np.ndarray:
             y, x = np.mgrid[0:h, 0:w]
@@ -1789,15 +1791,17 @@ def q_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             for s in pdf["doc_id"]:
                 s = int(s)
                 h, w = 8 + s % 5, 12 + s % 7
-                m = s % 3
+                m = s % 4
                 if m == 0:
                     content = encode_png(img(s, h, w))
                 elif m == 1:
                     content = encode_pdf([img(s, h, w), img(s + 1000, h, w)])
-                else:
+                elif m == 2:
                     content = encode_tiff_pages(
                         img(s, h, w), img(s + 1000, h, w) > 127
                     )
+                else:
+                    content = encode_webp_gray(img(s, h, w))
                 rows.append(
                     {"doc_id": str(s), "media_ref": f"m{s}", "content": content}
                 )
@@ -1844,9 +1848,10 @@ def q_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
     return checks.select(
         "doc_id",
-        F.when(F.col("doc_id") % 3 == 0, F.lit("png"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("pdf"))
-        .otherwise(F.lit("tiff"))
+        F.when(F.col("doc_id") % 4 == 0, F.lit("png"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("pdf"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("tiff"))
+        .otherwise(F.lit("webp"))
         .alias("fmt"),
         "page_no", "height", "width", "pixel_sum", "nonzero_px",
     )

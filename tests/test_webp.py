@@ -182,6 +182,20 @@ def test_animated_webp_first_frame():
     assert np.array_equal(out, f1)
 
 
+def test_package_sink_roundtrip():
+    """The minimal package WRITE sink (encode_webp_gray — the
+    decode_roundtrip driver query's WebP leg) round-trips bit-exact."""
+    from openocr_spark.kernels.webp_format import encode_webp_gray
+
+    rng = np.random.RandomState(90)
+    for shape in [(7, 11), (1, 1), (5, 64)]:
+        g = rng.randint(0, 256, shape).astype(np.uint8)
+        out = decode_webp(encode_webp_gray(g))
+        assert out.shape == shape + (3,)
+        for c in range(3):
+            assert np.array_equal(out[:, :, c], g)
+
+
 def test_gray_input_roundtrip():
     rng = np.random.RandomState(71)
     _check(rng.randint(0, 256, (9, 21)).astype(np.uint8))
