@@ -70,91 +70,96 @@ def log(msg: str) -> None:
 
 def _build_real_media(spark, n_media: int, media_dir: str) -> None:
     """Materialize (doc_id, media_ref, content) rows of REAL encoded
-    bytes: K distinct synthetic gray images across 10 containers — PNG
-    (package encode_png), Flate-PDF page, baseline JPEG,
-    JPEG-embedded-in-PDF (/DCTDecode), ARITHMETIC-coded JPEG (SOF9),
-    hierarchical JPEG (SOF5 pyramid), CCITT-G4 TIFF, abbreviated
-    JPEG-in-TIFF, WebP lossless (VP8L), and the VP8L palette path —
-    assigned round-robin. Non-package encoders come from the
-    independent test-side encoders when the tests/ tree is present
-    (repo runs), else those slots fall back to PNG/Flate-PDF."""
-    import numpy as np
-
-    from openocr_spark.kernels.media_decode import encode_png
-    from openocr_spark.kernels.pdf_format import encode_pdf
-
-    try:
-        sys.path.insert(0, os.path.join(ROOT, "tests"))
-        from jpeg_arith_ref_encoder import encode_jpeg_arith
-        from jpeg_hier_ref_encoder import encode_jpeg_hierarchical
-        from jpeg_ref_encoder import encode_jpeg
-        from tiff_ref_encoder import write_tiff
-        from webp_ref_encoder import encode_vp8l
-    except ImportError:
-        encode_jpeg = encode_jpeg_arith = encode_jpeg_hierarchical = None
-        write_tiff = encode_vp8l = None
-
-    K = 40  # divisible by the 10-format cycle
-    variants: list[bytes] = []
-    for k in range(K):
-        x, y = np.meshgrid(np.arange(160), np.arange(96))
-        img = (
-            (128 + 70 * np.sin(x / (3.0 + k % 7)) + 40 * np.cos(y / (2.0 + k % 5)))
-            .clip(0, 255)
-            .astype(np.uint8)
-        )
-        fmt = k % 10
-        if fmt == 0:
-            variants.append(encode_png(img))
-        elif fmt == 1:
-            variants.append(encode_pdf([img]))
-        elif fmt == 2 and encode_jpeg is not None:
-            variants.append(encode_jpeg(img))
-        elif fmt == 3 and encode_jpeg is not None:
-            variants.append(encode_pdf([encode_jpeg(img)]))
-        elif fmt == 4 and encode_jpeg_arith is not None:
-            variants.append(encode_jpeg_arith(img))
-        elif fmt == 5 and encode_jpeg_hierarchical is not None:
-            # hierarchical pyramid (v3 mix): half-res DCT base + EXP +
-            # differential DCT refinement (SOF5). The DCT-only plan
-            # keeps the leg a DECODE-throughput measure — the
-            # lossless-correction variant's per-sample scan is pinned
-            # in pytest but would dominate the timing here.
-            variants.append(encode_jpeg_hierarchical(
-                img, [{"kind": "dct"}, {"kind": "dct", "exp": (1, 1)}]
-            ))
-        elif fmt == 6 and write_tiff is not None:
-            # v4 mix: CCITT G4 bilevel TIFF — the dominant scanned-page
-            # container in document corpora
-            variants.append(write_tiff([{"pixels": img > 128, "compression": 4}]))
-        elif fmt == 7 and write_tiff is not None and encode_jpeg is not None:
-            # v4 mix: abbreviated JPEG-in-TIFF (JPEGTables split)
-            variants.append(write_tiff([{
-                "pixels": img, "compression": 7, "photometric": 1,
-                "jpeg_bytes": encode_jpeg(img), "jpeg_split_tables": True,
-            }]))
-        elif fmt == 8 and encode_vp8l is not None:
-            # v5 mix: WebP lossless (subtract-green + LZ77 + color cache)
-            variants.append(encode_vp8l(img, subtract_green=True, lz77=True,
-                                        cache_bits=6))
-        elif fmt == 9 and encode_vp8l is not None:
-            # v5 mix: WebP palette path (16-level quantize → 4-bit bundling)
-            variants.append(encode_vp8l((img >> 4) << 4, palette=True,
-                                        lz77=True))
-        else:
-            variants.append(encode_png(img) if fmt % 2 == 0 else encode_pdf([img]))
-    import pandas as pd
-
-    bvar = spark.sparkContext.broadcast(variants)
+    bytes. v6: the corpus is fully UNIQUE — every row synthesizes its
+    own gray image (sin/cos frequencies and phases derived from the row
+    id) and encodes it INSIDE the executor via mapInPandas (distributed
+    encode; no driver-side variant pool, no parquet dictionary
+    dedup). Ten containers assigned round-robin by id: PNG (package
+    encode_png), Flate-PDF page, baseline JPEG, JPEG-embedded-in-PDF
+    (/DCTDecode), ARITHMETIC-coded JPEG (SOF9), hierarchical JPEG (SOF5
+    pyramid), CCITT-G4 TIFF, abbreviated JPEG-in-TIFF, WebP lossless
+    (VP8L), and the VP8L palette path. Non-package encoders come from
+    the independent test-side encoders when the tests/ tree is present
+    (repo runs); else those slots fall back to PNG/Flate-PDF."""
+    tests_dir = os.path.join(ROOT, "tests")
 
     def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from openocr_spark.kernels.media_decode import encode_png
+        from openocr_spark.kernels.pdf_format import encode_pdf
+
+        if tests_dir not in sys.path:
+            sys.path.insert(0, tests_dir)
+        try:
+            from jpeg_arith_ref_encoder import encode_jpeg_arith
+            from jpeg_hier_ref_encoder import encode_jpeg_hierarchical
+            from jpeg_ref_encoder import encode_jpeg
+            from tiff_ref_encoder import write_tiff
+            from webp_ref_encoder import encode_vp8l
+        except ImportError:
+            encode_jpeg = encode_jpeg_arith = encode_jpeg_hierarchical = None
+            write_tiff = encode_vp8l = None
+
+        x, y = np.meshgrid(np.arange(160), np.arange(96))
+
+        def one(i: int) -> bytes:
+            # unique image per row id — integer-derived frequencies and
+            # phases so the corpus is deterministic yet repeat-free
+            fx = 3.0 + (i % 7) + 0.13 * ((i // 7) % 11)
+            fy = 2.0 + (i % 5) + 0.17 * ((i // 5) % 13)
+            px = (i * 37 % 640) / 10.0
+            py = (i * 73 % 640) / 10.0
+            img = (
+                (128 + 70 * np.sin((x + px) / fx) + 40 * np.cos((y + py) / fy))
+                .clip(0, 255)
+                .astype(np.uint8)
+            )
+            fmt = i % 10
+            if fmt == 2 and encode_jpeg is not None:
+                return encode_jpeg(img)
+            if fmt == 3 and encode_jpeg is not None:
+                return encode_pdf([encode_jpeg(img)])
+            if fmt == 4 and encode_jpeg_arith is not None:
+                return encode_jpeg_arith(img)
+            if fmt == 5 and encode_jpeg_hierarchical is not None:
+                # hierarchical pyramid: half-res DCT base + EXP +
+                # differential DCT refinement (SOF5). DCT-only plan keeps
+                # the leg a DECODE-throughput measure (the
+                # lossless-correction variant is pinned in pytest but its
+                # per-sample scan would dominate the timing here).
+                return encode_jpeg_hierarchical(
+                    img, [{"kind": "dct"}, {"kind": "dct", "exp": (1, 1)}]
+                )
+            if fmt == 6 and write_tiff is not None:
+                # CCITT G4 bilevel TIFF — the dominant scanned-page
+                # container in document corpora
+                return write_tiff([{"pixels": img > 128, "compression": 4}])
+            if fmt == 7 and write_tiff is not None and encode_jpeg is not None:
+                # abbreviated JPEG-in-TIFF (JPEGTables split)
+                return write_tiff([{
+                    "pixels": img, "compression": 7, "photometric": 1,
+                    "jpeg_bytes": encode_jpeg(img), "jpeg_split_tables": True,
+                }])
+            if fmt == 8 and encode_vp8l is not None:
+                # WebP lossless (subtract-green + LZ77 + color cache)
+                return encode_vp8l(img, subtract_green=True, lz77=True,
+                                   cache_bits=6)
+            if fmt == 9 and encode_vp8l is not None:
+                # WebP palette path (16-level quantize -> 4-bit bundling)
+                return encode_vp8l((img >> 4) << 4, palette=True, lz77=True)
+            if fmt % 2 == 0:
+                return encode_png(img)
+            return encode_pdf([img])
+
         for pdf in batches:
             ids = pdf["id"].tolist()
             yield pd.DataFrame(
                 {
                     "doc_id": [f"doc-{i:08d}" for i in ids],
                     "media_ref": [f"bench://{i}" for i in ids],
-                    "content": [bvar.value[i % K] for i in ids],
+                    "content": [one(i) for i in ids],
                 }
             )
 
@@ -284,20 +289,18 @@ def main() -> None:
                 log(f"extract_joined trial: {run:.2f}s")
             extras["docs_per_sec_joined"] = round(n_fixture / dt, 2)
         elif name == "decode_real_media":
-            # real encoded PNG / Flate-PDF / JPEG / JPEG-in-PDF bytes
-            # through decode_media → extract_features. The payload
-            # table is materialized UNTIMED (K distinct images × 4
-            # container formats, assigned round-robin — decode cost is
-            # per ROW; parquet just dictionary-encodes the repeats),
-            # then the timed job is the distributed decode + 1→N page
-            # explode + per-page feature stats.
+            # real encoded bytes through decode_media →
+            # extract_features. The payload table is materialized
+            # UNTIMED (fully-unique images, distributed encode — see
+            # _build_real_media), then the timed job is the distributed
+            # decode + 1→N page explode + per-page feature stats.
             n_media = int(os.environ.get("BENCH_REALMEDIA_ROWS", "20000"))
-            # v5: payload mix adds WebP lossless (VP8L entropy +
-            # palette paths) to the v4 TIFF mix — the version suffix
-            # invalidates stale caches from older mixes
+            # v6: fully-unique corpus — every row encodes its own
+            # image in the executors (the v5 mix plus uniqueness); the
+            # version suffix invalidates stale caches from older mixes
             media_dir = os.path.join(
                 os.environ.get("TMPDIR", "/tmp"),
-                f"bench_realmedia_v5_{n_media}",
+                f"bench_realmedia_v6_{n_media}",
             )
             if not os.path.exists(os.path.join(media_dir, "_SUCCESS")):
                 log(f"materializing {n_media} real-media rows -> {media_dir}")
@@ -319,7 +322,7 @@ def main() -> None:
             n_pages = out.count()
             extras["realmedia_rows"] = float(n_media)
             extras["realmedia_pages"] = float(n_pages)
-            extras["realmedia_mix"] = "v5-png-pdf-jpeg-dct-arith-hier-g4tiff-jpegtiff-vp8l-vp8lpal"
+            extras["realmedia_mix"] = "v6-unique-png-pdf-jpeg-dct-arith-hier-g4tiff-jpegtiff-vp8l-vp8lpal"
             extras["media_per_sec"] = round(n_media / dt, 2)
             extras["pages_per_sec"] = round(n_pages / dt, 2)
         elif name in SPARK_Q:

@@ -49,27 +49,33 @@ class _LSBWriter:
 # ------------------------------------------------------------ prefix codes
 
 
-def _huff_lengths(freq: dict[int, int]) -> dict[int, int]:
-    """Huffman code lengths from frequencies (no length cap needed at
-    test scale — asserted ≤ 15)."""
+def _huff_lengths(freq: dict[int, int], max_depth: int = 15) -> dict[int, int]:
+    """Huffman code lengths from frequencies, depth-limited to
+    `max_depth` (15 for the main codes, 7 for the code-length code) by
+    iteratively flattening the histogram (f -> ceil(f/2)) and
+    rebuilding — terminates at the all-equal balanced tree, whose depth
+    ceil(log2(n)) fits every VP8L alphabet within its limit."""
     syms = [s for s, f in freq.items() if f > 0]
     if not syms:
         raise ValueError("empty histogram")
     if len(syms) == 1:
         return {syms[0]: 1}
-    heap = [(freq[s], i, (s,)) for i, s in enumerate(syms)]
-    heapq.heapify(heap)
-    tick = len(heap)
-    depth = {s: 0 for s in syms}
-    while len(heap) > 1:
-        f1, _, g1 = heapq.heappop(heap)
-        f2, _, g2 = heapq.heappop(heap)
-        for s in g1 + g2:
-            depth[s] += 1
-        heapq.heappush(heap, (f1 + f2, tick, g1 + g2))
-        tick += 1
-    assert max(depth.values()) <= 15, "test image too entropic"
-    return depth
+    cur = {s: freq[s] for s in syms}
+    while True:
+        heap = [(cur[s], i, (s,)) for i, s in enumerate(syms)]
+        heapq.heapify(heap)
+        tick = len(heap)
+        depth = {s: 0 for s in syms}
+        while len(heap) > 1:
+            f1, _, g1 = heapq.heappop(heap)
+            f2, _, g2 = heapq.heappop(heap)
+            for s in g1 + g2:
+                depth[s] += 1
+            heapq.heappush(heap, (f1 + f2, tick, g1 + g2))
+            tick += 1
+        if max(depth.values()) <= max_depth:
+            return depth
+        cur = {s: (f + 1) // 2 for s, f in cur.items()}
 
 
 def _canonical(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
@@ -132,7 +138,7 @@ def _write_prefix_code(w: _LSBWriter, lengths: dict[int, int],
     clc_freq: dict[int, int] = {}
     for sym, _, _ in tokens:
         clc_freq[sym] = clc_freq.get(sym, 0) + 1
-    clc_len = _huff_lengths(clc_freq)
+    clc_len = _huff_lengths(clc_freq, max_depth=7)
     assert max(clc_len.values()) <= 7, "code-length code too deep"
     clc_codes = _canonical(clc_len)
     # how many of the ordered slots must be transmitted
