@@ -68,6 +68,25 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _import_ref_encoders() -> dict:
+    """Best-effort per-module import of the independent test-side
+    encoders; absent modules map to None INDIVIDUALLY."""
+    wanted = [
+        ("jpeg_ref_encoder", "encode_jpeg"),
+        ("jpeg_arith_ref_encoder", "encode_jpeg_arith"),
+        ("jpeg_hier_ref_encoder", "encode_jpeg_hierarchical"),
+        ("tiff_ref_encoder", "write_tiff"),
+        ("webp_ref_encoder", "encode_vp8l"),
+    ]
+    out = {}
+    for mod, name in wanted:
+        try:
+            out[name] = getattr(__import__(mod), name)
+        except ImportError:
+            out[name] = None
+    return out
+
+
 def _build_real_media(spark, n_media: int, media_dir: str) -> None:
     """Materialize (doc_id, media_ref, content) rows of REAL encoded
     bytes. v6: the corpus is fully UNIQUE — every row synthesizes its
@@ -92,15 +111,15 @@ def _build_real_media(spark, n_media: int, media_dir: str) -> None:
 
         if tests_dir not in sys.path:
             sys.path.insert(0, tests_dir)
-        try:
-            from jpeg_arith_ref_encoder import encode_jpeg_arith
-            from jpeg_hier_ref_encoder import encode_jpeg_hierarchical
-            from jpeg_ref_encoder import encode_jpeg
-            from tiff_ref_encoder import write_tiff
-            from webp_ref_encoder import encode_vp8l
-        except ImportError:
-            encode_jpeg = encode_jpeg_arith = encode_jpeg_hierarchical = None
-            write_tiff = encode_vp8l = None
+        # import each test-side encoder independently — one absent
+        # module must not silently null the others (the PNG/PDF
+        # fallback would skew the mix with no visible signal)
+        fns = _import_ref_encoders()
+        encode_jpeg = fns["encode_jpeg"]
+        encode_jpeg_arith = fns["encode_jpeg_arith"]
+        encode_jpeg_hierarchical = fns["encode_jpeg_hierarchical"]
+        write_tiff = fns["write_tiff"]
+        encode_vp8l = fns["encode_vp8l"]
 
         x, y = np.meshgrid(np.arange(160), np.arange(96))
 
@@ -170,6 +189,19 @@ def _build_real_media(spark, n_media: int, media_dir: str) -> None:
         .write.mode("overwrite")
         .parquet(media_dir)
     )
+    # record the mix that actually built this corpus (underscore-named
+    # sidecar — parquet readers ignore it); a missing test-side encoder
+    # degrades its slots to PNG/PDF, and the bench must SAY so instead
+    # of reporting the full mix over a silently different corpus
+    if tests_dir not in sys.path:
+        sys.path.insert(0, tests_dir)
+    avail = {k: fn is not None for k, fn in _import_ref_encoders().items()}
+    mix = "v6-unique-png-pdf-jpeg-dct-arith-hier-g4tiff-jpegtiff-vp8l-vp8lpal"
+    if not all(avail.values()):
+        missing = ",".join(sorted(k for k, ok in avail.items() if not ok))
+        mix += f"-DEGRADED(pngpdf-fallback:{missing})"
+    with open(os.path.join(media_dir, "_MIX.json"), "w") as f:
+        json.dump({"mix": mix, "encoders": avail}, f)
 
 
 def force(df) -> int:
@@ -322,7 +354,11 @@ def main() -> None:
             n_pages = out.count()
             extras["realmedia_rows"] = float(n_media)
             extras["realmedia_pages"] = float(n_pages)
-            extras["realmedia_mix"] = "v6-unique-png-pdf-jpeg-dct-arith-hier-g4tiff-jpegtiff-vp8l-vp8lpal"
+            try:
+                with open(os.path.join(media_dir, "_MIX.json")) as f:
+                    extras["realmedia_mix"] = json.load(f)["mix"]
+            except OSError:  # corpus cached by a pre-sidecar build
+                extras["realmedia_mix"] = "v6-unique-unrecorded"
             extras["media_per_sec"] = round(n_media / dt, 2)
             extras["pages_per_sec"] = round(n_pages / dt, 2)
         elif name in SPARK_Q:

@@ -113,11 +113,20 @@ def decode_exr(data: bytes) -> np.ndarray:
     n_blocks = (h + lines_per_block - 1) // lines_per_block
     offsets = struct.unpack_from(f"<{n_blocks}Q", data, pos)
     planes = {name: np.zeros((h, w), dtype=np.float32) for name, _ in chans}
+    bytes_per_line = w * sum(dtypes[pt].itemsize for _, pt in chans)
     for off in offsets:
         (by,) = struct.unpack_from("<i", data, off)
         (size,) = struct.unpack_from("<i", data, off + 4)
-        raw = unzip(data[off + 8 : off + 8 + size])
         n_lines = min(lines_per_block, y1 - by + 1)
+        block = data[off + 8 : off + 8 + size]
+        # OpenEXR writers store a block RAW whenever zlib output would
+        # not shrink it (high-entropy data); the reader's contract is
+        # the same size test the library uses: stored size == exact
+        # uncompressed size means no inflate, no predictor unfilter.
+        if size == n_lines * bytes_per_line:
+            raw = bytes(block)
+        else:
+            raw = unzip(block)
         p = 0
         for ln in range(n_lines):
             y = by - y0 + ln

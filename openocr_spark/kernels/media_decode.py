@@ -109,6 +109,10 @@ def _decode_pnm(data: bytes) -> np.ndarray:
             pos += 1
         tokens.append(int(data[start:pos]))
     w, h, maxval = tokens
+    if not 0 < maxval <= 65535:
+        # the netpbm legal maximum is 65535; beyond it the 2-byte raster
+        # layout is undefined and decoding would yield silent garbage
+        raise NotImplementedError(f"netpbm maxval {maxval} out of range")
     if magic == b"P2":
         vals = np.array(data[pos:].split()[: h * w], dtype=np.uint32)
         return (vals * 255 // maxval).astype(np.uint8).reshape(h, w)
@@ -771,7 +775,8 @@ def decode_bytes(data: bytes) -> list[np.ndarray]:
         return [_decode_bmp(filehdr + data)]
     raise NotImplementedError(
         "unknown media magic; supported from-scratch codecs: FAKEIMG1, "
-        "PGM/PPM (P2/P5/P6), uncompressed BMP (8/24-bit), PNG (all "
+        "PGM/PPM (P2/P5/P6, 16-bit), BMP (1/4/8/16/24/32-bit, RLE4/"
+        "RLE8, bitfields, headerless DIB), PNG (all "
         "depths incl. Adam7), GIF87a/89a first frame, PDF (Flate/"
         "DCTDecode/ObjStm), JPEG (T.81 sequential/progressive/"
         "lossless/hierarchical, Huffman + arithmetic), TIFF (strips/"

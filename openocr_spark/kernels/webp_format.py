@@ -194,8 +194,9 @@ def _prefix_value(code: int, br: _LSBReader) -> int:
     return offset + br.bits(extra) + 1
 
 
-def _cache_key(argb: int, bits: int) -> int:
-    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
+# color-cache key = (0x1E35A7BD * argb) >> (32 - bits); inlined at both
+# insert sites in the per-pixel hot loop rather than kept as a helper —
+# a Python function call per pixel is measurable there
 
 
 def _decode_entropy_image(br: _LSBReader, w: int, h: int,
@@ -499,6 +500,7 @@ class _LSBWriterMin:
         self.n = 0
 
     def write(self, value: int, nbits: int) -> None:
+        assert 0 <= value < (1 << nbits), (value, nbits)
         self.acc |= value << self.n
         self.n += nbits
         while self.n >= 8:
@@ -527,6 +529,12 @@ def encode_webp_gray(gray: np.ndarray) -> bytes:
     beyond the module's spec constants."""
     gray = np.ascontiguousarray(gray, dtype=np.uint8)
     h, w = gray.shape
+    if w > 16384 or h > 16384:
+        # the VP8L header carries 14-bit dimension fields; anything
+        # larger would silently overflow into the next field
+        raise NotImplementedError(
+            f"VP8L dimension limit is 16384, got {w}x{h}"
+        )
     wtr = _LSBWriterMin()
     wtr.write(w - 1, 14)
     wtr.write(h - 1, 14)

@@ -186,3 +186,13 @@ def test_pnm_ascii_large_maxval():
     data = ("P2\n4 1\n1023\n" + " ".join(map(str, vals))).encode()
     out = decode_bytes(data)[0]
     assert list(out[0]) == [v * 255 // 1023 for v in vals]
+
+
+def test_pnm_maxval_beyond_legal_fails_loudly():
+    # netpbm's legal maximum is 65535; a malformed larger maxval must
+    # not fall into the 2-byte path and decode silent garbage
+    import pytest
+
+    data = b"P5\n2 1\n100000\n" + b"\x00\x01\x00\x02"
+    with pytest.raises(NotImplementedError, match="maxval"):
+        decode_bytes(data)

@@ -44,9 +44,13 @@ def _zip_filter(raw: bytes) -> bytes:
 
 
 def write_exr(planes: dict[str, np.ndarray], compression: int = 3,
-              dtype: int = 2) -> bytes:
+              dtype: int = 2, force_raw_blocks: bool = False) -> bytes:
     """planes: {channel: (h, w) float array}; compression 0/2/3;
-    dtype 1=half 2=float."""
+    dtype 1=half 2=float. Like the real library, a ZIP/ZIPS block is
+    stored RAW when zlib does not shrink it; force_raw_blocks stores
+    every block raw under a compressed flag (the deterministic stand-in
+    for high-entropy data, so the reader's size test is exercised
+    without depending on what zlib achieves on a particular array)."""
     names = sorted(planes)
     h, w = planes[names[0]].shape
     npdt = np.dtype("<f2") if dtype == 1 else np.dtype("<f4")
@@ -73,8 +77,8 @@ def write_exr(planes: dict[str, np.ndarray], compression: int = 3,
             for name in names:
                 raw += planes[name][y + ln].astype(npdt).tobytes()
         payload = raw if compression == 0 else _zip_filter(raw)
-        if compression != 0 and len(payload) >= len(raw):
-            payload = payload  # EXR would store raw; keep zip for the test
+        if compression != 0 and (force_raw_blocks or len(payload) >= len(raw)):
+            payload = raw  # real OpenEXR stores the block raw
         blocks.append((y, payload))
     table_pos = len(header)
     data_start = table_pos + 8 * n_blocks
@@ -121,6 +125,28 @@ def test_values_clamp():
     y = np.array([[-0.5, 0.0, 0.5, 1.0, 3.0]], dtype=np.float32)
     out = decode_exr(write_exr({"Y": y}, compression=0))
     assert list(out[0]) == [0, 0, 128, 255, 255]
+
+
+@pytest.mark.parametrize("comp", [2, 3])
+def test_raw_stored_blocks_under_zip_flag(comp):
+    # OpenEXR writers store a scanline block UNCOMPRESSED whenever zlib
+    # does not shrink it (routine for high-entropy float data). The
+    # reader must detect this by the stored-size == uncompressed-size
+    # test instead of feeding raw bytes to inflate.
+    y = _rand(37, 23, seed=comp + 40)
+    out = decode_exr(write_exr({"Y": y}, compression=comp,
+                               force_raw_blocks=True))
+    assert np.array_equal(out, _expect_u8(y))
+
+
+def test_raw_stored_rgb_half_partial_block():
+    planes = {c: _rand(19, 11, seed=50 + i) for i, c in enumerate("RGB")}
+    half = {c: p.astype(np.float16).astype(np.float32)
+            for c, p in planes.items()}
+    out = decode_exr(write_exr(half, compression=3, dtype=1,
+                               force_raw_blocks=True))
+    expect = np.stack([_expect_u8(half[c]) for c in "RGB"], axis=2)
+    assert np.array_equal(out, expect)
 
 
 def test_depth_plane_fallback():

@@ -223,3 +223,14 @@ def test_webp_through_spark_decode(spark):
     assert np.array_equal(
         np.frombuffer(got[0].pixels, np.uint8).reshape(12, 18), expect
     )
+
+
+def test_package_sink_dimension_limit_fails_loudly():
+    # the VP8L header's 14-bit dimension fields top out at 16384; a
+    # wider image must raise, not silently corrupt the bitstream
+    import pytest
+
+    from openocr_spark.kernels.webp_format import encode_webp_gray
+
+    with pytest.raises(NotImplementedError, match="16384"):
+        encode_webp_gray(np.zeros((1, 16385), dtype=np.uint8))
