@@ -616,6 +616,10 @@ def decode_lossless_arith_scan(
     default = 1 << (prec - 1 - pt)
     unit = 0
     fresh = True
+    ra_row = 0  # row where the current restart interval began (T.81
+    # H.1.1: the 1-D Ra predictor serves the first line of the scan
+    # and of each restart interval; conditioning treats the line above
+    # as outside the interval there, mirrored by the test encoder)
     for y in range(h):
         for x in range(w):
             if restart_interval and unit and unit % restart_interval == 0:
@@ -626,13 +630,14 @@ def decode_lossless_arith_scan(
                         ctx.mps = 0
                 dec.__init__(data, dec.pos)
                 fresh = True
+                ra_row = y
             for comp, td, _ta in scan:
                 st = banks[td]
                 L, U = conds[td]
                 p = planes[comp["id"]]
                 cl = cls[comp["id"]]
                 da = 0 if (fresh or x == 0) else int(cl[y, x - 1])
-                db = 0 if (fresh or y == 0) else int(cl[y - 1, x])
+                db = 0 if (fresh or y == ra_row) else int(cl[y - 1, x])
                 base = 4 * (5 * da + db)
                 if dec.decode(st[base]) == 0:
                     diff = 0
@@ -664,8 +669,8 @@ def decode_lossless_arith_scan(
                     px = 0
                 elif fresh:
                     px = default
-                elif y == 0:
-                    px = int(p[0, x - 1])
+                elif y == ra_row:
+                    px = int(p[y, x - 1])
                 elif x == 0:
                     px = int(p[y - 1, 0])
                 else:

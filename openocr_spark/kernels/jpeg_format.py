@@ -475,6 +475,20 @@ def _decode_stream(data: bytes) -> np.ndarray:
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if not frame.get("lossless"):
+                # freeze each component's quant table at its first scan
+                # (libjpeg's binding semantics): dequantization of the
+                # coefficient store is DEFERRED to the frame fold / EOI,
+                # by which time a later frame's DQT may have redefined
+                # the same table id — the live qtables dict must not
+                # retro-affect this frame
+                for comp, _, _ in scan:
+                    if "qsnap" not in comp:
+                        if comp["tq"] not in qtables:
+                            raise NotImplementedError(
+                                f"JPEG: scan before DQT {comp['tq']}"
+                            )
+                        comp["qsnap"] = qtables[comp["tq"]].copy()
             out = None
             if frame.get("lossless"):
                 # Ss = predictor selector (1..7; 0 in differential
@@ -483,19 +497,44 @@ def _decode_stream(data: bytes) -> np.ndarray:
                     raise NotImplementedError(
                         "JPEG: point transform in hierarchical lossless scan"
                     )
+                pt = ahal & 0x0F
+                if pt != frame.setdefault("_pt", pt):
+                    raise NotImplementedError(
+                        "JPEG: point transform changes between lossless scans"
+                    )
+                # a lossless frame may carry several scans (one
+                # component per scan, T.81 A.2.2 — like the sequential
+                # store-based path): decode each scan to raw planes,
+                # accumulate, assemble only when every frame component
+                # has been seen
+                was_raw = frame.get("_raw_planes", False)
+                frame["_raw_planes"] = True
                 if frame.get("arith"):
                     from openocr_spark.kernels.jpeg_arith import (
                         decode_lossless_arith_scan,
                     )
 
-                    out = decode_lossless_arith_scan(
+                    scan_planes = decode_lossless_arith_scan(
                         data, pos + seglen, frame, scan, restart_interval,
-                        conditioning, ss, ahal & 0x0F,
+                        conditioning, ss, pt,
                     )
                 else:
-                    out = _decode_lossless_scan(
+                    scan_planes = _decode_lossless_scan(
                         data, pos + seglen, frame, scan, htables,
-                        restart_interval, ss, ahal & 0x0F,
+                        restart_interval, ss, pt,
+                    )
+                frame["_raw_planes"] = was_raw
+                store = frame.setdefault("_lossless_planes", {})
+                store.update(scan_planes)
+                if len(store) < len(frame["comps"]):
+                    pos = _next_marker(data, pos + seglen)
+                    continue
+                if was_raw:  # hierarchical fold consumes raw planes
+                    out = dict(store)
+                else:
+                    out = lossless_output(
+                        [store[c["id"]] for c in frame["comps"]],
+                        frame["prec"], pt,
                     )
             elif frame.get("arith") and frame["progressive"]:
                 from openocr_spark.kernels.jpeg_arith import (
@@ -565,6 +604,12 @@ def _decode_stream(data: bytes) -> np.ndarray:
     if coef_store is not None:
         frame["adobe"] = adobe
         return _progressive_reconstruct(frame, qtables, coef_store)
+    if frame is not None and frame.get("_lossless_planes"):
+        missing = [c["id"] for c in frame["comps"]
+                   if c["id"] not in frame["_lossless_planes"]]
+        raise NotImplementedError(
+            f"JPEG: lossless frame ended with undecoded components {missing}"
+        )
     raise NotImplementedError("JPEG: no scan data")
 
 
@@ -603,11 +648,16 @@ def _decode_lossless_scan(
     default = 1 << (prec - 1 - pt)
     unit = 0  # lossless MCU = one sample position across scan components
     fresh = True  # next sample starts a scan/restart interval
+    ra_row = 0  # row where the current restart interval began: T.81
+    # H.1.1 uses the 1-D Ra predictor for the FIRST LINE of the scan
+    # AND of each restart interval (libjpeg's jdlossls behavior), not
+    # just for the single sample after RSTn
     for y in range(h):
         for x in range(w):
             if restart_interval and unit and unit % restart_interval == 0:
                 r.restart()
                 fresh = True
+                ra_row = y
             for comp, td, _ta in scan:
                 t = _huff_decode(r, htables[(0, td)])
                 diff = 32768 if t == 16 else (_extend(r.bits(t), t) if t else 0)
@@ -616,8 +666,8 @@ def _decode_lossless_scan(
                     px = 0
                 elif fresh:
                     px = default
-                elif y == 0:
-                    px = int(p[0, x - 1])
+                elif y == ra_row:
+                    px = int(p[y, x - 1])
                 elif x == 0:
                     px = int(p[y - 1, 0])
                 else:
@@ -1112,7 +1162,13 @@ def _progressive_planes(frame, qtables, store) -> dict:
     )
     planes = {}
     for c in frame["comps"]:
-        q = qtables[c["tq"]].astype(np.int64)
+        # prefer the table frozen at the component's first scan; the
+        # live dict is only a fallback for components that never
+        # appeared in a scan (their coefficients are all zero anyway)
+        q = c.get("qsnap")
+        if q is None:
+            q = qtables[c["tq"]]
+        q = q.astype(np.int64)
         zz = store[c["id"]].astype(np.int64) * q  # zigzag order
         bh, bw = zz.shape[:2]
         coef = np.zeros((bh, bw, 64), np.float64)

@@ -268,10 +268,49 @@ def _decode_hdr(data: bytes) -> np.ndarray:
                         rgbe[y, x : x + n, c] = lit
                         x += n
                         pos += 1 + n
-        else:  # flat row of RGBE quadruples
-            row = np.frombuffer(data[pos : pos + w * 4], np.uint8)
-            rgbe[y] = row.reshape(w, 4)
-            pos += w * 4
+        else:
+            # flat or OLD-STYLE RLE row of RGBE quadruples: a quadruple
+            # (1,1,1,n) repeats the previous pixel n << (8*shift) times,
+            # consecutive markers raising the shift (Radiance color.c
+            # oldreadcolrs). A row with no marker is plain flat data —
+            # consume it vectorized; otherwise scan pixel-wise.
+            chunk = np.frombuffer(data[pos : pos + w * 4], np.uint8)
+            full = chunk.size == w * 4
+            if full:
+                quads = chunk.reshape(w, 4)
+                has_marker = bool(
+                    ((quads[:, 0] == 1) & (quads[:, 1] == 1)
+                     & (quads[:, 2] == 1)).any()
+                )
+            else:
+                has_marker = True  # short tail ⇒ the row must be RLE'd
+            if not has_marker:
+                rgbe[y] = quads
+                pos += w * 4
+            else:
+                x = 0
+                shift = 0
+                while x < w:
+                    r0, g0, b0, e0 = data[pos : pos + 4]
+                    pos += 4
+                    if r0 == 1 and g0 == 1 and b0 == 1:
+                        if x == 0 and y == 0:
+                            raise NotImplementedError(
+                                "HDR old-RLE repeat with no previous pixel"
+                            )
+                        count = e0 << shift
+                        if x + count > w:
+                            raise NotImplementedError(
+                                "HDR old-RLE run crosses the row end"
+                            )
+                        prev = rgbe[y, x - 1] if x else rgbe[y - 1, w - 1]
+                        rgbe[y, x : x + count] = prev
+                        x += count
+                        shift += 8
+                    else:
+                        rgbe[y, x] = (r0, g0, b0, e0)
+                        x += 1
+                        shift = 0
     mant = rgbe[:, :, :3].astype(np.float64)
     exp = rgbe[:, :, 3].astype(np.int32)
     scale = np.where(exp > 0, np.power(2.0, exp - 136), 0.0)[:, :, None]

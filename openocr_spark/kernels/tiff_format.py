@@ -561,7 +561,14 @@ def _decode_ifd(data: bytes, tags: dict, bo: str) -> np.ndarray:
     seg_spp = 1 if planar == 2 else spp
     per_plane = len(offsets) // max(n_planes, 1)
 
-    canvas = np.zeros((height, width, spp), dtype=np.uint16 if bps == 16 else np.uint8)
+    # JPEG-compressed (comp 7) chunky pages: the DECODED channel count
+    # is authoritative — a CMYK/YCCK JPEG inside a spp=4 photometric-5
+    # TIFF already lands as RGB from decode_jpeg's APP14 handling, so
+    # the canvas is sized from the first decoded segment, not the tag
+    canvas = None
+    if comp != 7 or planar == 2:
+        canvas = np.zeros((height, width, spp),
+                          dtype=np.uint16 if bps == 16 else np.uint8)
     for plane in range(n_planes):
         segs = list(zip(offsets[plane * per_plane : (plane + 1) * per_plane],
                         counts[plane * per_plane : (plane + 1) * per_plane]))
@@ -574,10 +581,13 @@ def _decode_ifd(data: bytes, tags: dict, bo: str) -> np.ndarray:
                 y0, x0 = ty * th, tx * tw
                 hh = min(th, height - y0)
                 ww = min(tw, width - x0)
+                if canvas is None:
+                    canvas = np.zeros((height, width, px.shape[2]), np.uint8)
                 if planar == 2:
                     canvas[y0 : y0 + hh, x0 : x0 + ww, plane] = px[:hh, :ww, 0]
                 else:
-                    canvas[y0 : y0 + hh, x0 : x0 + ww, :] = px[:hh, :ww, :spp]
+                    nc = canvas.shape[2]
+                    canvas[y0 : y0 + hh, x0 : x0 + ww, :] = px[:hh, :ww, :nc]
         else:
             rps = th
             y = 0
@@ -587,17 +597,28 @@ def _decode_ifd(data: bytes, tags: dict, bo: str) -> np.ndarray:
                 seg_h = min(rps, height - y)
                 raw = data[off : off + cnt]
                 px = _decode_segment(comp, raw, seg_h, width, seg_spp, bps, tags, bo)
+                if canvas is None:
+                    canvas = np.zeros((height, width, px.shape[2]), np.uint8)
                 if planar == 2:
                     canvas[y : y + seg_h, :, plane] = px[:seg_h, :, 0]
                 else:
-                    canvas[y : y + seg_h, :, :] = px[:seg_h, :, :spp]
+                    nc = canvas.shape[2]
+                    canvas[y : y + seg_h, :, :] = px[:seg_h, :, :nc]
                 y += seg_h
+
+    if canvas is None:
+        raise NotImplementedError("TIFF page with no image segments")
 
     # ---- photometric interpretation → gray (h,w) or RGB (h,w,3) uint8
     if comp in (2, 3, 4):
-        # canvas holds ink bits (1 = black). Photometric 0 (WhiteIsZero,
-        # the fax default) and 1 both map ink→0, paper→255 in display gray.
-        return np.where(canvas[:, :, 0] > 0, 0, 255).astype(np.uint8)
+        # canvas holds fax ink bits (1 = a black run). Photometric 0
+        # (WhiteIsZero, the fax default) images ink as black; photometric
+        # 1 (BlackIsZero) inverts the sample meaning (TIFF6), matching
+        # libtiff/cv2 and this module's own uncompressed bilevel path.
+        ink = canvas[:, :, 0] > 0
+        if photo == 1:
+            return np.where(ink, 255, 0).astype(np.uint8)
+        return np.where(ink, 0, 255).astype(np.uint8)
     if comp == 7 and canvas.shape[2] in (1, 3):
         px = canvas.astype(np.uint8)
         return px[:, :, 0] if px.shape[2] == 1 else px

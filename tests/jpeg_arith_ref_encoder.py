@@ -613,6 +613,8 @@ def encode_jpeg_arith_lossless(
     unit = 0
     rst = 0
     fresh = True
+    ra_row = 0  # T.81 H.1.1: Ra predicts the first line of the scan
+    # and of each restart interval (mirrors the package decoder)
     for y in range(h):
         for x in range(w):
             if restart_interval and unit and unit % restart_interval == 0:
@@ -621,12 +623,13 @@ def encode_jpeg_arith_lossless(
                 rst += 1
                 st = [_Ctx() for _ in range(158)]
                 fresh = True
+                ra_row = y
             for ci, arr in enumerate(arrs):
                 s = int(arr[y, x])
                 if fresh:
                     px = default
-                elif y == 0:
-                    px = int(arr[0, x - 1])
+                elif y == ra_row:
+                    px = int(arr[y, x - 1])
                 elif x == 0:
                     px = int(arr[y - 1, 0])
                 else:
@@ -640,7 +643,7 @@ def encode_jpeg_arith_lossless(
                     )[predictor - 1]
                 diff = ((s - px + 32768) & 0xFFFF) - 32768
                 da = 0 if (fresh or x == 0) else int(cls[ci][y, x - 1])
-                db = 0 if (fresh or y == 0) else int(cls[ci][y - 1, x])
+                db = 0 if (fresh or y == ra_row) else int(cls[ci][y - 1, x])
                 cls[ci][y, x] = _encode_ll_diff(enc, st, da, db, diff, dc_cond)
             fresh = False
             unit += 1

@@ -159,6 +159,7 @@ def _frame_lossless_huff(values: list[np.ndarray], prec: int,
     unit = 0
     rst = 0
     fresh = True
+    ra_row = 0  # T.81 H.1.1 first-line Ra rule per restart interval
     for y in range(h):
         for x in range(w):
             if restart_interval and unit and unit % restart_interval == 0:
@@ -168,14 +169,15 @@ def _frame_lossless_huff(values: list[np.ndarray], prec: int,
                 rst += 1
                 wtr = _BitWriter()
                 fresh = True
+                ra_row = y
             for arr in values:
                 s = int(arr[y, x])
                 if differential:
                     px = 0
                 elif fresh:
                     px = default
-                elif y == 0:
-                    px = int(arr[0, x - 1])
+                elif y == ra_row:
+                    px = int(arr[y, x - 1])
                 elif x == 0:
                     px = int(arr[y - 1, 0])
                 else:
@@ -222,6 +224,7 @@ def _frame_lossless_arith(values: list[np.ndarray], prec: int,
     unit = 0
     rst = 0
     fresh = True
+    ra_row = 0  # T.81 H.1.1 first-line Ra rule per restart interval
     for y in range(h):
         for x in range(w):
             if restart_interval and unit and unit % restart_interval == 0:
@@ -230,14 +233,15 @@ def _frame_lossless_arith(values: list[np.ndarray], prec: int,
                 rst += 1
                 st = [_Ctx() for _ in range(158)]
                 fresh = True
+                ra_row = y
             for ci, arr in enumerate(values):
                 s = int(arr[y, x])
                 if differential:
                     px = 0
                 elif fresh:
                     px = default
-                elif y == 0:
-                    px = int(arr[0, x - 1])
+                elif y == ra_row:
+                    px = int(arr[y, x - 1])
                 elif x == 0:
                     px = int(arr[y - 1, 0])
                 else:
@@ -251,7 +255,7 @@ def _frame_lossless_arith(values: list[np.ndarray], prec: int,
                     )[predictor - 1]
                 diff = ((s - px + 32768) & 0xFFFF) - 32768
                 da = 0 if (fresh or x == 0) else int(cls[ci][y, x - 1])
-                db = 0 if (fresh or y == 0) else int(cls[ci][y - 1, x])
+                db = 0 if (fresh or y == ra_row) else int(cls[ci][y - 1, x])
                 cls[ci][y, x] = _encode_ll_diff(enc, st, da, db, diff, (0, 1))
             fresh = False
             unit += 1
@@ -535,8 +539,14 @@ def encode_jpeg_hierarchical(
                 [(t - r).astype(np.float64) for t, r in zip(tgt, ref)]
                 if differential else [t.astype(np.float64) for t in tgt]
             )
+            # a spec may carry its own quant table — each DCT frame
+            # emits its own DQT, so per-frame tables REDEFINE id 0
+            # mid-stream (the T.81-legal layout that catches decoders
+            # which dequantize a frame with a successor's table)
+            qf = (np.asarray(spec["q"], np.int64)
+                  if spec.get("q") is not None else qarr)
             segs, recons = _frame_dct(
-                values, qarr, differential,
+                values, qf, differential,
                 arith=kind.startswith("arith"),
                 progressive=kind.endswith("prog"),
                 restart_interval=restart_interval,

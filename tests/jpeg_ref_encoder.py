@@ -597,6 +597,7 @@ def encode_jpeg_lossless(
     pt: int = 0,
     prec: int = 8,
     restart_interval: int = 0,
+    multi_scan: bool = False,
 ) -> bytes:
     """T.81 Annex H lossless (SOF3): per-sample Huffman-coded
     differences against the selected spatial predictor (1-7), point
@@ -605,7 +606,10 @@ def encode_jpeg_lossless(
     with the SSSS=16 special case), restart intervals (prediction
     resets to the default after each RSTn). img: (h, w) gray or
     (h, w, 3) RGB — decodes back bit-exactly (high-bits-truncated to
-    uint8 by the package decoder when prec > 8)."""
+    uint8 by the package decoder when prec > 8). multi_scan=True emits
+    ONE SCAN PER COMPONENT (non-interleaved, T.81 A.2.2) instead of a
+    single sample-interleaved scan — the layout that exposes decoders
+    which return after the first lossless scan."""
     h, w = img.shape[:2]
     nch = 1 if img.ndim == 2 else img.shape[2]
     planes = [img] if nch == 1 else [img[:, :, i] for i in range(nch)]
@@ -614,51 +618,65 @@ def encode_jpeg_lossless(
         (L16_DC_BITS, L16_DC_VALS) if prec > 8 else (DC_BITS, DC_VALS)
     )
     dc_c = _codes(dc_bits, dc_vals)
-    chunks: list[bytes] = []
-    wtr = _BitWriter()
     default = 1 << (prec - 1 - pt)
-    unit = 0
-    rst = 0
-    fresh = True
-    for y in range(h):
-        for x in range(w):
-            if restart_interval and unit and unit % restart_interval == 0:
-                wtr.pad()
-                chunks.append(bytes(wtr.buf))
-                chunks.append(bytes([0xFF, 0xD0 + (rst % 8)]))
-                rst += 1
-                wtr = _BitWriter()
-                fresh = True
-            for arr in arrs:
-                s = int(arr[y, x])
-                if fresh:
-                    px = default
-                elif y == 0:
-                    px = int(arr[0, x - 1])
-                elif x == 0:
-                    px = int(arr[y - 1, 0])
-                else:
-                    a = int(arr[y, x - 1])
-                    b = int(arr[y - 1, x])
-                    c = int(arr[y - 1, x - 1])
-                    px = (
-                        a, b, c, a + b - c,
-                        a + ((b - c) >> 1), b + ((a - c) >> 1),
-                        (a + b) >> 1,
-                    )[predictor - 1]
-                # modulo-2^16 reduction into [-32768, 32767]; -32768 is
-                # transmitted as SSSS=16 with no appended bits (H.1.2.1)
-                diff = ((s - px + 32768) & 0xFFFF) - 32768
-                if diff == -32768:
-                    wtr.write(*dc_c[16])
-                else:
-                    t = _category(diff)
-                    wtr.write(*dc_c[t])
-                    _enc_value(wtr, diff, t)
-            fresh = False
-            unit += 1
-    wtr.pad()
-    chunks.append(bytes(wtr.buf))
+
+    def scan_chunks(scan_arrs: list) -> list[bytes]:
+        chunks: list[bytes] = []
+        wtr = _BitWriter()
+        unit = 0
+        rst = 0
+        fresh = True
+        ra_row = 0  # T.81 H.1.1: Ra predicts the first line of the
+        # scan AND of each restart interval
+        for y in range(h):
+            for x in range(w):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    wtr.pad()
+                    chunks.append(bytes(wtr.buf))
+                    chunks.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+                    rst += 1
+                    wtr = _BitWriter()
+                    fresh = True
+                    ra_row = y
+                for arr in scan_arrs:
+                    s = int(arr[y, x])
+                    if fresh:
+                        px = default
+                    elif y == ra_row:
+                        px = int(arr[y, x - 1])
+                    elif x == 0:
+                        px = int(arr[y - 1, 0])
+                    else:
+                        a = int(arr[y, x - 1])
+                        b = int(arr[y - 1, x])
+                        c = int(arr[y - 1, x - 1])
+                        px = (
+                            a, b, c, a + b - c,
+                            a + ((b - c) >> 1), b + ((a - c) >> 1),
+                            (a + b) >> 1,
+                        )[predictor - 1]
+                    # modulo-2^16 reduction into [-32768, 32767];
+                    # -32768 is transmitted as SSSS=16 with no appended
+                    # bits (H.1.2.1)
+                    diff = ((s - px + 32768) & 0xFFFF) - 32768
+                    if diff == -32768:
+                        wtr.write(*dc_c[16])
+                    else:
+                        t = _category(diff)
+                        wtr.write(*dc_c[t])
+                        _enc_value(wtr, diff, t)
+                fresh = False
+                unit += 1
+        wtr.pad()
+        chunks.append(bytes(wtr.buf))
+        return chunks
+
+    def sos_seg(comp_ids: list) -> bytes:
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([predictor, 0, pt])
+        return _seg(0xDA, sos)
 
     head = bytearray(b"\xff\xd8")
     sof = struct.pack(">BHHB", prec, h, w, nch)
@@ -668,12 +686,15 @@ def encode_jpeg_lossless(
     head += _seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
     if restart_interval:
         head += _seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([nch])
-    for i in range(nch):
-        sos += bytes([i + 1, 0x00])
-    sos += bytes([predictor, 0, pt])
-    head += _seg(0xDA, sos)
-    return bytes(head) + b"".join(chunks) + b"\xff\xd9"
+    body = bytearray()
+    if multi_scan and nch > 1:
+        for i in range(nch):
+            body += sos_seg([i + 1])
+            body += b"".join(scan_chunks([arrs[i]]))
+    else:
+        body += sos_seg([i + 1 for i in range(nch)])
+        body += b"".join(scan_chunks(arrs))
+    return bytes(head) + bytes(body) + b"\xff\xd9"
 
 
 # 12-bit baseline: DC categories reach 12..15 (beyond the 8-bit K.3

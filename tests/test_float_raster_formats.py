@@ -216,6 +216,59 @@ def test_hdr_rle_scanlines():
     assert np.max(np.abs(rle.astype(int) - _expected_u8(rgb).astype(int))) <= 3
 
 
+def test_hdr_old_style_rle():
+    """Old-style Radiance RLE: a quadruple (1,1,1,n) repeats the
+    previous pixel n << (8*shift) times, consecutive markers raising
+    the shift (color.c oldreadcolrs). Covers a plain run, a
+    double-marker shifted count (n2 << 8), a row-start repeat pulling
+    the previous row's last pixel, and an interleaved flat row; the
+    oracle is the FLAT encoding of the same expanded pixels."""
+    w = 300
+    px_a = bytes([40, 80, 120, 130])
+    px_b = bytes([200, 10, 60, 129])
+    px_c = bytes([90, 90, 30, 131])
+    head = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+    head += f"-Y 4 +X {w}\n".encode()
+    body = bytearray()
+    # row 0: literal, run of 43, then a shifted marker (1 << 8 = 256)
+    body += px_a + bytes([1, 1, 1, 43]) + bytes([1, 1, 1, 1])
+    # row 1: flat (no markers)
+    row1 = bytes()
+    for i in range(w):
+        row1 += bytes([(i * 7) % 250 + 2, (i * 13) % 250 + 2,
+                       (i * 29) % 250 + 2, 128])
+    body += row1
+    # row 2: literal then run 255, literal tail of 44
+    body += px_b + bytes([1, 1, 1, 255])
+    tail = bytes()
+    for i in range(44):
+        tail += bytes([i + 2, 255 - i, 50, 132])
+    body += tail
+    # row 3: starts with a repeat of row 2's LAST pixel, then literals
+    body += bytes([1, 1, 1, 100])
+    for i in range(w - 100):
+        body += bytes([5 + i % 200, 9, 13, 129])
+    data = bytes(head) + bytes(body)
+
+    # expand by hand into the flat oracle
+    rgbe = np.zeros((4, w, 4), np.uint8)
+    rgbe[0, 0] = np.frombuffer(px_a, np.uint8)
+    rgbe[0, 1:300] = rgbe[0, 0]
+    rgbe[1] = np.frombuffer(row1, np.uint8).reshape(w, 4)
+    rgbe[2, 0] = np.frombuffer(px_b, np.uint8)
+    rgbe[2, 1:256] = rgbe[2, 0]
+    rgbe[2, 256:] = np.frombuffer(tail, np.uint8).reshape(44, 4)
+    rgbe[3, :100] = rgbe[2, w - 1]
+    rgbe[3, 100:] = np.frombuffer(
+        bytes().join(bytes([5 + i % 200, 9, 13, 129])
+                     for i in range(w - 100)), np.uint8).reshape(w - 100, 4)
+
+    out = decode_bytes(data)[0]
+    flat = decode_bytes(_write_hdr_flat(rgbe))[0]
+    assert np.array_equal(out, flat)
+    assert out.shape == (4, w)
+
+
 def test_hdr_bright_values_clamp():
     rgb = np.full((3, 16, 3), 7.5)  # HDR value far above display range
     rgbe = _float2rgbe(rgb)

@@ -724,6 +724,31 @@ def test_jpeg_lossless_roundtrip():
     assert np.array_equal(page, _smooth(16, 24))
 
 
+def test_jpeg_lossless_multi_scan_roundtrip():
+    """A 3-component SOF3 frame coded as THREE single-component scans
+    (non-interleaved, T.81 A.2.2 — legal and produced by real
+    encoders). The decoder must accumulate planes across scans and
+    return the full color image, not just the first scan's component."""
+    from jpeg_ref_encoder import encode_jpeg_lossless
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    rng = np.random.RandomState(17)
+    rgb = rng.randint(0, 256, size=(11, 7, 3)).astype(np.uint8)
+    data = encode_jpeg_lossless(rgb, predictor=5, multi_scan=True)
+    # layout check: the stream really carries three SOS segments
+    assert data.count(b"\xff\xda") == 3
+    out = decode_jpeg(data)
+    assert out.ndim == 3 and np.array_equal(out, rgb)
+    # interleaved and non-interleaved code the same samples
+    assert np.array_equal(
+        out, decode_jpeg(encode_jpeg_lossless(rgb, predictor=5))
+    )
+    # with restart intervals (per-scan restart state)
+    data = encode_jpeg_lossless(rgb, predictor=2, restart_interval=5,
+                                multi_scan=True)
+    assert np.array_equal(decode_jpeg(data), rgb)
+
+
 def test_jpeg_lossless_restart_intervals():
     """SOF3 with DRI: prediction resets to the default at each RSTn
     (T.81 H.1.1) and the round trip stays bit-exact."""
@@ -1524,6 +1549,37 @@ def test_jpeg_hierarchical_dct_refinement():
     )
     assert out.shape == img.shape
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_hierarchical_per_frame_dqt_redefinition():
+    """Each DCT frame carries its own DQT reusing table id 0 — the
+    normal multi-frame layout. The fold of frame k runs when frame
+    k+1's SOF arrives, AFTER the redefining DQT has been parsed, so
+    the decoder must dequantize with the table frozen at frame k's
+    scan (T.81 binds Tq in the frame header; libjpeg copies at scan
+    start), not the live table. The final lossless correction frame
+    was computed by the encoder against the correctly-folded pyramid,
+    so any table mix-up breaks the bit-exact round trip."""
+    from jpeg_hier_ref_encoder import encode_jpeg_hierarchical
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    img = _hier_img()
+    plan = [
+        {"kind": "dct", "q": [3] * 64},
+        {"kind": "dct", "exp": (1, 1), "q": [7] * 64},
+        {"kind": "lossless"},
+    ]
+    out = decode_jpeg(encode_jpeg_hierarchical(img, plan))
+    assert np.array_equal(out, img)
+
+    # arithmetic coding takes the same deferred-dequant path
+    plan = [
+        {"kind": "arith-dct", "q": [2] * 64},
+        {"kind": "arith-dct", "exp": (1, 1), "q": [9] * 64},
+        {"kind": "arith-lossless"},
+    ]
+    out = decode_jpeg(encode_jpeg_hierarchical(img, plan))
+    assert np.array_equal(out, img)
 
 
 def test_jpeg_hierarchical_progressive_differential():

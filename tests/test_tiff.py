@@ -187,6 +187,22 @@ def test_ccitt_edge_rows():
         assert np.array_equal(out.astype(bool), ink), f"comp {comp}"
 
 
+def test_ccitt_photometric_1_inverts():
+    """PhotometricInterpretation=1 (BlackIsZero) on a fax page inverts
+    the rendered polarity vs the fax-default photometric 0 (TIFF6),
+    matching libtiff/cv2 and the module's own uncompressed bilevel
+    path — the same encoded runs must flip with the tag."""
+    ink = _doc_bilevel(12, 37, seed=31)
+    pages = {}
+    for photo in (0, 1):
+        t = write_tiff([{"pixels": ink, "compression": 4,
+                         "photometric": photo}])
+        pages[photo] = decode_tiff(t)[0]
+    assert np.array_equal(pages[0], np.where(ink, 0, 255))
+    assert np.array_equal(pages[1], np.where(ink, 255, 0))
+    assert np.array_equal(pages[0], 255 - pages[1])
+
+
 def test_g4_tiff_multistrip_and_fill_order():
     ink = _doc_bilevel(30, 64, seed=31)
     t = write_tiff([{"pixels": ink, "compression": 4, "rows_per_strip": 8}])
@@ -271,6 +287,25 @@ def test_jpeg_in_tiff_ycbcr():
     out = decode_tiff(t)[0]
     assert out.shape == (16, 24, 3)
     assert np.mean(np.abs(out.astype(int) - px.astype(int))) < 4.0
+
+
+def test_jpeg_in_tiff_cmyk():
+    """A CMYK (spp=4, photometric 5) page whose strips are a
+    4-component JPEG stream — the layout Adobe writers emit. The
+    decoded JPEG lands as RGB (APP14 handling inside decode_jpeg), so
+    the page canvas must follow the decoded channel count instead of
+    the spp tag (which used to raise a numpy broadcast ValueError)."""
+    from jpeg_ref_encoder import encode_jpeg
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    rng = np.random.RandomState(73)
+    cmyk = (rng.rand(16, 24, 4) * 255).astype(np.uint8)
+    stream = encode_jpeg(cmyk, qtable=[1] * 64)
+    t = write_tiff([{"pixels": cmyk, "compression": 7, "photometric": 5,
+                     "jpeg_bytes": stream}])
+    out = decode_tiff(t)[0]
+    assert out.shape == (16, 24, 3)
+    assert np.array_equal(out, decode_jpeg(stream, apply_orientation=False))
 
 
 def test_old_style_jpeg_fails_loudly():
