@@ -235,11 +235,15 @@ def _decode_hdr(data: bytes) -> np.ndarray:
     # header ends at the first empty line; next line is the resolution
     while True:
         nl = data.find(b"\n", pos)
+        if nl == -1:  # unterminated header must not loop forever
+            raise NotImplementedError("HDR: unterminated header")
         line = data[pos:nl]
         pos = nl + 1
         if line == b"":
             break
     nl = data.find(b"\n", pos)
+    if nl == -1:
+        raise NotImplementedError("HDR: missing resolution line")
     res = data[pos:nl].split()
     pos = nl + 1
     if res[0] != b"-Y" or res[2] != b"+X":
