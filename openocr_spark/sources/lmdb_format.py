@@ -438,6 +438,8 @@ class LmdbReader:
         stack = [root]
         while stack:
             pgno = stack.pop()
+            if pgno in out:  # corrupt files may contain pointer cycles
+                continue
             out.add(pgno)
             flags, lower, mv = self._page(pgno)
             if flags & P_LEAF:
@@ -472,8 +474,12 @@ class LmdbReader:
         if self.free_root == P_INVALID:
             return out
         stack = [self.free_root]
+        seen: set[int] = set()
         while stack:
             pgno = stack.pop()
+            if pgno in seen:
+                raise ValueError(f"LMDB: cyclic FREE-db page chain at {pgno}")
+            seen.add(pgno)
             flags, lower, mv = self._page(pgno)
             if flags & P_LEAF:
                 for lo, hi, nf, key, val_off in self._nodes(mv, lower):
@@ -520,8 +526,14 @@ class LmdbReader:
         if self.root == P_INVALID:
             return
         stack = [self.root]
+        seen: set[int] = set()
         while stack:
             pgno = stack.pop()
+            if pgno in seen:  # a corrupt child pointer must fail loudly,
+                raise ValueError(  # not spin the scan forever
+                    f"LMDB: cyclic B+tree page chain at {pgno}"
+                )
+            seen.add(pgno)
             flags, lower, mv = self._page(pgno)
             if flags & P_LEAF:
                 for lo, hi, nf, key, val_off in self._nodes(mv, lower):
@@ -540,7 +552,7 @@ class LmdbReader:
         if self.root == P_INVALID:
             return None
         pgno = self.root
-        while True:
+        for _depth in range(64):  # deeper = cyclic/corrupt, fail loudly
             flags, lower, mv = self._page(pgno)
             nodes = list(self._nodes(mv, lower))
             if flags & P_LEAF:
@@ -556,7 +568,11 @@ class LmdbReader:
                     child = lo | (hi << 16) | (nf << 32)
                 else:
                     break
+            if child is None:
+                raise ValueError("LMDB: branch page with no viable child")
             pgno = child
+        else:
+            raise ValueError("LMDB: B+tree descent exceeded 64 levels")
 
 
 # ------------------------------------------------- dataset-level analogs

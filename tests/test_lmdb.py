@@ -321,3 +321,29 @@ def test_real_liblmdb_reads_reclaimed_env(tmp_path):
         ["mdb_dump", "-p", env], capture_output=True, text=True, check=True
     )
     assert "cycle-5" in out.stdout
+
+
+def test_reader_corruption_terminates_cleanly(tmp_path):
+    """Bit-flipped data.mdb files must either read consistently or
+    raise a clean exception — never spin in a B+tree pointer cycle.
+    (Reader walks carry visited-set / depth guards for this.)"""
+    recs = [(b"key-%04d" % i, b"v" * (i % 257)) for i in range(300)]
+    env = str(tmp_path / "env")
+    L.write_lmdb(env, recs)
+    with open(os.path.join(env, "data.mdb"), "rb") as f:
+        good = bytearray(f.read())
+    rng = np.random.RandomState(99)
+    for trial in range(200):
+        data = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            data[rng.randint(0, len(data))] ^= 1 << rng.randint(0, 8)
+        with open(os.path.join(env, "data.mdb"), "wb") as f:
+            f.write(data)
+        try:
+            r = L.LmdbReader(env)
+            list(r.items())
+            r.get(b"key-0123")
+            r.freelist()
+            r.reachable_pages()
+        except Exception:
+            continue  # loud failure is within contract
