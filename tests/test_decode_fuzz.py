@@ -43,6 +43,10 @@ def _streams() -> dict[str, bytes]:
         "pnm": b"P5\n24 16\n255\n" + img.tobytes(),
         "exr": write_exr({"Y": img.astype(np.float32) / 255.0},
                          compression=3),
+        "gif": __import__("test_media_decode")._make_gif(
+            (img >> 4).astype(np.uint8),
+            [(i * 17, i * 17, i * 17) for i in range(16)],
+        ),
         "hdr": _write_hdr_flat(_float2rgbe(
             np.repeat(img[:, :, None], 3, axis=2).astype(np.float64) / 255.0
         )),
