@@ -192,16 +192,37 @@ def _build_real_media(spark, n_media: int, media_dir: str) -> None:
     # record the mix that actually built this corpus (underscore-named
     # sidecar — parquet readers ignore it); a missing test-side encoder
     # degrades its slots to PNG/PDF, and the bench must SAY so instead
-    # of reporting the full mix over a silently different corpus
-    if tests_dir not in sys.path:
-        sys.path.insert(0, tests_dir)
-    avail = {k: fn is not None for k, fn in _import_ref_encoders().items()}
+    # of reporting the full mix over a silently different corpus.
+    # Ground truth comes from the WRITTEN bytes (one row per slot,
+    # magic-sniffed), not an import probe — encoding runs in the
+    # executors, whose environment may lack tests/ even when the
+    # driver has it.
+    probe = {
+        r["media_ref"]: bytes(r["content"])
+        for r in spark.read.parquet(media_dir)
+        .filter(F.col("media_ref").isin([f"bench://{i}" for i in range(10)]))
+        .collect()
+    }
+    slot_ok = {
+        2: probe.get("bench://2", b"").startswith(b"\xff\xd8"),
+        3: b"/DCTDecode" in probe.get("bench://3", b""),
+        4: probe.get("bench://4", b"").startswith(b"\xff\xd8"),
+        5: probe.get("bench://5", b"").startswith(b"\xff\xd8"),
+        6: probe.get("bench://6", b"").startswith(b"II*\x00"),
+        7: probe.get("bench://7", b"").startswith(b"II*\x00"),
+        8: probe.get("bench://8", b"").startswith(b"RIFF"),
+        9: probe.get("bench://9", b"").startswith(b"RIFF"),
+    }
+    slot_ok = {k: v for k, v in slot_ok.items() if k < n_media}
     mix = "v6-unique-png-pdf-jpeg-dct-arith-hier-g4tiff-jpegtiff-vp8l-vp8lpal"
-    if not all(avail.values()):
-        missing = ",".join(sorted(k for k, ok in avail.items() if not ok))
-        mix += f"-DEGRADED(pngpdf-fallback:{missing})"
+    if not all(slot_ok.values()):
+        bad = ",".join(str(s) for s in sorted(k for k, ok in slot_ok.items()
+                                              if not ok))
+        mix += f"-DEGRADED(pngpdf-fallback-slots:{bad})"
     with open(os.path.join(media_dir, "_MIX.json"), "w") as f:
-        json.dump({"mix": mix, "encoders": avail}, f)
+        json.dump({"mix": mix,
+                   "slots_encoded": {str(k): v for k, v in slot_ok.items()}},
+                  f)
 
 
 def force(df) -> int:

@@ -400,6 +400,18 @@ def _decode_stream(data: bytes) -> np.ndarray:
                     hier, frame, _progressive_planes(frame, qtables, coef_store)
                 )
                 coef_store = None
+            # a multi-scan lossless frame left incomplete by the next
+            # SOF must fail loudly, not fold/assemble without its
+            # missing components (mirrors the EOI check)
+            if frame is not None and frame.get("_lossless_planes") and len(
+                frame["_lossless_planes"]
+            ) < len(frame["comps"]):
+                missing = [c["id"] for c in frame["comps"]
+                           if c["id"] not in frame["_lossless_planes"]]
+                raise NotImplementedError(
+                    "JPEG: lossless frame ended with undecoded "
+                    f"components {missing}"
+                )
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             lossless = marker in (0xC3, 0xC7, 0xCB, 0xCF)
             differential = marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF)
@@ -597,6 +609,15 @@ def _decode_stream(data: bytes) -> np.ndarray:
         if coef_store is not None:  # store-based final frame ends at EOI
             _hier_fold(
                 hier, frame, _progressive_planes(frame, qtables, coef_store)
+            )
+        if frame is not None and frame.get("_lossless_planes") and len(
+            frame["_lossless_planes"]
+        ) < len(frame["comps"]):
+            missing = [c["id"] for c in frame["comps"]
+                       if c["id"] not in frame["_lossless_planes"]]
+            raise NotImplementedError(
+                "JPEG: lossless frame ended with undecoded "
+                f"components {missing}"
             )
         if frame is None or not hier["ref"]:
             raise NotImplementedError("JPEG: hierarchical stream with no frames")

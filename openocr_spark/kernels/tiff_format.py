@@ -546,6 +546,11 @@ def _decode_ifd(data: bytes, tags: dict, bo: str) -> np.ndarray:
     bps = bps_list[0]
     comp = _tag1(tags, 259, 1)
     photo = _tag1(tags, 262, 1)
+    if 262 not in tags and comp in (2, 3, 4):
+        # fax pages missing PhotometricInterpretation default to
+        # MinIsWhite (libtiff's "assuming min-is-white" behavior), not
+        # the general default of 1 — else ink would render inverted
+        photo = 0
     planar = _tag1(tags, 284, 1)
 
     tiled = 322 in tags

@@ -748,6 +748,13 @@ def test_jpeg_lossless_multi_scan_roundtrip():
                                 multi_scan=True)
     assert np.array_equal(decode_jpeg(data), rgb)
 
+    # a frame whose remaining component scans are missing must fail
+    # loudly at EOI, not return a partial image
+    data = encode_jpeg_lossless(rgb, predictor=5, multi_scan=True)
+    second_sos = data.index(b"\xff\xda", data.index(b"\xff\xda") + 2)
+    with pytest.raises(NotImplementedError, match="undecoded"):
+        decode_jpeg(data[:second_sos] + b"\xff\xd9")
+
 
 def test_jpeg_lossless_restart_intervals():
     """SOF3 with DRI: prediction resets to the default at each RSTn

@@ -203,6 +203,20 @@ def test_ccitt_photometric_1_inverts():
     assert np.array_equal(pages[0], 255 - pages[1])
 
 
+def test_ccitt_missing_photometric_defaults_min_is_white():
+    """Fax pages that omit tag 262 entirely (real scanners do) must
+    default to MinIsWhite — libtiff's 'assuming min-is-white' — so ink
+    renders black, identical to an explicit photometric 0."""
+    ink = _doc_bilevel(10, 33, seed=41)
+    t = write_tiff([{"pixels": ink, "compression": 4,
+                     "omit_photometric": True}])
+    out = decode_tiff(t)[0]
+    explicit = decode_tiff(write_tiff(
+        [{"pixels": ink, "compression": 4, "photometric": 0}]))[0]
+    assert np.array_equal(out, explicit)
+    assert np.array_equal(out, np.where(ink, 0, 255))
+
+
 def test_g4_tiff_multistrip_and_fill_order():
     ink = _doc_bilevel(30, 64, seed=31)
     t = write_tiff([{"pixels": ink, "compression": 4, "rows_per_strip": 8}])

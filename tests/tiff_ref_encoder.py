@@ -340,9 +340,13 @@ def write_tiff(pages: list[dict], byte_order: str = "<") -> bytes:
         entries: list[tuple[int, int, list[int] | bytes]] = [
             (256, 4, [w]), (257, 4, [h]),
             (258, 3, [bps] * spp), (259, 3, [comp]),
-            (262, 3, [photo]), (277, 3, [spp]),
+            (277, 3, [spp]),
             (284, 3, [planar]),
         ]
+        if not page.get("omit_photometric"):
+            # real scanners sometimes omit tag 262 on fax pages; the
+            # option lets tests pin the reader's min-is-white default
+            entries.append((262, 3, [photo]))
         if predictor != 1:
             entries.append((317, 3, [predictor]))
         if comp == 3 and page.get("t4_2d"):
