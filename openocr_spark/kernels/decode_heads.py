@@ -401,7 +401,10 @@ def mgp_bpe_decode(
     text_decoded: list[str] = []
     conf = 1.0
     for t, p in zip(token_ids, probs):
-        tok = id_to_token.get(int(t), "")
+        # the reference decodes each id via GPT2Tokenizer.decode([id]),
+        # which maps the byte-level space marker back: 'Ġthe' → ' the';
+        # the '#' comparison happens on that DECODED string
+        tok = id_to_token.get(int(t), "").replace("Ġ", " ")
         if tok == "#":
             break
         text_decoded.append(tok)

@@ -351,9 +351,12 @@ def _decode_stream(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise NotImplementedError("JPEG: marker expected")
         marker = data[pos + 1]
-        pos += 2
-        if 0xD0 <= marker <= 0xD7:  # stray RSTn between scans
+        if marker == 0xFF:  # 0xFF fill bytes before a marker (B.1.1.2)
+            pos += 1
             continue
+        pos += 2
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue  # stray RSTn / TEM between scans (length-less)
         if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack_from(">H", data, pos)

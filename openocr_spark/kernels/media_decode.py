@@ -676,7 +676,9 @@ def _decode_gif(data: bytes) -> np.ndarray:
     reorder, palette → BT.601 luma."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError("not a GIF")
+    sw, sh = struct.unpack_from("<HH", data, 6)
     flags = data[10]
+    bg_idx = data[11]
     pos = 13
     gct = None
     if flags & 0x80:
@@ -722,7 +724,22 @@ def _decode_gif(data: bytes) -> np.ndarray:
             if int(idx.max(initial=0)) >= len(pal):
                 raise NotImplementedError("GIF palette index out of range")
             rgb = pal[idx]
-            return _luma(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
+            frame = _luma(rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2])
+            if (_left, _top) == (0, 0) and (w, h) == (sw, sh):
+                return frame
+            # sub-screen frame (optimizer output): composite frame 0
+            # onto the logical screen at (left, top) over the
+            # background color, so output dims match the full canvas
+            if gct is not None and bg_idx < len(gct):
+                bg = int(_luma(*(gct[bg_idx][i : i + 1].astype(np.uint8)
+                                 for i in range(3)))[0])
+            else:
+                bg = 0
+            canvas = np.full((sh, sw), bg, dtype=np.uint8)
+            hh = min(h, max(sh - _top, 0))
+            ww = min(w, max(sw - _left, 0))
+            canvas[_top : _top + hh, _left : _left + ww] = frame[:hh, :ww]
+            return canvas
         elif b0 == 0x3B:  # trailer before any image
             break
         else:

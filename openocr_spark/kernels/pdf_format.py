@@ -244,24 +244,43 @@ def _expand_object_streams(objects: dict[int, object]) -> None:
 
 
 def _resolve(objects: dict[int, object], v):
-    while isinstance(v, Ref):
+    for _ in range(64):  # damaged files can chain refs cyclically —
+        if not isinstance(v, Ref):  # bound the walk, never hang a task
+            break
         v = objects.get(v.num)
+    else:
+        raise NotImplementedError("PDF: cyclic indirect-reference chain")
     if isinstance(v, tuple):  # stream object referenced as a value
         return v[0]
     return v
 
 
-def _walk_pages(objects: dict[int, object], node, out: list) -> None:
+def _walk_pages(objects: dict[int, object], node, out: list,
+                inherited_res=None, _seen: set | None = None) -> None:
+    """Collect /Page dicts. /Resources is INHERITABLE (PDF 32000
+    7.7.3.4): a page without its own entry uses the nearest ancestor
+    /Pages node's — common writer output. A visited set bounds damaged
+    page trees with kid cycles."""
+    if _seen is None:
+        _seen = set()
+    if isinstance(node, Ref):
+        if node.num in _seen:
+            return  # cyclic page tree in a damaged file
+        _seen.add(node.num)
     node = _resolve(objects, node)
     if isinstance(node, tuple):
         node = node[0]
     if not isinstance(node, dict):
         return
+    res = node.get("/Resources", inherited_res)
     t = node.get("/Type")
     if t == "/Pages":
         for kid in _resolve(objects, node.get("/Kids")) or []:
-            _walk_pages(objects, kid, out)
+            _walk_pages(objects, kid, out, res, _seen)
     elif t == "/Page":
+        if "/Resources" not in node and res is not None:
+            node = dict(node)
+            node["/Resources"] = res
         out.append(node)
 
 
@@ -358,15 +377,27 @@ def decode_pdf_pages(data: bytes) -> list[np.ndarray]:
         res = _resolve(objects, page.get("/Resources")) or {}
         xobjs = _resolve(objects, res.get("/XObject")) or {}
         best: np.ndarray | None = None
+        first_err: NotImplementedError | None = None
         for _name in sorted(xobjs):
             obj = xobjs[_name]
             obj = objects.get(obj.num) if isinstance(obj, Ref) else obj
             if not (isinstance(obj, tuple) and obj[0].get("/Subtype") == "/Image"):
                 continue
-            px = _decode_image_xobject(objects, obj)
+            try:
+                px = _decode_image_xobject(objects, obj)
+            except NotImplementedError as e:
+                # an undecodable sibling (JBIG2 stencil, CCITT logo,
+                # 1-bit mask) must not take down the page — the
+                # contract is the largest DECODABLE image; keep the
+                # first error as the diagnostic if nothing decodes
+                if first_err is None:
+                    first_err = e
+                continue
             if best is None or px.size > best.size:
                 best = px
         if best is None:
+            if first_err is not None:
+                raise first_err
             raise NotImplementedError(
                 "PDF page without a decodable image XObject (vector/text "
                 "pages need a renderer — the documented PyMuPDF boundary)"

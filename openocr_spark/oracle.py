@@ -303,11 +303,12 @@ def rec_heads_rows(media_ref: str) -> list[dict]:
             if tokmap.get(int(k), "") not in cmer_specials
         ).replace(" ", "").strip()
         rows["cmer"] = (cm, 0.0)
-        # mgp bpe: break at '#' BEFORE appending/multiplying; product conf
+        # mgp bpe: break at '#' BEFORE appending/multiplying; product
+        # conf; per-token GPT2 decode maps the byte-level marker Ġ → ' '
         bpe_parts: list[str] = []
         bpe_conf = 1.0
         for k, c in zip(ids, conf):
-            tok = tokmap.get(int(k), "")
+            tok = tokmap.get(int(k), "").replace("Ġ", " ")
             if tok == "#":
                 break
             bpe_parts.append(tok)

@@ -406,7 +406,8 @@ def _lzw_encode(min_code_size, data):
     return bytes(buf)
 
 
-def _make_gif(idx, palette, interlace=False, version=b"GIF89a"):
+def _make_gif(idx, palette, interlace=False, version=b"GIF89a",
+              offset=(0, 0), screen_wh=None, bg=0):
     import struct
 
     h, w = idx.shape
@@ -414,7 +415,8 @@ def _make_gif(idx, palette, interlace=False, version=b"GIF89a"):
     depth = max(2, (n - 1).bit_length())
     pal = list(palette) + [(0, 0, 0)] * ((1 << depth) - n)
     gct = b"".join(bytes(p) for p in pal)
-    screen = struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    sw, sh = screen_wh if screen_wh else (w, h)
+    screen = struct.pack("<HHBBB", sw, sh, 0x80 | (depth - 1), bg, 0)
     rows = idx
     iflags = 0
     if interlace:
@@ -431,7 +433,8 @@ def _make_gif(idx, palette, interlace=False, version=b"GIF89a"):
         chunk = lzw[i : i + 200]
         blocks += bytes([len(chunk)]) + chunk
     gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
-    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    desc = b"\x2c" + struct.pack("<HHHHB", offset[0], offset[1], w, h,
+                                 iflags)
     return (
         version + screen + gct + gce + desc + bytes([mcs]) + blocks + b"\x00\x3b"
     )
@@ -464,6 +467,24 @@ def test_gif_lzw_width_growth():
     idx = rng.randint(0, 256, size=(24, 32)).astype(np.uint8)
     (out,) = decode_bytes(_make_gif(idx, palette))
     assert np.array_equal(out, _luma_ref(np.array(palette, dtype=np.uint8)[idx]))
+
+
+def test_gif_subscreen_frame_composited_on_canvas():
+    """A frame smaller than the logical screen with a (left, top)
+    offset — optimizer output — must land on the full-screen canvas
+    over the background color, not be returned as the bare
+    sub-rectangle (dims and region coordinates would shift)."""
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (200, 200, 200)]
+    idx = np.array([[1, 2, 1, 2], [2, 1, 2, 1], [1, 1, 2, 2]],
+                   dtype=np.uint8)
+    data = _make_gif(idx, palette, offset=(2, 1), screen_wh=(10, 6), bg=3)
+    (out,) = decode_bytes(data)
+    assert out.shape == (6, 10)
+    pal = np.array(palette, dtype=np.uint8)
+    expect = np.full((6, 10), _luma_ref(pal[3][None, None, :])[0, 0],
+                     dtype=np.uint8)
+    expect[1:4, 2:6] = _luma_ref(pal[idx])
+    assert np.array_equal(out, expect)
 
 
 def test_pdf_writer_reader_multipage():
@@ -504,6 +525,46 @@ def test_pdf_handwritten_canonical():
     (out,) = decode_bytes(pdf)
     assert out.shape == (2, 4)
     assert np.array_equal(out, np.frombuffer(px, dtype=np.uint8).reshape(2, 4))
+
+
+def test_pdf_inherited_resources_and_undecodable_sibling():
+    """Two spec shapes real writers emit: (a) /Resources lives on the
+    parent /Pages node and is INHERITED by pages that omit it (PDF
+    32000 7.7.3.4); (b) a page carrying an undecodable sibling XObject
+    (here a 1-bit stencil mask) still contributes its largest
+    DECODABLE image instead of failing the whole file."""
+    px = bytes(range(8, 8 + 8))  # 4x2
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Count 1 /Kids [3 0 R]\n"
+        b"  /Resources << /XObject << /Im0 4 0 R /Mask0 5 0 R >> >> >>\n"
+        b"endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 4 2]\n"
+        b"  /Contents 6 0 R >> endobj\n"
+        b"4 0 obj << /Type /XObject /Subtype /Image /Width 4 /Height 2\n"
+        b"  /ColorSpace /DeviceGray /BitsPerComponent 8 /Length 8 >>\n"
+        b"stream\n" + px + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /XObject /Subtype /Image /Width 4 /Height 2\n"
+        b"  /ImageMask true /BitsPerComponent 1 /Length 2 >>\n"
+        b"stream\n\xf0\xf0\nendstream endobj\n"
+        b"6 0 obj << /Length 22 >>\nstream\nq 4 0 0 2 0 0 cm /Im0 Do Q\n"
+        b"endstream endobj\n"
+        b"trailer << /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    )
+    (out,) = decode_bytes(pdf)
+    assert out.shape == (2, 4)
+    assert np.array_equal(out, np.frombuffer(px, dtype=np.uint8).reshape(2, 4))
+
+
+def test_pdf_cyclic_reference_fails_loudly():
+    """A damaged PDF whose indirect references chain in a cycle must
+    raise, not hang the executor task."""
+    from openocr_spark.kernels.pdf_format import Ref, _resolve
+
+    objects = {1: Ref(2), 2: Ref(1)}
+    with pytest.raises(NotImplementedError, match="cyclic"):
+        _resolve(objects, Ref(1))
 
 
 def test_pdf_flate_png_predictor():
@@ -1044,6 +1105,11 @@ def test_jpeg_dimensions_skips_standalone_markers():
     # (the \xff\xdb re-introduces the DQT marker the splice consumed)
     h, w, nc = jpeg_dimensions(patched)
     assert (h, w, nc) == (10, 14, 1)
+    # the FULL decode loop must tolerate the same legal padding
+    # (T.81 B.1.1.2 allows 0xFF fill before any marker)
+    from openocr_spark.kernels.jpeg_format import decode_jpeg
+
+    assert np.array_equal(decode_jpeg(patched), decode_jpeg(jb))
 
 
 def test_pdf_filter_chain_fails_loud():
