@@ -38,7 +38,9 @@ from openocr_spark.kernels.recognition import softmax
 
 
 def _argmax_conf(logits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    probs = softmax(logits.astype(np.float64), axis=1)
+    if logits is None or logits.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    probs = softmax(np.asarray(logits, dtype=np.float64), axis=1)
     return probs.argmax(axis=1), probs.max(axis=1)
 
 

@@ -93,6 +93,8 @@ def decode_exr(data: bytes) -> np.ndarray:
     comp = attrs["compression"][1][0]
     x0, y0, x1, y1 = struct.unpack("<4i", attrs["dataWindow"][1])
     w, h = x1 - x0 + 1, y1 - y0 + 1
+    from openocr_spark.kernels.media_decode import check_dims
+    check_dims(w, h, "EXR", max(len(chans), 1))
     line_order = attrs.get("lineOrder", ("", b"\x00"))[1][0]
     if line_order not in (0, 1):
         raise NotImplementedError("random-Y EXR line order")

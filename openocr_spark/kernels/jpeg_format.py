@@ -416,6 +416,8 @@ def _decode_stream(data: bytes) -> np.ndarray:
                     f"components {missing}"
                 )
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            from openocr_spark.kernels.media_decode import check_dims
+            check_dims(w, h, "JPEG", max(nc, 1))
             lossless = marker in (0xC3, 0xC7, 0xCB, 0xCF)
             differential = marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF)
             if lossless or marker == 0xDE:

@@ -34,6 +34,20 @@ from pyspark.sql import DataFrame
 
 _MAGIC = b"FAKEIMG1"
 
+# decoded-raster sanity bound shared by every from-scratch decoder:
+# 2^28 samples (~268 MB of uint8) is far beyond any sane document
+# raster (A3 at 600 dpi RGB is ~100M); header dims past it are
+# corrupt/adversarial and would otherwise become multi-GB allocation
+# bombs — a HANG class the corruption fuzz found, not an exception
+MAX_DECODE_SAMPLES = 1 << 28
+
+
+def check_dims(w: int, h: int, what: str, channels: int = 1) -> None:
+    if w <= 0 or h <= 0 or w * h * channels > MAX_DECODE_SAMPLES:
+        raise NotImplementedError(
+            f"{what}: implausible dimensions {w}x{h}x{channels}"
+        )
+
 DECODED_SCHEMA = (
     "doc_id string, media_ref string, page_no int, height int, width int, "
     "pixels binary"
@@ -109,6 +123,7 @@ def _decode_pnm(data: bytes) -> np.ndarray:
             pos += 1
         tokens.append(int(data[start:pos]))
     w, h, maxval = tokens
+    check_dims(w, h, "netpbm", 3)
     if not 0 < maxval <= 65535:
         # the netpbm legal maximum is 65535; beyond it the 2-byte raster
         # layout is undefined and decoding would yield silent garbage
@@ -152,6 +167,7 @@ def _decode_pfm(data: bytes) -> np.ndarray:
         raise NotImplementedError("truncated PFM header")
     magic = lines[0].strip()
     w, h = (int(t) for t in lines[1].split())
+    check_dims(w, h, "PFM", 3)
     scale = float(lines[2].decode("ascii"))
     raster = lines[3]
     nch = 3 if magic == b"PF" else 1
@@ -176,6 +192,7 @@ def _decode_sun_raster(data: bytes) -> np.ndarray:
     )
     if magic != 0x59A66A95:
         raise NotImplementedError("not a Sun Raster stream")
+    check_dims(w, h, "Sun Raster", 3)
     pos = 32
     cmap = None
     if maptype == 1 and maplen:  # RMT_EQUAL_RGB: r-plane, g-plane, b-plane
@@ -249,6 +266,7 @@ def _decode_hdr(data: bytes) -> np.ndarray:
     if res[0] != b"-Y" or res[2] != b"+X":
         raise NotImplementedError(f"HDR orientation {b' '.join(res)!r}")
     h, w = int(res[1]), int(res[3])
+    check_dims(w, h, "HDR", 4)
     rgbe = np.zeros((h, w, 4), dtype=np.uint8)
     for y in range(h):
         if (
@@ -379,6 +397,7 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     (px_offset,) = struct.unpack_from("<I", data, 10)
     (hdr_size,) = struct.unpack_from("<I", data, 14)
     w, h_signed = struct.unpack_from("<ii", data, 18)
+    check_dims(w, abs(h_signed), "BMP", 4)
     _planes, bpp = struct.unpack_from("<HH", data, 26)
     (compression,) = struct.unpack_from("<I", data, 30)
     if hdr_size < 40 or bpp not in (1, 4, 8, 16, 24, 32):
@@ -536,6 +555,7 @@ def _decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise NotImplementedError("PNG missing IHDR/IDAT")
     w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    check_dims(w, h, "PNG", 4)
     if depth not in (1, 2, 4, 8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG depth={depth} interlace={interlace} not supported"
@@ -677,6 +697,7 @@ def _decode_gif(data: bytes) -> np.ndarray:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError("not a GIF")
     sw, sh = struct.unpack_from("<HH", data, 6)
+    check_dims(sw, sh, "GIF screen")
     flags = data[10]
     bg_idx = data[11]
     pos = 13
@@ -764,6 +785,7 @@ def decode_bytes(data: bytes) -> list[np.ndarray]:
     page (1→N)."""
     if data[: len(_MAGIC)] == _MAGIC:
         h, w, n = struct.unpack("<HHB", data[len(_MAGIC) : len(_MAGIC) + 5])
+        check_dims(w, h, "FAKEIMG", max(n, 1))
         body = data[len(_MAGIC) + 5 :]
         return [
             np.frombuffer(body[i * h * w : (i + 1) * h * w], dtype=np.uint8).reshape(

@@ -291,6 +291,8 @@ def _decode_image_xobject(objects: dict[int, object], obj) -> np.ndarray:
     d, raw = obj
     w = _resolve(objects, d.get("/Width"))
     h = _resolve(objects, d.get("/Height"))
+    from openocr_spark.kernels.media_decode import check_dims
+    check_dims(int(w or 0), int(h or 0), "PDF image", 3)
     bpc = _resolve(objects, d.get("/BitsPerComponent"))
     cs = _resolve(objects, d.get("/ColorSpace"))
     filt = _resolve(objects, d.get("/Filter"))

@@ -47,6 +47,8 @@ import zlib
 
 import numpy as np
 
+from openocr_spark.kernels.media_decode import check_dims
+
 # ---------------------------------------------------------------- container
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
@@ -540,6 +542,16 @@ def _decode_ifd(data: bytes, tags: dict, bo: str) -> np.ndarray:
     if not width or not height:
         raise NotImplementedError("TIFF IFD without ImageWidth/ImageLength")
     spp = _tag1(tags, 277, 1)
+    check_dims(width, height, "TIFF", max(int(spp), 1))
+    if width * height > 100_000 * len(data):
+        # even the most compressible real page (an all-white G4 fax,
+        # ~40,000:1) cannot put this many pixels in this few bytes; a
+        # corrupt dimension tag otherwise yields a minutes-long decode
+        # into a plausible-looking giant blank canvas
+        raise NotImplementedError(
+            f"TIFF dims {width}x{height} impossible for a "
+            f"{len(data)}-byte file"
+        )
     bps_list = tags.get(258, [1])
     if len(set(bps_list)) != 1:
         raise NotImplementedError("heterogeneous BitsPerSample")

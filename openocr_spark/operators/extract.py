@@ -62,18 +62,21 @@ def explode_spans(documents: DataFrame) -> DataFrame:
 
 
 TOKENIZER_HEADS = frozenset({"unirec", "cmer", "mgp_bpe", "mgp_wp"})
+# heads whose reference tools emit NO confidence (and never pass
+# through a drop_score filter) — exempt from the score cut, else the
+# default drop_score would silently drop every decoded text
+NO_CONF_HEADS = frozenset({"unirec", "cmer"})
 
 
 def _argmax_ids_probs(logits: np.ndarray):
     """Softmax argmax ids + their probabilities — the bridge from a
     single-logits buffer to the token-id heads (the analog of the AR
-    loop's per-step argmax in tools/infer_unirec_onnx.py:288-331)."""
-    from openocr_spark.kernels.recognition import softmax
+    loop's per-step argmax in tools/infer_unirec_onnx.py:288-331).
+    Thin alias of the kernel-side _argmax_conf so the two can never
+    diverge."""
+    from openocr_spark.kernels.decode_heads import _argmax_conf
 
-    if logits is None or logits.size == 0:
-        return np.zeros(0, dtype=np.int64), np.zeros(0)
-    probs = softmax(np.asarray(logits, dtype=np.float64), axis=1)
-    return probs.argmax(axis=1), probs.max(axis=1)
+    return _argmax_conf(logits)
 
 
 def _ce_head(logits: np.ndarray):
@@ -149,7 +152,7 @@ def _decode_fn(name: str, token_map=None):
         else:  # mgp_wp
             from openocr_spark.kernels.tokenizer import sep_id
 
-            sep = sep_id(tuple(token_map))
+            sep = sep_id(tuple(id_to_token.items()))
 
             def tok_head(logits):  # noqa: ANN001
                 ids, probs = _argmax_ids_probs(logits)
@@ -204,7 +207,7 @@ def _process_media_arrays(
         if isinstance(logits, (bytes, bytearray)):
             logits = _logits_from_buffer(logits, int(reg["logits_t"]))
         text, score = decode(logits)
-        if score >= cfg.drop_score:
+        if score >= cfg.drop_score or cfg.rec_head in NO_CONF_HEADS:
             texts.append(text)
     return "\n".join(texts)
 

@@ -37,28 +37,25 @@ def det_training_targets(
     """Per-media preprocessing + training-target statistics:
     G7 det_resize shape/ratios, G15 shrink/border target counts,
     G11 content-crop shape (on the inverted page-like image),
-    G16/G17 keep-ratio pad valid-width ratio. G8 normalize_image runs
-    on the resized map (its output feeds the stats pipeline mean)."""
+    G16/G17 keep-ratio pad valid-width ratio. The emitted statistics
+    depend only on the resize-family SHAPE arithmetic (det_resize_shape
+    and the keep-ratio width formula) — the pixel gathers themselves
+    are not run here (their byte-exactness is pinned directly by
+    test_preprocess golden tests); running them per media was measured
+    dead compute on this stats path."""
     from openocr_spark.fixtures import payload_for_media_ref
     from openocr_spark.kernels.preprocess import (
-        bilinear_apply,
-        bilinear_grids,
         crop_margin,
         det_resize_shape,
         make_border_map,
         make_shrink_map,
-        normalize_image,
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # resample gather-grids depend only on (h, w) → target shape;
-        # cache them per media shape across the whole partition (the
-        # RatioDataSet same-shape bucketing idea applied to resample
-        # overhead). A batch-major stacked resample was measured ~3×
-        # SLOWER (cache-hostile cross-image strides) and reverted —
-        # per-image gathers with shared grids keep the image resident.
-        det_grids: dict[tuple[int, int], tuple] = {}
-        pad_grids: dict[tuple[int, int], tuple] = {}
+        # resize shapes depend only on (h, w) — cache per media shape
+        # across the whole partition (the RatioDataSet same-shape
+        # bucketing idea)
+        det_shapes: dict[tuple[int, int], tuple] = {}
         for pdf in batches:
             rows = []
             for ref in pdf["media_ref"].tolist():
@@ -68,14 +65,11 @@ def det_training_targets(
                 prob = p["score_map"]
                 h, w = prob.shape
                 shape = (h, w)
-                if shape not in det_grids:
+                if shape not in det_shapes:
                     rh, rw = det_resize_shape(h, w, limit_side_len, limit_type)
-                    det_grids[shape] = (rh, rw, bilinear_grids(h, w, rh, rw))
                     nw = max(min(int(np.ceil(rec_h * w / h)), rec_w), 1)
-                    pad_grids[shape] = (nw, bilinear_grids(h, w, rec_h, nw))
-                rh, rw, dg = det_grids[shape]
-                resized = bilinear_apply(prob, dg)  # G7 det_resize
-                normalize_image(resized)  # G8 on the det input path
+                    det_shapes[shape] = (rh, rw, nw)
+                rh, rw, nw = det_shapes[shape]
                 rects = [
                     (
                         float(r["points"][0][0]), float(r["points"][0][1]),
@@ -88,9 +82,7 @@ def det_training_targets(
                 border, bmask = make_border_map(rects, ignore, h, w)
                 page = ((1.0 - prob) * 255.0).astype(np.uint8)  # ink-on-paper
                 cropped = crop_margin(page)
-                nw, pg = pad_grids[shape]
-                bilinear_apply(prob, pg)  # G16/G17 keep-ratio resample
-                valid = nw / float(rec_w)
+                valid = nw / float(rec_w)  # G16/G17 keep-ratio pad share
                 rows.append(
                     {
                         "media_ref": ref,

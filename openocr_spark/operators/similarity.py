@@ -256,17 +256,34 @@ def ensure_ivf_cells(
 
     def write(emb: DataFrame, tmp: str) -> None:
         vec = F.col(vec_col).cast("array<double>")
-        (
-            emb.withColumn(cell_col, ivf_cell(vec))
-            # k_cells output dirs; one shuffle so each cell writes one
-            # file instead of one file per input-partition × cell
-            .repartition(F.col(cell_col))
-            .write.mode("overwrite")
-            .partitionBy(cell_col)
-            .parquet(tmp)
-        )
+        # corpus-size-derived intra-cell salt (the tuned-granularity
+        # rule every fixed knob in this repo has converged to): a bare
+        # repartition(cell) funnels each cell through ONE task — fine
+        # at fixture scale, a k_cells-wide bottleneck at the 100-TB
+        # scale this layout exists for. salts grows with rows so each
+        # (cell, salt) shard stays ~bounded and the write uses
+        # k_cells × salts tasks; at test scale salts == 1 preserves the
+        # 1-file-per-cell layout the pruning assert pins.
+        salts = _cell_write_salts(emb.count())
+        out = emb.withColumn(cell_col, ivf_cell(vec))
+        if salts > 1:
+            out = out.repartition(
+                F.col(cell_col),
+                F.pmod(F.xxhash64(F.col("vec_id")), F.lit(salts)),
+            )
+        else:
+            out = out.repartition(F.col(cell_col))
+        out.write.mode("overwrite").partitionBy(cell_col).parquet(tmp)
 
     return _ensure_index(spark, sf_dir, base_dir, write)
+
+
+def _cell_write_salts(n_rows: int, rows_per_shard: int = 4_000_000) -> int:
+    """Intra-cell write parallelism for ensure_ivf_cells: ceil(n /
+    rows_per_shard), so shard size — not shard count — is the invariant
+    as the corpus grows (a 10^9-row corpus gets 250 shards per cell
+    space, a 10^4-row fixture gets 1)."""
+    return max(1, -(-int(n_rows) // int(rows_per_shard)))
 
 
 def cosine_topk_quantized(

@@ -79,14 +79,29 @@ def executed_scan_metrics(df: DataFrame) -> list[dict[str, int]]:
     read, where inputFiles()/PartitionFilters only show intent."""
     wanted = {"numFiles", "numPartitions", "filesSize", "numOutputRows"}
     out: list[dict[str, int]] = []
-    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
-    for i in range(leaves.length()):
-        node = leaves.apply(i)
-        metrics: dict[str, int] = {}
-        it = node.metrics().iterator()
-        while it.hasNext():
-            kv = it.next()
-            if kv._1() in wanted:
-                metrics[kv._1()] = kv._2().value()
-        out.append(metrics)
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        plan = stack.pop()
+        leaves = plan.collectLeaves()
+        for i in range(leaves.length()):
+            node = leaves.apply(i)
+            name = node.getClass().getSimpleName()
+            if name == "AdaptiveSparkPlanExec":
+                # AQE wraps the real plan in a LeafExecNode — unwrap to
+                # the final physical plan, else every adaptive query
+                # reports zero scans and a pruning assert goes vacuous
+                stack.append(node.executedPlan())
+                continue
+            if name in ("QueryStageExec", "ShuffleQueryStageExec",
+                        "BroadcastQueryStageExec", "ResultQueryStageExec",
+                        "TableCacheQueryStageExec"):
+                stack.append(node.plan())
+                continue
+            metrics: dict[str, int] = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() in wanted:
+                    metrics[kv._1()] = kv._2().value()
+            out.append(metrics)
     return out

@@ -602,3 +602,16 @@ def test_near_dup_lsh_tuned_equals_fixed_params(spark):
              similarity.near_dup_pairs_lsh(df, 0.95, bands, bits).collect()}
     assert tuned == fixed
     assert len(tuned) > 0  # non-vacuous: the planted pairs are found
+
+
+def test_cell_write_salts_scales_with_corpus():
+    """Shard SIZE, not shard count, is the invariant: fixture corpora
+    keep the 1-file-per-cell layout (the pruning assert relies on it),
+    web-scale corpora spread each cell over ~n/4M parallel writers."""
+    from openocr_spark.operators.similarity import _cell_write_salts
+
+    assert _cell_write_salts(0) == 1
+    assert _cell_write_salts(10_000) == 1
+    assert _cell_write_salts(4_000_000) == 1
+    assert _cell_write_salts(4_000_001) == 2
+    assert _cell_write_salts(1_000_000_000) == 250

@@ -285,8 +285,12 @@ def test_tokenizer_head_end_to_end_with_artifact(spark, tmp_path):
         )
         assert got == want, (doc_id, ref)
     # the unirec cleaning actually fired: no raw byte-level markers or
-    # chat specials survive in the output
+    # chat specials survive in the output — and the output is NONEMPTY:
+    # unirec emits no confidence, so it must be exempt from the default
+    # drop_score cut (which would otherwise silently drop every text
+    # and make these assertions vacuous)
     joined = "".join(media.values())
+    assert joined.strip(), "no-confidence head must not be drop_score'd"
     assert "Ġ" not in joined and "<|" not in joined
 
 

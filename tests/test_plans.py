@@ -77,3 +77,17 @@ def test_extract_spans_scan_prunes_columns(spark):
     docs = interleave(spark.read.parquet(f"{SF}/documents.parquet"))
     cols = plans.read_schema_columns(docs)
     assert set(cols) == {"doc_id", "text"}
+
+
+def test_scan_metrics_unwrap_adaptive_plans(spark):
+    """AdaptiveSparkPlanExec is itself a LeafExecNode: without
+    unwrapping, any AQE-planned query (anything with an exchange —
+    i.e. every real pruning candidate) reports ZERO scans and a
+    pruning assert goes vacuous."""
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    agg = df.groupBy("o_orderstatus").agg(F.sum("o_totalprice").alias("s"))
+    agg.collect()
+    m = plans.executed_scan_metrics(agg)
+    assert m and any("numFiles" in d for d in m), m
