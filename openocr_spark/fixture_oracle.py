@@ -26,6 +26,8 @@ import os
 
 import pandas as pd
 
+from openocr_spark.config import DEFAULT_CONFIG
+
 _ORACLE_BASE = os.environ.get("OPENOCR_ORACLE_DIR", "/tmp/openocr_oracle")
 CORRECTNESS_SF_DIR = "/root/testdata/sf0.01"
 # manual stamp for intentional invalidation; the cache key ALSO folds in
@@ -172,7 +174,10 @@ def _gen_det_tables(
                     "conf": float(d["det_score"]),
                 }
             )
-            if d["rec_score"] >= 0.5 and d["gt_text"] is not None:
+            # the single source of the recognition-confidence cutoff is
+            # ExtractConfig.drop_score — never re-type the constant here
+            if (d["rec_score"] >= DEFAULT_CONFIG.drop_score
+                    and d["gt_text"] is not None):
                 pairs.append({"pred": d["transcription"], "gt": d["gt_text"]})
         m_gt = []
         for gi, r in enumerate(payload_for_media_ref(ref)["regions"]):

@@ -47,13 +47,27 @@ def pending_buckets(
     mf = read_manifest(spark, manifest_dir)
     if mf is None:
         return list(range(n_buckets))
-    done = {
-        int(r["partition_id"])
-        for r in mf.filter(F.col("status") == "done")
-        .select("partition_id")
+    rows = (
+        mf.filter(F.col("status") == "done")
+        .select("partition_id", "lineage")
         .distinct()
         .collect()
-    }
+    )
+    # a 'done' bucket is only done under the SAME modulus: bucket b of
+    # n_buckets=8 holds different docs than bucket b of n_buckets=16,
+    # so resuming across a bucketing change would silently mix the two
+    # partitionings (duplicate + missing docs). The modulus is recorded
+    # in the lineage field; legacy rows without it are rejected too —
+    # fail loud, never resume into an inconsistent output.
+    for r in rows:
+        marker = f"n_buckets={n_buckets}"
+        if marker not in (r["lineage"] or ""):
+            raise ValueError(
+                f"manifest at hand was written under a different bucketing "
+                f"({r['lineage']!r}); resume with the original n_buckets "
+                f"or start a fresh manifest/output dir"
+            )
+    done = {int(r["partition_id"]) for r in rows}
     return [b for b in range(n_buckets) if b not in done]
 
 
@@ -91,7 +105,10 @@ def run_with_manifest(
             .collect()[0]
         )
         elapsed = max(time.time() - t0, 1e-9)
-        lineage = f"input={documents.schema.simpleString()[:64]} cfg=v{1}"
+        lineage = (
+            f"input={documents.schema.simpleString()[:64]} cfg=v{1} "
+            f"n_buckets={n_buckets}"
+        )
         row = spark.createDataFrame(
             [
                 {

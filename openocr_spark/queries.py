@@ -1667,9 +1667,12 @@ def q_rec_metric_fixture(spark: SparkSession, sf: str) -> DataFrame:
     SQL over the single-node decode loop's (pred, gt) pairs."""
     from openocr_spark.operators.metrics import extract_detail, rec_metric
 
+    from openocr_spark.config import DEFAULT_CONFIG
+
     detail = extract_detail(_fixture_media_refs(spark, sf))
     pairs = detail.filter(
-        (F.col("rec_score") >= 0.5) & F.col("gt_text").isNotNull()
+        (F.col("rec_score") >= DEFAULT_CONFIG.drop_score)
+        & F.col("gt_text").isNotNull()
     ).select(F.col("transcription").alias("pred"), F.col("gt_text").alias("gt"))
     return rec_metric(pairs)
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import uuid
 import shutil
 from collections.abc import Callable
 from pathlib import Path
@@ -82,10 +83,17 @@ def resolve_artifact(name: str, sha256: str | None = None) -> str:
     for src_name, fetch in SOURCES:
         try:
             got = fetch(clean)
-            tmp = str(cached) + ".tmp"
-            shutil.copy2(got, tmp)
-            _verify(tmp, sha256, src_name)
-            os.replace(tmp, cached)  # atomic publish into the cache
+            # unique tmp per attempt: a shared '.tmp' would let two
+            # concurrent resolvers truncate each other mid-verify and
+            # keep writing into the published inode after os.replace
+            tmp = f"{cached}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+            try:
+                shutil.copy2(got, tmp)
+                _verify(tmp, sha256, src_name)
+                os.replace(tmp, cached)  # atomic publish into the cache
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
             return str(cached)
         except Exception as e:  # noqa: BLE001 — try the next source
             errors.append(f"{src_name}: {e}")
@@ -95,9 +103,23 @@ def resolve_artifact(name: str, sha256: str | None = None) -> str:
     )
 
 
+_SHIPPED: dict[str, str] = {}  # basename → resolved path, this driver
+
+
 def ship_artifact(spark, name: str, sha256: str | None = None) -> str:
     """Resolve on the driver and register with addFile so executors can
-    `SparkFiles.get(basename)` it — returns the basename to use there."""
+    `SparkFiles.get(basename)` it — returns the basename to use there.
+    SparkFiles is keyed by BASENAME only, so two different artifacts
+    sharing a filename ('det/model.onnx' vs 'rec/model.onnx') would
+    silently serve the first one's bytes for both — refuse instead."""
     path = resolve_artifact(name, sha256)
+    base = os.path.basename(path)
+    prev = _SHIPPED.get(base)
+    if prev is not None and prev != path:
+        raise ValueError(
+            f"artifact basename collision: {base!r} already shipped from "
+            f"{prev!r}; rename one artifact — SparkFiles keys by basename"
+        )
     spark.sparkContext.addFile(path)
-    return os.path.basename(path)
+    _SHIPPED[base] = path
+    return base

@@ -341,6 +341,13 @@ def lmdb_append(
     New keys win over existing ones (put semantics)."""
     data_path = os.path.join(path, "data.mdb") if os.path.isdir(path) else path
     reader = LmdbReader(data_path)
+    if reader.psize != PSIZE:
+        # all page-grid arithmetic below assumes this writer's page
+        # size; appending on a different grid would overwrite live
+        # pages mid-tree and destroy the env
+        raise NotImplementedError(
+            f"lmdb_append writes {PSIZE}-byte pages; env has {reader.psize}"
+        )
     new = dict(records.items() if isinstance(records, dict) else records)
     merged = sorted({**dict(reader.items()), **new}.items())
 
@@ -354,18 +361,42 @@ def lmdb_append(
     buf = _PageBuf(offset=n_pages, free_pool=gaps)
     db = _build_tree(buf, merged)
     txnid = reader.txnid + 1
-    # FREE db for the NEW meta: one entry — the pages this commit frees
-    # (the entire previous reachable set: this writer rewrites the full
-    # tree per commit, the create_lmdb_dataset checkpoint pattern).
-    # Pool pages already reused above are part of the new tree, and
-    # pool leftovers stay implicitly free via the next commit's
-    # reachability scan — recording only the newly freed set keeps the
-    # invariant "freelist ∩ any committed tree = ∅" that liblmdb needs.
-    freed = sorted(reachable, reverse=True)
-    idl = struct.pack("<Q", len(freed)) + b"".join(
-        struct.pack("<Q", p) for p in freed
-    )
-    fdb = _build_tree(buf, [(struct.pack("<Q", txnid), idl)])
+    # FREE db for the NEW meta: one entry covering EVERY page below the
+    # fresh-extension mark that neither the new main tree nor the FREE
+    # db itself uses — the whole previous tree AND pool leftovers AND
+    # pages leaked by any earlier writer. (Recording only the
+    # newly-freed set would orphan unused pool pages for a real
+    # liblmdb, which consults only the FREE db, never a reachability
+    # scan — the file would then grow permanently on every handoff.)
+    # The FREE db draws from the same reuse pool (else the file grows
+    # one page per commit); since its own pages must not appear in its
+    # content, sizing iterates to a fixed point with MONOTONE exclusion
+    # of every page any trial build consumed — terminates, and in
+    # steady state the exclusion set equals the final build's pages.
+    t0 = max(max(buf.pages, default=n_pages - 1), n_pages - 1) + 1
+    main_pages = set(buf.pages)
+    remaining_pool = list(buf.pool)
+    consumed: set[int] = set()
+    for _ in range(8):
+        # the pool is IDENTICAL each iteration so the deterministic
+        # allocator re-draws the same pages; only the listed content
+        # shrinks by the consumed set — one extra pass then observes no
+        # overlap and exits
+        fbuf = _PageBuf(offset=t0, free_pool=list(remaining_pool))
+        freed = sorted(
+            set(range(2, t0)) - main_pages - consumed, reverse=True
+        )
+        idl = struct.pack("<Q", len(freed)) + b"".join(
+            struct.pack("<Q", p) for p in freed
+        )
+        fdb = _build_tree(fbuf, [(struct.pack("<Q", txnid), idl)])
+        overlap = set(fbuf.pages) & set(freed)
+        if not overlap:
+            break
+        consumed |= set(fbuf.pages)
+    else:
+        raise RuntimeError("lmdb_append: FREE-db sizing did not converge")
+    buf.pages.update(fbuf.pages)
     last_pg = max(max(buf.pages, default=1), reader.last_pg)
     mapsize = max(reader.mapsize, (last_pg + 1) * PSIZE)
     main_db = _db_struct(
@@ -400,8 +431,18 @@ class LmdbReader:
     def __init__(self, path: str):
         if os.path.isdir(path):
             path = os.path.join(path, "data.mdb")
-        with open(path, "rb") as f:
+        # mmap, not read(): a multi-GB shard stays pageable instead of
+        # resident per executor task — the reader touches only the
+        # pages it walks (liblmdb's own access pattern)
+        import mmap
+
+        f = open(path, "rb")
+        try:
+            self.data = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError):  # empty file: keep bytes fallback
             self.data = f.read()
+        finally:
+            f.close()
         m0 = self._meta(0, PSIZE)
         self.psize = m0["psize"] or PSIZE
         m1 = self._meta(1, self.psize)
@@ -449,6 +490,16 @@ class LmdbReader:
                         (count,) = struct.unpack_from(
                             "<I", self.data, ov * self.psize + 12
                         )
+                        # bound by the file extent: a corrupt count
+                        # (u32 max) would otherwise materialize a
+                        # multi-GB page set — the same bomb class the
+                        # cycle guards exist for
+                        max_pg = len(self.data) // self.psize
+                        if ov + count > max_pg:
+                            raise ValueError(
+                                f"LMDB: overflow run {ov}+{count} beyond "
+                                f"the {max_pg}-page file"
+                            )
                         out.update(range(ov, ov + count))
             elif flags & P_BRANCH:
                 stack.extend(

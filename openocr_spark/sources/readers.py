@@ -84,7 +84,15 @@ def read_webdataset(spark: SparkSession, glob: str) -> DataFrame:
                     for m in tf.getmembers():
                         if not m.isfile():
                             continue
-                        key, _, ext = m.name.rpartition(".")
+                        # WebDataset convention: the sample key is the
+                        # member name up to the FIRST dot after the last
+                        # '/', the extension everything after it — so
+                        # compound extensions ('0001.input.png' →
+                        # key '0001', ext 'input.png') group correctly;
+                        # a dotless member is its own key with ext ''
+                        dirname, _, base = m.name.rpartition("/")
+                        stem, dot, ext = base.partition(".")
+                        key = (dirname + "/" + stem) if dirname else stem
                         rows.append(
                             {
                                 "shard": path,

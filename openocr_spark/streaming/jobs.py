@@ -180,7 +180,16 @@ def dedup_stream(
     streaming face of dedup.exact_dedup_stats."""
     from pyspark.sql import functions as F  # noqa: F811
 
-    fp = docs_stream.withColumn("fingerprint", F.md5(F.col(text_col)))
+    # md5(NULL) is NULL and dropDuplicates groups nulls as equal — two
+    # distinct null-text docs (media-only) would collapse to one. Key
+    # such docs by their own id instead: unique, so they always pass.
+    fp = docs_stream.withColumn(
+        "fingerprint",
+        F.coalesce(
+            F.md5(F.col(text_col)),
+            F.concat(F.lit("null-text:"), F.col("doc_id").cast("string")),
+        ),
+    )
     if watermark_col is not None:
         # dropDuplicatesWithinWatermark keys state on the FINGERPRINT
         # alone and evicts entries older than the watermark — the

@@ -81,3 +81,27 @@ def test_rerun_of_done_bucket_is_idempotent(spark, docs, tmp_path_factory):
     got = read_extractions(spark, out)
     assert got.count() == N_DOCS
     assert got.select("doc_id").distinct().count() == N_DOCS
+
+
+def test_resume_rejects_changed_bucketing(spark, tmp_path):
+    """Bucket b under n_buckets=4 holds different docs than bucket b
+    under n_buckets=8 — resuming across a bucketing change would mix
+    partitionings (duplicated + missing docs). The manifest records
+    the modulus in lineage and resume fails loud on mismatch."""
+    import pytest
+
+    from openocr_spark.fixtures import documents_df
+    from openocr_spark.operators.manifest import (
+        pending_buckets,
+        run_with_manifest,
+    )
+
+    docs = documents_df(spark, 24)
+    out = str(tmp_path / "out")
+    mf = str(tmp_path / "manifest")
+    run_with_manifest(docs, out, mf, n_buckets=4, max_buckets=2)
+    # same modulus: resume proceeds (2 buckets remain)
+    assert len(pending_buckets(spark, mf, 4)) == 2
+    # changed modulus: loud failure, not silent mixing
+    with pytest.raises(ValueError, match="different bucketing"):
+        pending_buckets(spark, mf, 8)

@@ -76,6 +76,40 @@ def test_webdataset_reader(spark, tmp_path):
     assert bytes(by_key["s2"]["txt"]) == b"third"
 
 
+def test_webdataset_compound_extensions(spark, tmp_path):
+    """The WebDataset convention splits member names at the FIRST dot
+    after the last '/': '0001.input.png' and '0001.gt.txt' are ONE
+    sample keyed '0001' with exts 'input.png'/'gt.txt'; a dotless
+    member is its own key, and directory prefixes stay in the key."""
+    import io
+    import tarfile
+
+    from openocr_spark.sources.readers import (
+        read_webdataset,
+        webdataset_samples,
+    )
+
+    with tarfile.open(tmp_path / "shard-c.tar", "w") as tf:
+        for name, data in [
+            ("0001.input.png", b"\x01"),
+            ("0001.gt.txt", b"label-1"),
+            ("sub/0002.input.png", b"\x02"),
+            ("sub/0002.gt.txt", b"label-2"),
+            ("README", b"readme"),
+        ]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+    members = read_webdataset(spark, str(tmp_path) + "/shard-c.tar")
+    samples = webdataset_samples(members).collect()
+    by_key = {r["key"]: r["members"] for r in samples}
+    assert set(by_key) == {"0001", "sub/0002", "README"}
+    assert bytes(by_key["0001"]["gt.txt"]) == b"label-1"
+    assert bytes(by_key["sub/0002"]["input.png"]) == b"\x02"
+    assert bytes(by_key["README"][""]) == b"readme"
+
+
 def test_token_decode(spark):
     vocab = {1: "h", 2: "i", 3: "!"}
     df = spark.createDataFrame([([1, 2, 9, 3],)], "ids array<int>")
