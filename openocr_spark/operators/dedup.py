@@ -111,10 +111,17 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """MinHash-LSH near-dup candidates: pairs sharing ≥1 band, with the
     number of agreeing bands. The self-join is on (band_idx, band_key) —
     bucket-local, never all-pairs."""
-    # persist: the self-join would otherwise evaluate the whole
-    # shingle→signature lineage twice (at scale you'd checkpoint the
-    # signature table and join that)
-    bands = lsh_bands(minhash_signatures(df, id_col, text_col)).persist()
+    # localCheckpoint, not persist: the self-join would otherwise
+    # evaluate the whole shingle→signature lineage twice, and a
+    # persist() here would PIN a CacheManager entry per call with no
+    # unpersist possible (the returned frame still needs it) — a
+    # storage leak for long-lived drivers. A local checkpoint
+    # materializes once, truncates the lineage, and its blocks are
+    # reclaimed by the ContextCleaner when the frame is unreferenced
+    # (the "checkpoint the signature table" note below, made real).
+    bands = lsh_bands(
+        minhash_signatures(df, id_col, text_col)
+    ).localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -455,12 +462,14 @@ def deduplicate_corpus(
         .select("id_a", "id_b")
         .persist()  # read twice: candidate-id derivation + pair join
     )
-    verified = jaccard_verify_pairs(
-        df, cand, id_col, text_col,
-        threshold=jaccard_threshold, max_df=max_df,
-    ).select("id_a", "id_b")
-    comp = dedup_components(verified)
-    cand.unpersist()
+    try:
+        verified = jaccard_verify_pairs(
+            df, cand, id_col, text_col,
+            threshold=jaccard_threshold, max_df=max_df,
+        ).select("id_a", "id_b")
+        comp = dedup_components(verified)
+    finally:
+        cand.unpersist()  # incl. the non-convergence raise path
     ids = df.select(F.col(id_col).alias("id"))
     return (
         ids.join(comp, "id", "left")

@@ -11,7 +11,6 @@ Ordering/numbering/routing are pure column expressions.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -53,8 +52,12 @@ def _overlap_over_smaller(a: np.ndarray, b: np.ndarray) -> float:
 
 def _dedup_one_doc(pdf: pd.DataFrame, threshold: float) -> pd.DataFrame:
     """Greedy overlap dedup (utils.py:129-168 semantics): for any pair
-    with overlap-over-smaller > threshold, drop the smaller-area block;
-    pairs where exactly one side is an image-kind block are exempt."""
+    with overlap-over-smaller > threshold, drop the smaller-area block.
+    The exemption is the reference's EXACT rule: one side's label is
+    'image' (only 'image' — a seal-vs-text pair still dedups) AND the
+    labels differ (image-vs-image dedups). A block dropped mid-scan
+    stops dropping others (the reference re-checks dropped_indexes per
+    pair, utils.py:149)."""
     boxes = np.array(pdf["bbox"].tolist(), dtype=np.float64)
     labels = pdf["label"].tolist()
     areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
@@ -64,12 +67,15 @@ def _dedup_one_doc(pdf: pd.DataFrame, threshold: float) -> pd.DataFrame:
         if i in drop:
             continue
         for j in range(i + 1, k):
+            if i in drop:
+                break  # i was dropped by an earlier j in this scan
             if j in drop:
                 continue
-            is_img_i = labels[i] in NO_RECOGNIZE
-            is_img_j = labels[j] in NO_RECOGNIZE
-            if is_img_i != is_img_j:
-                continue  # image-vs-other exempt
+            if (
+                (labels[i] == "image" or labels[j] == "image")
+                and labels[i] != labels[j]
+            ):
+                continue  # image-vs-other exempt (utils.py:157-160)
             if _overlap_over_smaller(boxes[i], boxes[j]) > threshold:
                 drop.add(j if areas[j] <= areas[i] else i)
     keep = [i for i in range(k) if i not in drop]

@@ -110,7 +110,15 @@ def det_partials(pred: DataFrame, gt: DataFrame) -> DataFrame:
     (N,M ≈ dozens), never a relational cross product.
     """
     has_gt_idx = "gt_idx" in gt.columns
-    p = pred.groupBy("media_ref").agg(F.collect_list("points").alias("p_list"))
+    has_det_idx = "det_idx" in pred.columns
+    # greedy 1:1 matching is order-dependent: honor a caller-provided
+    # det_idx exactly like gt_idx (det_match_flags sorts by det_idx, so
+    # the two matchers must see the same detection order or their
+    # matched counts can disagree on the same input)
+    p_cols = (["det_idx"] if has_det_idx else []) + ["points"]
+    p = pred.groupBy("media_ref").agg(
+        F.collect_list(F.struct(*p_cols)).alias("p_list")
+    )
     g_cols = (["gt_idx"] if has_gt_idx else []) + ["points", "ignore"]
     g = gt.groupBy("media_ref").agg(
         F.collect_list(F.struct(*g_cols)).alias("g_list")
@@ -127,11 +135,12 @@ def det_partials(pred: DataFrame, gt: DataFrame) -> DataFrame:
             for ref, p_list, g_list in zip(
                 pdf["media_ref"], pdf["p_list"], pdf["g_list"]
             ):
-                preds = (
-                    sorted((_quad(x) for x in p_list), key=_pts_key)
-                    if p_list is not None
-                    else []
-                )
+                p_recs = list(p_list) if p_list is not None else []
+                if has_det_idx:
+                    p_recs.sort(key=lambda r: int(r["det_idx"]))
+                else:
+                    p_recs.sort(key=lambda r: _pts_key(r["points"]))
+                preds = [_quad(r["points"]) for r in p_recs]
                 g_recs = list(g_list) if g_list is not None else []
                 if has_gt_idx:
                     g_recs.sort(key=lambda r: int(r["gt_idx"]))

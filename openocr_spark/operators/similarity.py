@@ -244,6 +244,7 @@ def ensure_ivf_cells(
     base_dir: str = "/tmp/openocr_ivfcells",
     vec_col: str = "embedding",
     cell_col: str = "cell",
+    id_col: str = "vec_id",
 ) -> str:
     """Materialize the WRITE-TIME IVF cell layout: the embeddings table
     rewritten with `cell` (nearest trained centroid) as the parquet
@@ -269,7 +270,7 @@ def ensure_ivf_cells(
         if salts > 1:
             out = out.repartition(
                 F.col(cell_col),
-                F.pmod(F.xxhash64(F.col("vec_id")), F.lit(salts)),
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts)),
             )
         else:
             out = out.repartition(F.col(cell_col))

@@ -110,11 +110,21 @@ def scrub_text(text: Column) -> Column:
 
 
 def scrub_counts(text: Column) -> tuple[Column, Column, Column]:
-    """How many of each scrub target the text contains (audit columns)."""
-    def n(pat: str) -> Column:
-        return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+    """How many of each scrub target scrub_text ACTUALLY replaces.
+    Each stage counts on the previous stage's output — counting every
+    pattern on the raw text would double-book (the email inside a URL,
+    the digit run inside either) and the audit columns would disagree
+    with the scrubbed text."""
+    def n(col: Column, pat: str) -> Column:
+        return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
 
-    return n(URL_RE), n(EMAIL_RE), n(LONG_DIGITS_RE)
+    after_url = F.regexp_replace(text, URL_RE, "<URL>")
+    after_email = F.regexp_replace(after_url, EMAIL_RE, "<EMAIL>")
+    return (
+        n(text, URL_RE),
+        n(after_url, EMAIL_RE),
+        n(after_email, LONG_DIGITS_RE),
+    )
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -382,9 +382,12 @@ def doc_parse_full_oracle(
             if i in drop:
                 continue
             for j in range(i + 1, len(rows)):
+                if i in drop:
+                    break
                 if j in drop:
                     continue
-                if (rows[i]["label"] in NO_RECOGNIZE) != (rows[j]["label"] in NO_RECOGNIZE):
+                li, lj = rows[i]["label"], rows[j]["label"]
+                if (li == "image" or lj == "image") and li != lj:
                     continue
                 if ovs(rows[i]["bbox"], rows[j]["bbox"]) > 0.7:
                     ai = (rows[i]["bbox"][2] - rows[i]["bbox"][0]) * (rows[i]["bbox"][3] - rows[i]["bbox"][1])

@@ -751,7 +751,10 @@ def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
                '\\d{9,}', '<NUM>', 'g')) AS scrubbed_md5,
            CAST(len(regexp_extract_all(contaminated, 'https?://[^\\s]+'))
              AS BIGINT) AS n_urls,
-           CAST(len(regexp_extract_all(contaminated,
+           -- staged like the Spark side: emails are counted AFTER the
+           -- URL scrub so an address inside a URL is not double-booked
+           CAST(len(regexp_extract_all(
+               regexp_replace(contaminated, 'https?://[^\\s]+', '<URL>', 'g'),
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
              AS BIGINT) AS n_emails
     FROM c

@@ -94,3 +94,43 @@ def test_assemble_markdown(blocks):
     assert "$$E=mc^2$$" in md["d2"]
     # chart text routed through the figure handler (F11)
     assert "![Figure" in md["d2"]
+
+
+def test_dedup_matches_reference_edge_semantics():
+    """Two semantics pinned to utils.py:129-168 exactly: (a) a block
+    dropped mid-scan stops dropping later blocks; (b) the image
+    exemption is label=='image' with DIFFERING labels — seal-vs-text
+    still dedups, image-vs-seal is exempt, image-vs-image dedups."""
+    import pandas as pd
+
+    from openocr_spark.operators.layout import _dedup_one_doc
+
+    def run(rows):
+        pdf = pd.DataFrame(rows)
+        out = _dedup_one_doc(pdf, 0.7)
+        return sorted(out["name"].tolist())
+
+    # (a) A dropped by B must not drop C (C overlaps only A)
+    rows = [
+        {"name": "A", "label": "text", "bbox": [0.0, 0.0, 10.0, 10.0]},
+        {"name": "B", "label": "text", "bbox": [2.0, 0.0, 13.0, 10.0]},
+        {"name": "C", "label": "text", "bbox": [0.0, 0.0, 2.0, 10.0]},
+    ]
+    assert run(rows) == ["B", "C"]
+
+    # (b) seal-vs-text dedups (drop the smaller); image-vs-seal exempt
+    rows = [
+        {"name": "S", "label": "seal", "bbox": [0.0, 0.0, 8.0, 8.0]},
+        {"name": "T", "label": "text", "bbox": [0.0, 0.0, 9.0, 9.0]},
+    ]
+    assert run(rows) == ["T"]
+    rows = [
+        {"name": "I", "label": "image", "bbox": [0.0, 0.0, 8.0, 8.0]},
+        {"name": "S", "label": "seal", "bbox": [0.0, 0.0, 9.0, 9.0]},
+    ]
+    assert run(rows) == ["I", "S"]
+    rows = [
+        {"name": "I1", "label": "image", "bbox": [0.0, 0.0, 8.0, 8.0]},
+        {"name": "I2", "label": "image", "bbox": [0.0, 0.0, 9.0, 9.0]},
+    ]
+    assert run(rows) == ["I2"]
