@@ -273,10 +273,19 @@ LAYOUT_SCHEMA = (
 
 
 def layout_blocks_for_doc(doc_id: str) -> list[dict]:
-    """Deterministic layout-block fixture (FIXTURES.md F-D): title, text
-    columns with alignment-mergeable runs, a table, a formula, a chart,
-    boilerplate header/footer, a crafted >0.7-overlap duplicate and a
-    low-score noise block."""
+    """Deterministic layout-block fixture (FIXTURES.md F-D) covering ALL
+    25 reference layout classes (infer_doc_onnx.py:243-268) across the
+    doc population: title, text columns with alignment-mergeable runs, a
+    table with contained figures (one too small to tokenize), formulas
+    (display/inline/number), chart + figure_title, image-kind blocks
+    (image, seal, header_image, footer_image), boilerplate
+    (header/footer/aside_text/number/footnote/vision_footnote),
+    reference + reference_content (the former is pre-dropped by overlap
+    filtering — utils.py:140-144), abstract/content/algorithm/
+    paragraph_title/vertical_text, a crafted >0.7-overlap duplicate, a
+    degenerate (int-truncated empty crop) box and a low-score noise
+    block. Geometry keeps unrelated blocks pairwise below the 0.7
+    overlap threshold so only the crafted pair dedups."""
     rng = _rng("layout:" + doc_id)
 
     def blk(label, score, bbox, order, cls_id=0):
@@ -292,10 +301,15 @@ def layout_blocks_for_doc(doc_id: str) -> list[dict]:
 
     blocks = [
         blk("header", 0.9, [10, 0, 590, 18], 0),
-        blk("doc_title", 0.95, [60, 30, 540, 60], 1),
     ]
+    order = 1.0
+    if rng.random() < 0.4:
+        blocks.append(blk("header_image", 0.88, [540, 20, 588, 26], order))
+        order += 1
+    blocks.append(blk("doc_title", 0.95, [60, 30, 540, 60], order)); order += 1
+    if rng.random() < 0.4:
+        blocks.append(blk("abstract", 0.9, [40, 64, 560, 76], order)); order += 1
     y = 80.0
-    order = 2.0
     for _ in range(int(rng.integers(2, 5))):
         h = float(rng.integers(30, 60))
         blocks.append(blk("text", 0.85, [40, y, 300, y + h], order))
@@ -310,11 +324,45 @@ def layout_blocks_for_doc(doc_id: str) -> list[dict]:
     blocks.append(blk("table", 0.9, [320, 80, 580, 220], order)); order += 1
     if rng.random() < 0.5:  # figure contained in the table (J5)
         blocks.append(blk("image", 0.9, [340, 100, 420, 160], order)); order += 1
+    if rng.random() < 0.3:  # contained but min-dim < 25 → no token
+        blocks.append(blk("image", 0.86, [430, 100, 452, 118], order)); order += 1
     blocks.append(blk("display_formula", 0.9, [320, 240, 580, 280], order)); order += 1
+    if rng.random() < 0.4:  # formula_number: formula-routed (suffix bug)
+        blocks.append(blk("formula_number", 0.87, [582, 246, 598, 274], order)); order += 1
+    if rng.random() < 0.35:
+        blocks.append(blk("inline_formula", 0.85, [320, 286, 430, 295], order)); order += 1
     blocks.append(blk("chart", 0.85, [320, 300, 580, 420], order)); order += 1
+    if rng.random() < 0.4:
+        blocks.append(blk("figure_title", 0.9, [320, 424, 580, 438], order)); order += 1
+    if rng.random() < 0.35:
+        blocks.append(blk("content", 0.84, [320, 442, 580, 468], order)); order += 1
+    if rng.random() < 0.3:
+        blocks.append(blk("algorithm", 0.86, [320, 474, 580, 520], order)); order += 1
+    if rng.random() < 0.3:
+        blocks.append(blk("vertical_text", 0.83, [585, 300, 598, 420], order)); order += 1
+    if rng.random() < 0.3:
+        blocks.append(blk("seal", 0.82, [500, 530, 560, 590], order)); order += 1
+    if rng.random() < 0.35:
+        blocks.append(blk("paragraph_title", 0.9, [40, 556, 300, 576], order)); order += 1
+    if rng.random() < 0.4:  # dropped outright by J4's pre-filter
+        blocks.append(blk("reference", 0.9, [40, 600, 300, 640], order)); order += 1
+    if rng.random() < 0.4:
+        blocks.append(blk("reference_content", 0.88, [40, 646, 300, 700], order)); order += 1
+    if rng.random() < 0.3:
+        blocks.append(blk("aside_text", 0.8, [2, 200, 28, 400], order)); order += 1
     if rng.random() < 0.6:  # >0.7 overlap-over-smaller duplicate (J4)
         blocks.append(blk("text", 0.6, [45, 85, 200, 130], order)); order += 1
         blocks.append(blk("text", 0.55, [50, 90, 150, 125], order)); order += 1
+    if rng.random() < 0.25:  # degenerate int-truncated crop → no recognition
+        blocks.append(blk("text", 0.8, [100.2, 505, 100.9, 540], order)); order += 1
+    if rng.random() < 0.3:
+        blocks.append(blk("footnote", 0.85, [40, 706, 300, 722], order)); order += 1
+    if rng.random() < 0.3:
+        blocks.append(blk("vision_footnote", 0.84, [320, 706, 580, 722], order)); order += 1
+    if rng.random() < 0.3:
+        blocks.append(blk("footer_image", 0.85, [20, 728, 60, 744], order)); order += 1
+    if rng.random() < 0.35:
+        blocks.append(blk("number", 0.9, [290, 748, 310, 756], order)); order += 1
     blocks.append(blk("text", 0.2, [0, 0, 8, 8], order)); order += 1  # low score
     blocks.append(blk("footer", 0.9, [10, 760, 590, 780], order))
     return blocks

@@ -30,12 +30,25 @@ def normalized_levenshtein(a: Column, b: Column) -> Column:
     )
 
 
-def formula_dollars(c: Column) -> Column:
-    r"""LaTeX delimiter rewrite: \( \) → $, \[ \] → $$
-    (infer_doc_onnx.py:952-961)."""
+def formula_dollars(c: Column, is_formula_number: Column | None = None) -> Column:
+    r"""The VLM-result LaTeX delimiter rewrite, reference-exact
+    (infer_doc_onnx.py:952-961): fires only when a MATCHED pair of
+    \( \) or \[ \] is present; strips every existing $ first; rewrites
+    \( and \) each to ' $ ' and \[ / \] each to ' $$ ' (spaces on both
+    sides); formula_number blocks then drop all $ again. Applied to
+    EVERY VLM-recognized block's text, not only formula routes."""
+    gated = (c.contains("\\(") & c.contains("\\)")) | (
+        c.contains("\\[") & c.contains("\\]")
+    )
     # replacement '$' must be escaped — Java reads bare $ as a group ref
-    out = F.regexp_replace(c, r"\\\(\s?|\s?\\\)", "\\$")
-    return F.regexp_replace(out, r"\\\[\s?|\s?\\\]", "\\$\\$")
+    t = F.regexp_replace(c, r"\$", "")
+    t = F.regexp_replace(t, r"\\\(", " \\$ ")
+    t = F.regexp_replace(t, r"\\\)", " \\$ ")
+    t = F.regexp_replace(t, r"\\\[", " \\$\\$ ")
+    t = F.regexp_replace(t, r"\\\]", " \\$\\$ ")
+    if is_formula_number is not None:
+        t = F.when(is_formula_number, F.regexp_replace(t, r"\$", "")).otherwise(t)
+    return F.when(gated, t).otherwise(c)
 
 
 def clean_special_tokens(c: Column) -> Column:

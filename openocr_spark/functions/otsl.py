@@ -1,101 +1,188 @@
 """OTSL → HTML table decoding, from scratch.
 
-Semantics re-created from the reference's table decoder
-(tools/utils/opendoc_onnx_utils/utils.py:675-924): the recognizer emits
-an OTSL token stream describing a table grid —
+Semantics pinned to the reference's table decoder
+(tools/utils/opendoc_onnx_utils/utils.py:662-924 —
+otsl_pad_to_sqr_v2 → otsl_extract_tokens_and_text → otsl_parse_texts →
+TableData.grid → export_to_html) and verified against the reference's
+own functions by tests/test_reference_differential.py on randomized
+token streams. The recognizer emits an OTSL token grid —
   <fcel> TEXT   a filled cell (content follows until the next tag)
   <ecel>        an empty cell
   <lcel>        continuation of the cell to the LEFT  (colspan)
   <ucel>        continuation of the cell ABOVE        (rowspan)
   <xcel>        continuation both left and above (2-D span interior)
   <nl>          end of grid row
-The decoder pads rows to the max width (pad-to-square), resolves
-row/colspans from the continuation cells, and emits an HTML <table>.
+
+Reference behaviors deliberately kept bug-for-bug:
+  - width repair picks the width minimizing Σ|row_len − w| over
+    [last-fcel-column .. max row length], TRUNCATING overlong rows;
+  - a stream with no <nl> skips cell extraction entirely, so stray text
+    before the first tag desynchronizes the text walk and every later
+    cell loses its content;
+  - a <fcel> with no following text picks up the NEXT TAG STRING as its
+    cell text (positional texts[i+1] read);
+  - cell text is html-escaped; an empty cell list exports ''.
 """
 
 from __future__ import annotations
 
+import html
 import re
 
-_TOKEN_RE = re.compile(r"<(fcel|ecel|lcel|ucel|xcel|nl)>")
+NL, FCEL, ECEL, LCEL, UCEL, XCEL = (
+    "<nl>", "<fcel>", "<ecel>", "<lcel>", "<ucel>", "<xcel>",
+)
+_TAGS = (NL, FCEL, ECEL, LCEL, UCEL, XCEL)
+_TAG_ALT = "|".join(_TAGS)
+_CELL_RE = re.compile(f"(?:{_TAG_ALT}).*?(?=(?:{_TAG_ALT})|$)", re.DOTALL)
+_TAG_RE = re.compile(f"({_TAG_ALT})")
 
-F, E, L, U, X = "fcel", "ecel", "lcel", "ucel", "xcel"
 
-
-def parse_otsl_grid(otsl: str) -> list[list[tuple[str, str]]]:
-    """Token stream → rectangular grid of (tag, text). Short rows are
-    padded with <ecel> (pad-to-square)."""
-    rows: list[list[tuple[str, str]]] = [[]]
-    pos = 0
-    pending_tag: str | None = None
-    for m in _TOKEN_RE.finditer(otsl):
-        if pending_tag is not None:
-            text = otsl[pos : m.start()].strip()
-            if pending_tag == "nl":
-                rows.append([])
-            else:
-                rows[-1].append((pending_tag, text if pending_tag == F else ""))
-        pending_tag = m.group(1)
-        pos = m.end()
-    if pending_tag is not None:
-        text = otsl[pos:].strip()
-        if pending_tag == "nl":
-            pass
-        else:
-            rows[-1].append((pending_tag, text if pending_tag == F else ""))
-    rows = [r for r in rows if r]
+def _repair_width(otsl: str) -> str:
+    """Rectangularize (otsl_pad_to_sqr_v2): choose the optimal width,
+    truncate long rows, pad short rows with <ecel>."""
+    s = otsl.strip()
+    if NL not in s:
+        return s + NL
+    rows = []
+    for line in s.split(NL):
+        cells = _CELL_RE.findall(line)
+        if not cells:
+            continue
+        last_fcel = 0
+        for i, cell in enumerate(cells):
+            if cell.startswith(FCEL):
+                last_fcel = i + 1
+        rows.append((cells, last_fcel))
     if not rows:
-        return []
-    width = max(len(r) for r in rows)
-    for r in rows:
-        r.extend([(E, "")] * (width - len(r)))
-    return rows
+        return NL
+    lo = max(r[1] for r in rows)
+    hi = max(lo, max(len(r[0]) for r in rows))
+    width = min(
+        range(lo, hi + 1),
+        key=lambda w: (sum(abs(len(r[0]) - w) for r in rows), w),
+    )
+    fixed = [
+        "".join(cells[:width]) + ECEL * max(0, width - len(cells))
+        for cells, _ in rows
+    ]
+    return NL.join(fixed) + NL
+
+
+def _parse(otsl: str):
+    """Padded stream → (texts walk list, token matrix). The walk list
+    interleaves tags with their attached raw text parts exactly like the
+    reference's positional resync (otsl_parse_texts new_texts)."""
+    tokens = _TAG_RE.findall(otsl)
+    parts = [p for p in _TAG_RE.split(otsl) if p.strip()]
+
+    matrix: list[list[str]] = []
+    cur: list[str] = []
+    for t in tokens:
+        if t == NL:
+            if cur:
+                matrix.append(cur)
+                cur = []
+        else:
+            cur.append(t)
+    if cur:
+        matrix.append(cur)
+    if not matrix:
+        return [], []
+
+    max_cols = max(len(r) for r in matrix)
+    for r in matrix:
+        r.extend([ECEL] * (max_cols - len(r)))
+
+    walk: list[str] = []
+    pi = 0
+    for row in matrix:
+        for tok in row:
+            walk.append(tok)
+            if pi < len(parts) and parts[pi] == tok:
+                pi += 1
+                if pi < len(parts) and parts[pi] not in _TAGS:
+                    walk.append(parts[pi])
+                    pi += 1
+        walk.append(NL)
+        if pi < len(parts) and parts[pi] == NL:
+            pi += 1
+    return walk, matrix
+
+
+def _run_right(matrix, r, c):
+    span = 0
+    while c < len(matrix[r]) and matrix[r][c] in (LCEL, XCEL):
+        span += 1
+        c += 1
+    return span
+
+
+def _run_down(matrix, r, c):
+    span = 0
+    while r < len(matrix) and matrix[r][c] in (UCEL, XCEL):
+        span += 1
+        r += 1
+    return span
 
 
 def otsl_to_html(otsl: str) -> str:
     """OTSL string → HTML table with rowspan/colspan reconstruction."""
-    grid = parse_otsl_grid(otsl)
-    if not grid:
-        return "<table></table>"
-    n_rows, n_cols = len(grid), len(grid[0])
-    # owner[r][c] = (orow, ocol) of the cell this position belongs to
-    owner: list[list[tuple[int, int]]] = [
-        [(r, c) for c in range(n_cols)] for r in range(n_rows)
-    ]
-    for r in range(n_rows):
-        for c in range(n_cols):
-            tag = grid[r][c][0]
-            if tag == L and c > 0:
-                owner[r][c] = owner[r][c - 1]
-            elif tag == U and r > 0:
-                owner[r][c] = owner[r - 1][c]
-            elif tag == X and r > 0 and c > 0:
-                owner[r][c] = owner[r - 1][c - 1]
-    # span extents per owning cell
-    span: dict[tuple[int, int], list[int]] = {}
-    for r in range(n_rows):
-        for c in range(n_cols):
-            orow, ocol = owner[r][c]
-            s = span.setdefault((orow, ocol), [orow, ocol])
-            s[0] = max(s[0], r)
-            s[1] = max(s[1], c)
-    out = ["<table>"]
-    for r in range(n_rows):
+    walk, matrix = _parse(_repair_width(otsl))
+    n_rows = len(matrix)
+    n_cols = max((len(r) for r in matrix), default=0)
+
+    # anchor cells with spans, in walk order
+    cells = []  # (r, c, row_span, col_span, text)
+    r = c = 0
+    for i, item in enumerate(walk):
+        if item in (FCEL, ECEL):
+            text = ""
+            nxt = 1
+            if item == FCEL:
+                text = walk[i + 1] if i + 1 < len(walk) else ""
+                nxt = 2
+            col_span = row_span = 1
+            right = walk[i + nxt] if i + nxt < len(walk) else ""
+            below = (
+                matrix[r + 1][c]
+                if r + 1 < n_rows and c < len(matrix[r + 1])
+                else ""
+            )
+            if right in (LCEL, XCEL):
+                col_span += _run_right(matrix, r, c + 1)
+            if below in (UCEL, XCEL):
+                row_span += _run_down(matrix, r + 1, c)
+            cells.append((r, c, row_span, col_span, text))
+        if item in (FCEL, ECEL, LCEL, UCEL, XCEL):
+            c += 1
+        elif item == NL:
+            r += 1
+            c = 0
+
+    if not cells:
+        return ""
+
+    # paint the grid; later cells overwrite, non-anchor slots default
+    # to 1×1 empties that emit as bare <td></td>
+    grid = [[(i, j, 1, 1, "") for j in range(n_cols)] for i in range(n_rows)]
+    for cr, cc, rs, cs, text in cells:
+        for i in range(min(cr, n_rows), min(cr + rs, n_rows)):
+            for j in range(min(cc, n_cols), min(cc + cs, n_cols)):
+                grid[i][j] = (cr, cc, rs, cs, text)
+
+    out = []
+    for i in range(n_rows):
         out.append("<tr>")
-        for c in range(n_cols):
-            if owner[r][c] != (r, c):
-                continue  # interior of a span
-            tag, text = grid[r][c]
-            if tag in (L, U, X):
-                continue  # orphan continuation with no owner: drop
-            rs = span[(r, c)][0] - r + 1
-            cs = span[(r, c)][1] - c + 1
+        for j in range(n_cols):
+            cr, cc, rs, cs, text = grid[i][j]
+            if cr != i or cc != j:
+                continue
             attrs = ""
             if rs > 1:
                 attrs += f' rowspan="{rs}"'
             if cs > 1:
                 attrs += f' colspan="{cs}"'
-            out.append(f"<td{attrs}>{text}</td>")
+            out.append(f"<td{attrs}>{html.escape(text.strip())}</td>")
         out.append("</tr>")
-    out.append("</table>")
-    return "".join(out)
+    return "<table>" + "".join(out) + "</table>"

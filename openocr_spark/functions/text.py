@@ -10,68 +10,82 @@ from __future__ import annotations
 import re
 
 
-def truncate_repetitive_content(text: str, min_repeats: int = 5) -> str:
-    """Repetition truncation with three priorities (semantics of
-    tools/utils/opendoc_onnx_utils/utils.py:927-1020):
-      1. a phrase repeated consecutively ≥ min_repeats times at the END
-         of the string → keep one copy of the phrase;
-      2. the WHOLE string is one phrase repeated ≥ 10 times → keep one;
-      3. one line value accounts for ≥ 80% of ≥ 5 lines → keep the first
-         occurrence of that line plus all other lines.
+def truncate_repetitive_content(
+    text: str,
+    line_threshold: int = 10,
+    char_threshold: int = 10,
+    min_len: int = 10,
+) -> str:
+    """Repetition truncation, reference-exact
+    (tools/utils/opendoc_onnx_utils/utils.py:973-1020; pinned by
+    tests/test_reference_differential.py against the reference's own
+    function). Three priorities over the STRIPPED string:
+      1. single long line (>100 chars, no newline) ending in a phrase of
+         ≥8 chars repeated ≥5 times covering >50% of the string → keep
+         only the prefix BEFORE the repetition (all copies dropped —
+         including the prefix-empty case, which returns '');
+      2. single line >min_len chars that is exactly one unit repeated
+         ≥char_threshold times → keep one unit;
+      3. ≥line_threshold non-blank lines where one stripped line is ≥80%
+         of them (count ≥ line_threshold) → keep just that line.
     Applied to recognition output before assembly
     (infer_doc_onnx.py:950)."""
-    if not text:
+    stripped = text.strip()
+    if not stripped:
         return text
-    n = len(text)
 
-    # priority 2: whole-string period repeated >= 10x
-    for p in range(1, n // 10 + 1):
-        if n % p == 0 and n // p >= 10 and text == text[:p] * (n // p):
-            return text[:p]
+    single_line = "\n" not in stripped
 
-    # priority 1: repeating suffix phrase (>= min_repeats consecutive
-    # copies); the smallest period found wins (finest repetition)
-    for p in range(1, n // min_repeats + 1):
-        phrase = text[n - p :]
-        k = 1
-        while (k + 1) * p <= n and text[n - (k + 1) * p : n - k * p] == phrase:
-            k += 1
-        if k >= min_repeats:
-            return text[: n - (k - 1) * p]
+    # priority 1: repeating suffix phrase in a long single line — the
+    # LONGEST unit (scanning len//5 down to 8) that repeats ≥5× wins
+    if single_line and len(stripped) > 100:
+        n = len(stripped)
+        for p in range(n // 5, 7, -1):
+            unit = stripped[-p:]
+            if stripped.endswith(unit * 5):
+                k = 0
+                while stripped[: n - k * p].endswith(unit):
+                    k += 1
+                if p * k > n * 0.5:
+                    return stripped[: n - k * p]
+                break  # reference returns after the first (longest) hit
+
+    # priority 2: whole string is one unit repeated ≥ char_threshold ×
+    if single_line and len(stripped) > min_len:
+        n = len(stripped)
+        for p in range(1, n // 2 + 1):
+            if n % p == 0 and stripped == stripped[:p] * (n // p):
+                if n // p >= char_threshold:
+                    return stripped[:p]
+                break  # shortest covering unit found but too few copies
 
     # priority 3: dominant line
-    lines = text.split("\n")
-    if len(lines) >= 5:
-        counts: dict[str, int] = {}
-        for ln in lines:
-            counts[ln] = counts.get(ln, 0) + 1
-        top, c = max(counts.items(), key=lambda kv: kv[1])
-        if c / len(lines) >= 0.8:
-            out = []
-            seen_top = False
-            for ln in lines:
-                if ln == top:
-                    if seen_top:
-                        continue
-                    seen_top = True
-                out.append(ln)
-            return "\n".join(out)
+    lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+    if not lines or len(lines) < line_threshold:
+        return text
+    counts: dict[str, int] = {}
+    for ln in lines:
+        counts[ln] = counts.get(ln, 0) + 1
+    top, c = max(counts.items(), key=lambda kv: kv[1])
+    if c >= line_threshold and c / len(lines) >= 0.8:
+        return top
     return text
 
 
-def truncate_repeated_tail(text: str, max_repeats: int = 20) -> str:
-    """Tail pattern repeated > max_repeats times → keep a single copy
-    (to_markdown.py:7-55 semantics)."""
+def truncate_repeated_tail(text: str, threshold: int = 20, keep: int = 1) -> str:
+    """Tail pattern repeated > threshold times → keep `keep` copies
+    (to_markdown.py:7-53, reference-exact: pattern length is capped at
+    min(100, len//threshold), SHORTEST pattern wins)."""
     if not text:
         return text
     n = len(text)
-    for p in range(1, n // max_repeats + 1):
+    for p in range(1, min(100, n // threshold) + 1):
         phrase = text[n - p :]
-        k = 1
-        while (k + 1) * p <= n and text[n - (k + 1) * p : n - k * p] == phrase:
+        k = 0
+        while text[: n - k * p].endswith(phrase):
             k += 1
-        if k > max_repeats:
-            return text[: n - (k - 1) * p]
+        if k > threshold:
+            return text[: n - k * p] + phrase * keep
     return text
 
 

@@ -426,19 +426,27 @@ def _decode_bmp(data: bytes) -> np.ndarray:
             data[pal_at : pal_at + 4 * n_entries], dtype=np.uint8
         ).reshape(-1, 4)
         gray_lut = _luma(pal[:, 2], pal[:, 1], pal[:, 0])
+        # rows are sliced individually — a corrupt px_offset/size that
+        # leaves EVERY row short would otherwise np.stack into a silent
+        # (h, 0) raster (fuzz-caught on the bitfields leg), so each row
+        # slice is length-checked before use
+        def row_slice(y: int, nbytes: int) -> bytes:
+            seg = data[px_offset + y * row_bytes :][:nbytes]
+            if len(seg) != nbytes:
+                raise NotImplementedError("BMP pixel data truncated")
+            return seg
+
         if compression in (1, 2):
             idx = _bmp_rle_decode(data, px_offset, w, h, compression == 2)
         elif bpp == 8:
             rows = [
-                np.frombuffer(data[px_offset + y * row_bytes :][:w], np.uint8)
-                for y in range(h)
+                np.frombuffer(row_slice(y, w), np.uint8) for y in range(h)
             ]
             idx = np.stack(rows)
         else:  # 1/4-bit packed, MSB-first within the byte
             nb = (w * bpp + 7) // 8
             buf = np.stack([
-                np.frombuffer(data[px_offset + y * row_bytes :][:nb], np.uint8)
-                for y in range(h)
+                np.frombuffer(row_slice(y, nb), np.uint8) for y in range(h)
             ])
             bits = np.unpackbits(buf, axis=1)[:, : w * bpp].reshape(h, w, bpp)
             weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
@@ -467,14 +475,20 @@ def _decode_bmp(data: bytes) -> np.ndarray:
         rows = []
         for y in range(h):
             off = px_offset + y * row_bytes
-            v = np.frombuffer(data[off : off + w * step], dtype=f"<u{step}").astype(dt)
+            seg = data[off : off + w * step]
+            if len(seg) != w * step:  # fuzz-caught: silent (h, 0) raster
+                raise NotImplementedError("BMP pixel data truncated")
+            v = np.frombuffer(seg, dtype=f"<u{step}").astype(dt)
             rows.append(_luma(extract(v, rmask), extract(v, gmask), extract(v, bmask)))
         px = np.stack(rows)
     else:  # 24-bit BGR
         rows = []
         for y in range(h):
             off = px_offset + y * row_bytes
-            bgr = np.frombuffer(data[off : off + w * 3], dtype=np.uint8).reshape(w, 3)
+            seg = data[off : off + w * 3]
+            if len(seg) != w * 3:
+                raise NotImplementedError("BMP pixel data truncated")
+            bgr = np.frombuffer(seg, dtype=np.uint8).reshape(w, 3)
             rows.append(_luma(bgr[:, 2], bgr[:, 1], bgr[:, 0]))
         px = np.stack(rows)
     return px if top_down else px[::-1].copy()

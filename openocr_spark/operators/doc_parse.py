@@ -1,20 +1,27 @@
 """The OpenDoc document-parse pipeline (SURVEY §3.2,
-tools/infer_doc_onnx.py:758-1028) as one DataFrame flow over a
+tools/infer_doc_onnx.py:415-1028) as one DataFrame flow over a
 layout-blocks table:
 
-  blocks → score filter (P6) → overlap dedup (J4) → merge (G13)
-         → reading order + numbering (W2/W3) → route (label→task)
-         → figure-in-table tokenize (J5, utils.py:478-556): contained
-           figures become <figure_k> placeholder tokens the table
-           recognizer sees
+  blocks → score filter (P6) → overlap dedup + reference-label drop (J4)
+         → reading order + GLOBAL numbering (W2/W3)
+         [merge (G13) is a NO-OP on this reference path — numbering
+          precedes it, so merge_blocks' label checks never match
+          (see operators/layout.py module docstring); the live
+          torch-path semantics are merge_blocks_op, differential-tested]
+         → route (onnx substring semantics over the numbered label)
+         → figure-in-table tokenize (J5, utils.py:478-535): doc-indexed
+           [Fn] placeholder tokens painted into the table crop
          → recognize:
-             ocr/chart → greedy AR decode loop (W6, the real
-               token-by-token generation kernel with EOS break and the
-               L4 max_length cap — kernels/ar_decode.py)
+             ocr → greedy AR decode loop (W6, the real token-by-token
+               generation kernel with EOS break and the L4 max_length
+               cap — kernels/ar_decode.py)
              table → OTSL surrogate (figure tokens embedded as cells)
              formula → deterministic latex surrogate
-         → post: repetition truncation (F7), OTSL→HTML (F9),
-           figure untokenize (J5), formula $-rewrite (F10)
+         → post (infer_doc_onnx.py:945-970, exact order): repetition
+           truncation (F7) → matched-delimiter $-rewrite on EVERY
+           recognized block, formula_number stripping $ (F10) →
+           OTSL→HTML keeping the RAW string when conversion is empty
+           (F9) → figure untokenize (J5)
          → assemble: per-doc ordered span rows + markdown
 
 Text generation is deterministic from (doc_id, block_id) so the
@@ -32,7 +39,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from openocr_spark.functions.exprs import formula_dollars
 from openocr_spark.functions.otsl import otsl_to_html
 from openocr_spark.functions.text import truncate_repetitive_content
 from openocr_spark.kernels.ar_decode import DEFAULT_MAX_LENGTH, ar_decode_text
@@ -40,7 +46,6 @@ from openocr_spark.operators.layout import (
     IGNORE_LABELS,
     figures_in_tables,
     filter_overlap_blocks,
-    merge_text_blocks,
     order_and_label,
     route,
     score_filter,
@@ -50,14 +55,6 @@ from openocr_spark.operators.layout import (
 _WORDS = "alpha beta gamma delta sigma lambda theta omega".split()
 
 
-def figure_markdown(doc_id: str, f_order: float, fig_idx: int) -> str:
-    """Markdown replacement for a figure placeholder token — the
-    cropped-figure image reference the reference writes during
-    untokenize (utils.py:478-556 saves the crop under figures/ and
-    substitutes its path)."""
-    return f"![Figure {fig_idx}](figures/{doc_id}_{int(f_order)}.png)"
-
-
 def surrogate_block_text(
     doc_id: str,
     block_id: str,
@@ -65,12 +62,12 @@ def surrogate_block_text(
     fig_tokens: list[str] | None = None,
     max_gen_length: int = DEFAULT_MAX_LENGTH,
 ) -> str | None:
-    """Deterministic recognition surrogate per routed block. The ocr and
-    chart routes run the REAL greedy AR decode loop (W6) over surrogate
+    """Deterministic recognition surrogate per routed block. The ocr
+    route runs the REAL greedy AR decode loop (W6) over surrogate
     step-logits; table/formula emit structured markup the downstream
     F9/F10 passes consume. Table blocks with contained figures (J5)
     embed the placeholder tokens as cells, exactly where the reference's
-    tokenized crop would sit in the recognized table."""
+    painted crop would sit in the recognized table."""
     if task is None:
         return None
     h = int(hashlib.md5(f"{doc_id}/{block_id}".encode()).hexdigest()[:8], 16)
@@ -83,27 +80,54 @@ def surrogate_block_text(
         return cells
     if task == "formula_rec":
         return f"\\( {_WORDS[h % 8]}_{h % 10} \\)"
-    # ocr and chart routes: the sequential generation kernel
-    prefix = "chart: " if task == "chart_rec" else ""
-    return prefix + ar_decode_text(f"{doc_id}/{block_id}", max_gen_length)
+    # ocr (and the dead chart_rec route): the sequential generation kernel
+    return ar_decode_text(f"{doc_id}/{block_id}", max_gen_length)
+
+
+def vlm_dollar_rewrite(text: str, is_formula_number: bool) -> str:
+    """The matched-delimiter $-rewrite applied to EVERY VLM result
+    (infer_doc_onnx.py:952-961, exact; the column-expression twin is
+    functions/exprs.formula_dollars): fires only when BOTH \\( and \\)
+    (or both \\[ and \\]) are present; strips existing $; pads the
+    rewritten delimiters with spaces; formula_number drops all $."""
+    has_paren = "\\(" in text and "\\)" in text
+    has_bracket = "\\[" in text and "\\]" in text
+    if has_paren or has_bracket:
+        text = text.replace("$", "")
+        text = (
+            text.replace("\\(", " $ ")
+            .replace("\\)", " $ ")
+            .replace("\\[", " $$ ")
+            .replace("\\]", " $$ ")
+        )
+        if is_formula_number:
+            text = text.replace("$", "")
+    return text
 
 
 def postprocess_block_text(
     raw: str | None,
     task: str | None,
-    doc_id: str,
+    block_id: str,
     fig_tokens: list[str] | None,
     fig_mds: list[str] | None,
 ) -> str | None:
-    """Shared per-block post pipeline: F7 truncation, F9 OTSL→HTML,
-    J5 untokenize (figure placeholders → markdown image refs)."""
+    """Shared per-block post pipeline in the reference's exact order
+    (infer_doc_onnx.py:945-970): F7 truncation → F10 $-rewrite
+    (formula_number = exact base-label match on the SUFFIXED id, which
+    never fires — kept verbatim, see layout.py docstring; the effective
+    formula_number behavior is the suffix-substring match) → F9
+    OTSL→HTML keeping the raw string when conversion is empty → J5
+    untokenize ([Fn] → <img src>)."""
     if raw is None:
         return None
     text = truncate_repetitive_content(raw)
+    text = vlm_dollar_rewrite(text, block_id == "formula_number")
     if task == "table_rec":
-        text = otsl_to_html(text)
-        if fig_tokens:
-            text = untokenize(text, dict(zip(fig_tokens, fig_mds or [])))
+        html = otsl_to_html(text)
+        if html != "":
+            text = html
+        text = untokenize(text, dict(zip(fig_tokens or [], fig_mds or [])))
     return text
 
 
@@ -115,14 +139,15 @@ def _recognize_kernel(max_gen_length: int):
                 pdf["doc_id"], pdf["block_id"], pdf["task"],
                 pdf["fig_tokens"], pdf["fig_mds"],
             ):
-                ftoks = list(ftoks) if ftoks is not None else None
-                fmds = list(fmds) if fmds is not None else None
+                ftoks = [t for t in ftoks if t is not None] if ftoks is not None else None
+                fmds = [m for m in fmds if m is not None] if fmds is not None else None
                 raw = surrogate_block_text(
                     doc_id, block_id, task, ftoks, max_gen_length
                 )
-                texts.append(
-                    postprocess_block_text(raw, task, doc_id, ftoks, fmds)
-                )
+                post = postprocess_block_text(raw, task, block_id, ftoks, fmds)
+                # image-kind / imgless blocks carry empty text in
+                # recognition_results (infer_doc_onnx.py:988-1007)
+                texts.append("" if post is None else post)
             out = pdf.drop(columns=["fig_tokens", "fig_mds"])
             out["text"] = texts
             yield out
@@ -132,30 +157,25 @@ def _recognize_kernel(max_gen_length: int):
 
 def _figure_tokens(staged: DataFrame) -> DataFrame:
     """Per (doc_id, table custom_value): ordered arrays of figure
-    placeholder tokens and their markdown replacements (J5). The
-    containment join and this aggregation both key on doc_id — one
+    placeholder tokens (nulls where the figure is too small to
+    tokenize, utils.py:522-523) and their <img src> replacements (J5).
+    The containment join and this aggregation both key on doc_id — one
     co-partitioned shuffle, no cross-doc surface."""
     figs = figures_in_tables(staged)
     pairs = F.array_sort(
         F.collect_list(F.struct("f_order", "token", "fig_md"))
     )
     return (
-        figs.withColumn(
-            "fig_md",
-            F.format_string(
-                "![Figure %d](figures/%s_%d.png)",
-                F.col("fig_idx"),
-                F.col("doc_id"),
-                F.col("f_order").cast("int"),
-            ),
-        )
-        .groupBy(F.col("doc_id").alias("f_doc_id"), F.col("t_order"))
+        figs.groupBy(F.col("doc_id").alias("f_doc_id"), F.col("t_order"))
         .agg(pairs.alias("pairs"))
         .select(
             "f_doc_id",
             "t_order",
             F.transform("pairs", lambda s: s["token"]).alias("fig_tokens"),
-            F.transform("pairs", lambda s: s["fig_md"]).alias("fig_mds"),
+            F.transform(
+                "pairs",
+                lambda s: F.when(s["token"].isNotNull(), s["fig_md"]),
+            ).alias("fig_mds"),
         )
     )
 
@@ -164,16 +184,16 @@ def doc_parse(
     blocks: DataFrame,
     score_threshold: float = 0.4,
     max_gen_length: int = DEFAULT_MAX_LENGTH,
+    use_chart_recognition: bool = True,
 ) -> DataFrame:
     """blocks → per-block parsed rows (doc_id, block_id, label, task,
     reading_order, bbox, text) after the full layout flow."""
     staged = route(
-        order_and_label(
-            merge_text_blocks(filter_overlap_blocks(score_filter(blocks, score_threshold)))
-        )
+        order_and_label(filter_overlap_blocks(score_filter(blocks, score_threshold))),
+        use_chart_recognition,
     ).select(
         "doc_id", "block_id", "label", "task", "reading_order", "bbox",
-        "custom_value",
+        "custom_value", "has_img",
     )
     figs = _figure_tokens(staged)
     staged = staged.join(
@@ -184,16 +204,10 @@ def doc_parse(
     ).drop("f_doc_id", "t_order")
     schema = (
         "doc_id string, block_id string, label string, task string, "
-        "reading_order int, bbox array<double>, custom_value double, text string"
+        "reading_order int, bbox array<double>, custom_value double, "
+        "has_img boolean, text string"
     )
-    recognized = staged.mapInPandas(_recognize_kernel(max_gen_length), schema=schema)
-    # formula delimiter rewrite stays a column expr (F10)
-    return recognized.withColumn(
-        "text",
-        F.when(
-            F.col("task") == "formula_rec", formula_dollars(F.col("text"))
-        ).otherwise(F.col("text")),
-    )
+    return staged.mapInPandas(_recognize_kernel(max_gen_length), schema=schema)
 
 
 def doc_spans(parsed: DataFrame) -> DataFrame:

@@ -349,33 +349,46 @@ def rec_heads_rows(media_ref: str) -> list[dict]:
 
 
 def doc_parse_full_oracle(
-    blocks_pdf: pd.DataFrame, score_threshold: float = 0.4
+    blocks_pdf: pd.DataFrame,
+    score_threshold: float = 0.4,
+    use_chart_recognition: bool = True,
 ) -> dict:
-    """Independent re-implementation of the doc-parse flow (SURVEY §3.2):
-    per doc_id → ordered list of ALL parsed blocks (label, text,
-    block_id), boilerplate included (the markdown converter applies its
-    own skip list, doc_spans applies IGNORE_LABELS). Text generation +
-    per-block post (surrogate_block_text / postprocess_block_text) are
+    """Independent re-implementation of the doc-parse flow (SURVEY §3.2,
+    the onnx path's OBSERVED behavior — see operators/layout.py module
+    docstring): per doc_id → ordered list of ALL parsed blocks (label,
+    text, block_id), boilerplate included (the markdown converter applies
+    its own skip list, doc_spans applies IGNORE_LABELS). Text generation
+    + per-block post (surrogate_block_text / postprocess_block_text) are
     shared with the Spark kernel by design — the oracle independently
-    re-derives the FLOW (dedup, merge, order, routing, figure
-    containment, assembly) with eager loops."""
+    re-derives the FLOW (reference-label drop, dedup, GLOBAL numbering,
+    suffix routing, doc-indexed figure tokens, assembly) with eager
+    loops; the flow itself is pinned against the reference's own
+    functions by tests/test_layout_differential.py."""
     from openocr_spark.operators.doc_parse import (
-        figure_markdown,
         postprocess_block_text,
         surrogate_block_text,
     )
-    from openocr_spark.operators.layout import NO_RECOGNIZE, ROUTE, ROUTE_DEFAULT
+    from openocr_spark.operators.layout import (
+        figure_img_path,
+        figure_token_numbers,
+        image_label_set,
+    )
 
+    img_labels = image_label_set(use_chart_recognition)
     out: dict = {}
     for doc_id, grp in blocks_pdf.groupby("doc_id"):
         rows = [r for r in grp.to_dict("records") if r["score"] > score_threshold]
-        # J4 overlap dedup (greedy, image-exempt)
+        # J4: reference-label pre-drop (utils.py:140-144), then greedy
+        # overlap dedup (image-exempt)
+        rows = [r for r in rows if r["label"] != "reference"]
+
         def ovs(a, b):
             ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
             iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
-            aa = max((a[2] - a[0]) * (a[3] - a[1]), 1e-9)
-            ab = max((b[2] - b[0]) * (b[3] - b[1]), 1e-9)
-            return ix * iy / min(aa, ab)
+            aa = abs((a[2] - a[0]) * (a[3] - a[1]))
+            ab = abs((b[2] - b[0]) * (b[3] - b[1]))
+            ref = min(aa, ab)
+            return ix * iy / ref if ref > 0 else 0.0
 
         drop = set()
         for i in range(len(rows)):
@@ -387,80 +400,68 @@ def doc_parse_full_oracle(
                 if j in drop:
                     continue
                 li, lj = rows[i]["label"], rows[j]["label"]
-                if (li == "image" or lj == "image") and li != lj:
-                    continue
                 if ovs(rows[i]["bbox"], rows[j]["bbox"]) > 0.7:
-                    ai = (rows[i]["bbox"][2] - rows[i]["bbox"][0]) * (rows[i]["bbox"][3] - rows[i]["bbox"][1])
-                    aj = (rows[j]["bbox"][2] - rows[j]["bbox"][0]) * (rows[j]["bbox"][3] - rows[j]["bbox"][1])
+                    if (li == "image" or lj == "image") and li != lj:
+                        continue
+                    ai = abs((rows[i]["bbox"][2] - rows[i]["bbox"][0]) * (rows[i]["bbox"][3] - rows[i]["bbox"][1]))
+                    aj = abs((rows[j]["bbox"][2] - rows[j]["bbox"][0]) * (rows[j]["bbox"][3] - rows[j]["bbox"][1]))
                     drop.add(j if aj <= ai else i)
         rows = [r for k, r in enumerate(rows) if k not in drop]
 
-        # G13 alignment merge of text blocks
+        # W2/W3: custom_value sort + GLOBAL 1-based numbering
+        # (infer_doc_onnx.py:459-466); crop emptiness via int truncation
         rows.sort(key=lambda r: r["custom_value"])
-        merged_flag = [False] * len(rows)
-        merged_rows = []
-        for i, cur0 in enumerate(rows):
-            if merged_flag[i]:
-                continue
-            cur = dict(cur0)
-            cb = list(cur["bbox"])
-            if cur["label"] == "text":
-                for j in range(i + 1, len(rows)):
-                    if merged_flag[j] or rows[j]["label"] != "text":
-                        continue
-                    nb = rows[j]["bbox"]
-                    aligned = abs(cb[0] - nb[0]) <= 5.0 and abs(cb[2] - nb[2]) <= 5.0
-                    gap = nb[1] - cb[3]
-                    adjacent = 0 <= gap < ((cb[3] - cb[1]) + (nb[3] - nb[1])) / 2
-                    new_h = nb[3] - cb[1]
-                    new_w = max(cb[2], nb[2]) - min(cb[0], nb[0])
-                    if aligned and adjacent and new_h / max(new_w, 1e-9) < 3.0:
-                        cb = [min(cb[0], nb[0]), cb[1], max(cb[2], nb[2]), nb[3]]
-                        merged_flag[j] = True
-            cur["bbox"] = cb
-            merged_rows.append(cur)
+        for i, r in enumerate(rows, start=1):
+            r["block_id"] = f"{r['label']}_{i:02d}"
+            w = int(r["bbox"][2]) - int(r["bbox"][0])
+            h = int(r["bbox"][3]) - int(r["bbox"][1])
+            r["has_img"] = w > 0 and h > 0
+        # merge_blocks is a NO-OP here: labels are suffixed (see
+        # operators/layout.py docstring), so no continuation rows exist.
 
-        # J5: per-table contained-figure tokens (eager containment scan)
-        fig_of_table: dict[float, list[tuple[float, str, str]]] = {}
-        tables = [r for r in merged_rows if r["label"] == "table"]
-        figures = [r for r in merged_rows if r["label"] in ("image", "chart")]
-        for t in tables:
-            tb = t["bbox"]
-            contained = sorted(
-                (
-                    f for f in figures
-                    if f["bbox"][0] >= tb[0] and f["bbox"][1] >= tb[1]
-                    and f["bbox"][2] <= tb[2] and f["bbox"][3] <= tb[3]
-                ),
-                key=lambda f: f["custom_value"],
-            )
-            if contained:
-                fig_of_table[t["custom_value"]] = [
-                    (
-                        f["custom_value"],
-                        f"<figure_{k}>",
-                        figure_markdown(doc_id, f["custom_value"], k),
+        # J5: doc-level image index → per-table [Fn] tokens
+        # (utils.py:478-535 + infer_doc_onnx.py:880-892)
+        figures = [r for r in rows if r["label"] in img_labels and r["has_img"]]
+        tok_nums = figure_token_numbers(len(figures))
+
+        def table_figs(tb):
+            toks, mds = [], []
+            for fid, f in enumerate(figures):
+                fb = f["bbox"]
+                if (
+                    fb[0] >= tb[0] and fb[1] >= tb[1]
+                    and fb[2] <= tb[2] and fb[3] <= tb[3]
+                ):
+                    if min(fb[2] - fb[0], fb[3] - fb[1]) < 25:
+                        continue  # too small to tokenize (utils.py:522)
+                    toks.append(f"[F{tok_nums[fid]}]")
+                    mds.append(
+                        f'<img src="{figure_img_path(f["label"], fb)}" >'
                     )
-                    for k, f in enumerate(contained)
-                ]
+            return toks, mds
 
-        # W2/W3 order + numbering, routing, recognition, post, assembly
-        merged_rows.sort(key=lambda r: r["custom_value"])
-        label_counts: dict[str, int] = {}
+        # routing (onnx substring semantics over the numbered label),
+        # recognition, post, assembly
         spans = []
-        for r in merged_rows:
-            label_counts[r["label"]] = label_counts.get(r["label"], 0) + 1
-            block_id = f"{r['label']}_{label_counts[r['label']]:02d}"
-            task = None if r["label"] in NO_RECOGNIZE else ROUTE.get(r["label"], ROUTE_DEFAULT)
-            figs = fig_of_table.get(r["custom_value"]) if r["label"] == "table" else None
-            ftoks = [t for _, t, _ in figs] if figs else None
-            fmds = [m for _, _, m in figs] if figs else None
-            text = surrogate_block_text(doc_id, block_id, task, ftoks)
-            text = postprocess_block_text(text, task, doc_id, ftoks, fmds)
-            if text is not None and task == "formula_rec":
-                text = text.replace("\\( ", "$").replace(" \\)", "$")
-                text = text.replace("\\(", "$").replace("\\)", "$")
-            spans.append((r["label"], text, block_id))
+        for r in rows:
+            bid = r["block_id"]
+            base = r["label"]
+            if base in img_labels or not r["has_img"]:
+                task = None
+            elif "table" in bid:
+                task = "table_rec"
+            elif bid == "chart" and use_chart_recognition:
+                task = "chart_rec"  # dead: bid is always suffixed
+            elif "formula" in bid and bid != "formula_number":
+                task = "formula_rec"
+            else:
+                task = "ocr"
+            ftoks, fmds = (
+                table_figs(r["bbox"]) if task == "table_rec" else (None, None)
+            )
+            text = surrogate_block_text(doc_id, bid, task, ftoks)
+            text = postprocess_block_text(text, task, bid, ftoks, fmds)
+            spans.append((base, "" if text is None else text, bid))
         out[doc_id] = spans
     return out
 

@@ -27,12 +27,27 @@ def _img() -> np.ndarray:
 
 
 def _streams() -> dict[str, bytes]:
-    from jpeg_ref_encoder import encode_jpeg, encode_jpeg_lossless
+    import struct
 
+    from jpeg_arith_ref_encoder import encode_jpeg_arith
+    from jpeg_hier_ref_encoder import encode_jpeg_hierarchical
+    from jpeg_ref_encoder import encode_jpeg, encode_jpeg_lossless
+    from tiff_ref_encoder import write_tiff
+    from webp_ref_encoder import encode_vp8l
+
+    from test_bmp_pnm_ext import _bmp_headers, _pal_bytes
     from test_exr import write_exr
-    from test_float_raster_formats import _float2rgbe, _write_hdr_flat
+    from test_float_raster_formats import (
+        _float2rgbe,
+        _pad16,
+        _ras_header,
+        _rle_encode_ras,
+        _write_hdr_flat,
+        _write_pfm,
+    )
 
     img = _img()
+    h, w = img.shape
     out = {
         "png": encode_png(img),
         "pdf": encode_pdf([img]),
@@ -51,6 +66,96 @@ def _streams() -> dict[str, bytes]:
             np.repeat(img[:, :, None], 3, axis=2).astype(np.float64) / 255.0
         )),
     }
+
+    # --- r6 matrix closure (VERDICT r5 item 3): every decode_bytes
+    # dispatch target joins the truncation+bitflip matrix — the BMP
+    # RLE8/RLE4 escape machines, Sun Raster RLE, PFM, arithmetic and
+    # hierarchical JPEG, TIFF LZW + G3-2D variants, animated WebP.
+    idx = (img >> 4).astype(np.uint8)  # 4-bit indices for RLE streams
+    pal256 = _pal_bytes([(i, i, i) for i in range(256)])
+    rle8 = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up rows
+        x = 0
+        row = idx[y]
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            rle8 += bytes([run, int(row[x])])
+            x += run
+        rle8 += bytes([0, 0])  # EOL
+    rle8 += bytes([0, 1])  # EOF
+    out["bmp_rle8"] = (
+        _bmp_headers(w, h, 8, 1, len(rle8), n_pal=256) + pal256 + bytes(rle8)
+    )
+
+    pal16 = _pal_bytes([(i * 17, 255 - i * 17, i) for i in range(16)])
+    rle4 = bytearray()
+    for y in range(h - 1, -1, -1):
+        for x in range(0, w, 2):  # pixel pairs: count 2, two nibbles
+            rle4 += bytes([2, (int(idx[y, x]) << 4) | int(idx[y, x + 1])])
+        rle4 += bytes([0, 0])
+    rle4 += bytes([0, 1])
+    out["bmp_rle4"] = (
+        _bmp_headers(w, h, 4, 2, len(rle4), n_pal=16) + pal16 + bytes(rle4)
+    )
+
+    rows565 = b""
+    for y in range(h - 1, -1, -1):
+        vals = (
+            (img[y].astype(np.uint16) >> 3 << 11)
+            | (img[y].astype(np.uint16) >> 2 << 5)
+            | (img[y].astype(np.uint16) >> 3)
+        )
+        row = vals.astype("<u2").tobytes()
+        rows565 += row + b"\x00" * ((-len(row)) % 4)
+    out["bmp_bitfields"] = (
+        _bmp_headers(w, h, 16, 3, len(rows565),
+                     masks=(0xF800, 0x07E0, 0x001F)) + rows565
+    )
+
+    raw = b"".join(_pad16(img[y].tobytes()) for y in range(h))
+    body = _rle_encode_ras(raw)
+    out["ras_rle"] = _ras_header(w, h, 8, len(body), 2) + body
+
+    out["pfm"] = _write_pfm(img.astype(np.float32) / 255.0)
+
+    out["jpeg_arith"] = encode_jpeg_arith(img, qtable=[2] * 64)
+    out["jpeg_hier"] = encode_jpeg_hierarchical(
+        img, [{"kind": "lossless"}, {"kind": "lossless", "exp": (1, 1)}]
+    )
+
+    out["tiff_lzw"] = write_tiff(
+        [{"pixels": img, "compression": 5, "predictor": 2}]
+    )
+    out["tiff_g3"] = write_tiff(
+        [{"pixels": img > 128, "compression": 3, "t4_2d": True}]
+    )
+
+    def _anmf(frame: np.ndarray) -> bytes:
+        payload = encode_vp8l(frame)
+        i = payload.index(b"VP8L")
+        (sz,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        chunk = payload[i : i + 8 + sz + (sz & 1)]
+        head = (
+            b"\x00\x00\x00" + b"\x00\x00\x00"
+            + bytes([w - 1, 0, 0]) + bytes([h - 1, 0, 0])
+            + b"\x00\x00\x00" + b"\x00"
+        )
+        b2 = head + chunk
+        return (
+            b"ANMF" + struct.pack("<I", len(b2)) + b2
+            + (b"\x00" if len(b2) % 2 else b"")
+        )
+
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    vp8x = (
+        b"VP8X" + struct.pack("<I", 10) + bytes([0x02, 0, 0, 0])
+        + bytes([w - 1, 0, 0]) + bytes([h - 1, 0, 0])
+    )
+    anim = b"ANIM" + struct.pack("<I", 6) + b"\x00" * 6
+    riff = b"WEBP" + vp8x + anim + _anmf(rgb) + _anmf(rgb[::-1])
+    out["webp_anim"] = b"RIFF" + struct.pack("<I", len(riff)) + riff
     return out
 
 

@@ -2,7 +2,7 @@
 
 import pytest
 
-from openocr_spark.functions.otsl import otsl_to_html, parse_otsl_grid
+from openocr_spark.functions.otsl import otsl_to_html
 from openocr_spark.functions.text import (
     pred_reverse,
     stream_match,
@@ -13,16 +13,30 @@ from openocr_spark.functions.text import (
 
 class TestTruncateRepetitive:
     def test_suffix_phrase(self):
+        # >100-char single line ending in a dominant repeated phrase →
+        # the repetition is dropped ENTIRELY (reference keeps only the
+        # prefix of the stripped string, utils.py:1000-1005)
+        t = "header text " + "lorem " * 30
+        assert truncate_repetitive_content(t) == "header text"
+
+    def test_short_line_untouched(self):
+        # under the 100-char gate priority 1 never fires
         t = "header text " + "lorem " * 8
-        assert truncate_repetitive_content(t) == "header text lorem "
+        assert truncate_repetitive_content(t) == t
 
     def test_whole_string_period(self):
         assert truncate_repetitive_content("ab" * 12) == "ab"
 
     def test_dominant_line(self):
-        lines = ["keep me"] + ["spam"] * 9
+        # ≥10 non-blank lines, one ≥80% dominant → ONLY that line kept
+        lines = ["keep me"] + ["spam"] * 12
         out = truncate_repetitive_content("\n".join(lines))
-        assert out == "keep me\nspam"
+        assert out == "spam"
+
+    def test_dominant_line_under_threshold(self):
+        lines = ["keep me"] + ["spam"] * 9
+        t = "\n".join(lines)
+        assert truncate_repetitive_content(t) == t
 
     def test_no_repetition_unchanged(self):
         t = "the quick brown fox jumps"
@@ -88,11 +102,19 @@ class TestOTSL:
         assert '<td rowspan="2" colspan="2">big</td>' in html
 
     def test_pad_short_rows(self):
-        grid = parse_otsl_grid("<fcel>a<fcel>b<nl><fcel>c")
-        assert len(grid[1]) == 2 and grid[1][1] == ("ecel", "")
+        assert otsl_to_html("<fcel>a<fcel>b<nl><fcel>c") == (
+            "<table><tr><td>a</td><td>b</td></tr>"
+            "<tr><td>c</td><td></td></tr></table>"
+        )
+
+    def test_html_escape(self):
+        assert otsl_to_html("<fcel>a&b<nl>") == (
+            "<table><tr><td>a&amp;b</td></tr></table>"
+        )
 
     def test_empty(self):
-        assert otsl_to_html("") == "<table></table>"
+        # no cells → reference's export_to_html returns ''
+        assert otsl_to_html("") == ""
 
 
 def test_spark_exprs(spark):
@@ -120,7 +142,7 @@ def test_spark_exprs(spark):
     assert row["na"] == "He1lowOrld"
     assert row["ig"] == "he1!loworld"
     assert row["lev"] == pytest.approx(3 / 7)
-    assert row["fd"] == "$x+y$ and $$z$$"
+    assert row["fd"] == " $  x+y  $  and  $$  z  $$ "
     assert row["cs"] == "hi"
 
 

@@ -1,0 +1,249 @@
+"""Differential property tests for the layout-flow helpers vs the
+reference's own functions (utils.py filter_overlap_boxes / merge_blocks /
+tokenize_figure_of_table / untokenize_figure_of_table), imported at test
+time via tests/_reference_loader. Complements test_reference_differential
+(text/otsl/markdown helpers) — together these pin every pure-Python
+helper the doc flow models, closing the engine↔oracle co-write blind
+spot (VERDICT r5 'Next round' #1/#2)."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+
+from tests._reference_loader import StubImage, ref_utils
+
+from openocr_spark.operators.layout import (
+    IMAGE_LABELS,
+    _dedup_one_doc,
+    figure_img_path,
+    figure_token_numbers,
+    merge_block_rows,
+    untokenize,
+)
+
+LABELS = [
+    "text", "text", "text", "title", "image", "seal", "table", "chart",
+    "reference", "reference_content", "display_formula", "header",
+]
+
+
+def _rand_boxes(rng: random.Random, n: int, big: int = 300):
+    out = []
+    for _ in range(n):
+        x1 = rng.randint(0, big)
+        y1 = rng.randint(0, big)
+        w = rng.randint(1, 120)
+        h = rng.randint(1, 120)
+        out.append([float(x1), float(y1), float(x1 + w), float(y1 + h)])
+    return out
+
+
+# ------------------------------------------------------- filter_overlap
+
+
+def test_filter_overlap_boxes_matches_reference():
+    ref = ref_utils().filter_overlap_boxes
+    rng = random.Random(141)
+    for trial in range(300):
+        n = rng.randint(0, 14)
+        boxes = _rand_boxes(rng, n, big=120)  # dense → many overlaps
+        labels = [rng.choice(LABELS) for _ in range(n)]
+        det = {
+            "boxes": [
+                {"label": lb, "coordinate": bx, "score": 0.9, "uid": i}
+                for i, (lb, bx) in enumerate(zip(labels, boxes))
+            ]
+        }
+        want = [b["uid"] for b in ref(det)["boxes"]]
+
+        pdf = pd.DataFrame(
+            {
+                "label": labels,
+                "bbox": boxes,
+                "uid": list(range(n)),
+            }
+        )
+        got = _dedup_one_doc(pdf, 0.7)["uid"].tolist()
+        assert got == want, (trial, labels, boxes)
+
+
+def test_reference_label_predrop():
+    """utils.py:140-144: 'reference' boxes never reach the scan — and
+    never shield/trigger drops of other boxes."""
+    pdf = pd.DataFrame(
+        {
+            "label": ["reference", "text", "text"],
+            "bbox": [
+                [0.0, 0.0, 100.0, 100.0],
+                [0.0, 0.0, 50.0, 50.0],
+                [2.0, 2.0, 48.0, 48.0],
+            ],
+            "uid": [0, 1, 2],
+        }
+    )
+    out = _dedup_one_doc(pdf, 0.7)
+    assert out["uid"].tolist() == [1]  # reference dropped, dup dedup'd
+
+
+# ------------------------------------------------------------- merge
+
+
+def _merge_corpus(rng: random.Random, n: int):
+    """Block lists biased toward the merge conditions: text columns with
+    one aligned edge, cross-column neighbors, crowded regions (the
+    overlapwith_other_box gate needs a third block near the pair)."""
+    rows = []
+    y = 0.0
+    x_left = rng.choice([0.0, 5.0])
+    for _ in range(n):
+        kind = rng.random()
+        label = rng.choice(
+            ["text", "text", "text", "table", "image", "title", "seal"]
+        )
+        if kind < 0.55:  # stacked: one edge aligned, other jittered
+            w = rng.randint(80, 140)
+            h = rng.randint(10, 40)
+            jitter = rng.choice([0, 0, 2, 8, 20])
+            rows.append(
+                {
+                    "label": label,
+                    "bbox": [x_left + jitter if rng.random() < 0.5 else x_left,
+                             y, x_left + w, y + h],
+                }
+            )
+            y += h + rng.choice([0, 2, 5, 18, 60])
+        elif kind < 0.8:  # side-by-side (cross-column candidate)
+            w = rng.randint(40, 90)
+            h = rng.randint(10, 40)
+            prev_right = rows[-1]["bbox"][2] if rows else 0.0
+            gap = rng.choice([2, 8, 15, 40])
+            y1 = max(0.0, y - h)
+            rows.append(
+                {
+                    "label": label,
+                    "bbox": [prev_right + gap, y1,
+                             prev_right + gap + w, y1 + h],
+                }
+            )
+            y = max(y, y1 + h)
+        else:  # free-floating
+            bx = _rand_boxes(rng, 1, big=250)[0]
+            rows.append({"label": label, "bbox": bx})
+            y = max(y, bx[3])
+    return rows
+
+
+def test_merge_blocks_matches_reference():
+    ref = ref_utils().merge_blocks
+    non_merge = list(IMAGE_LABELS) + ["table"]
+    rng = random.Random(258)
+    merged_groups_seen = 0
+    for trial in range(250):
+        rows = _merge_corpus(rng, rng.randint(0, 12))
+        ref_blocks = []
+        for i, r in enumerate(rows):
+            x1, y1, x2, y2 = (int(v) for v in r["bbox"])
+            ref_blocks.append(
+                {
+                    "label": r["label"],
+                    "box": list(r["bbox"]),
+                    "img": StubImage((max(1, x2 - x1), max(1, y2 - y1))),
+                    "uid": i,
+                }
+            )
+        want = [
+            (b["uid"], b["img"] is not None) for b in ref(ref_blocks, non_merge)
+        ]
+
+        mine = [dict(r, uid=i) for i, r in enumerate(rows)]
+        got_rows = merge_block_rows(mine, tuple(non_merge))
+        got = [(r["uid"], r["has_img"]) for r in got_rows]
+        assert got == want, (trial, rows)
+        merged_groups_seen += sum(1 for _, has in got if not has)
+    assert merged_groups_seen > 20  # the corpus must actually exercise merges
+
+
+def test_merge_noop_on_numbered_labels():
+    """After the onnx path's numbering, label checks never match — merge
+    must be an exact no-op (order preserved, nothing merged)."""
+    rng = random.Random(7)
+    rows = [
+        dict(r, label=f"{r['label']}_{i+1:02d}", uid=i)
+        for i, r in enumerate(_merge_corpus(rng, 10))
+    ]
+    out = merge_block_rows(
+        [dict(r) for r in rows], tuple(IMAGE_LABELS) + ("table",)
+    )
+    assert [r["uid"] for r in out] == [r["uid"] for r in rows]
+    assert all(not r["is_merged_continuation"] for r in out)
+
+
+# ------------------------------------------------------------ tokenize
+
+
+def test_tokenize_figure_of_table_matches_reference():
+    u = ref_utils()
+    orig_paint = u.paint_token
+    u.paint_token = lambda img, box, tok: img  # pixels unobserved
+    try:
+        rng = random.Random(478)
+        for trial in range(150):
+            table_box = [50.0, 50.0, 350.0, 300.0]
+            n = rng.randint(0, 8)
+            figures = []
+            for i in range(n):
+                if rng.random() < 0.6:  # inside the table
+                    x1 = rng.uniform(50, 300)
+                    y1 = rng.uniform(50, 250)
+                    w = rng.choice([10, 20, 24.5, 25, 30, 80])
+                    h = rng.choice([10, 20, 24.5, 25, 30, 80])
+                    box = [x1, y1, min(350.0, x1 + w), min(300.0, y1 + h)]
+                else:
+                    box = [400.0 + i, 10.0, 460.0 + i, 80.0]
+                figures.append(
+                    {
+                        "coordinate": box,
+                        "path": figure_img_path("image", box),
+                    }
+                )
+            _img, token_map, drops = u.tokenize_figure_of_table(
+                StubImage((300, 250)), table_box, figures
+            )
+
+            # my token assignment (the engine/oracle logic)
+            nums = figure_token_numbers(len(figures))
+            my_map = {}
+            my_drops = []
+            for fid, f in enumerate(figures):
+                b = f["coordinate"]
+                inside = (
+                    b[0] >= table_box[0] and b[1] >= table_box[1]
+                    and b[2] <= table_box[2] and b[3] <= table_box[3]
+                )
+                if not inside:
+                    continue
+                my_drops.append(f["path"])
+                if min(b[2] - b[0], b[3] - b[1]) < 25:
+                    continue
+                my_map[f"[F{nums[fid]}]"] = f'<img src="{f["path"]}" >'
+            assert my_map == token_map, trial
+            assert my_drops == drops, trial
+    finally:
+        u.paint_token = orig_paint
+
+
+def test_untokenize_matches_reference():
+    ref = ref_utils().untokenize_figure_of_table
+    cases = [
+        ("", {}),
+        ("<td>[F3]</td>", {"[F3]": '<img src="imgs/x.jpg" >'}),
+        ("[F2][F22]", {"[F2]": "<a>", "[F22]": "<b>"}),
+        ("[F7] unknown stays", {}),
+        ("nested [F4]x[F4]", {"[F4]": "Y"}),
+        ("[Fnope]", {"[F1]": "z"}),
+    ]
+    for text, tmap in cases:
+        assert untokenize(text, tmap) == ref(text, tmap)

@@ -88,8 +88,12 @@ def test_stream_match_contains_tail_segment(segs):
 @given(st.text(alphabet=list("abc<>fcelnux "), max_size=80))
 @settings(max_examples=80, deadline=None)
 def test_otsl_never_crashes(s):
+    # cell-less streams export '' (the reference's export_to_html
+    # empty-cells branch); anything else is a well-formed table
     html = otsl_to_html(s)
-    assert html.startswith("<table>") and html.endswith("</table>")
+    assert html == "" or (
+        html.startswith("<table>") and html.endswith("</table>")
+    )
 
 
 @given(st.integers(min_value=0, max_value=10**9), st.integers(min_value=4, max_value=128))
