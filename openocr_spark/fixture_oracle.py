@@ -287,7 +287,7 @@ def _gen_rec_long_pairs(
     streaming operator by design)."""
     import math
 
-    from openocr_spark.functions.text import stream_match
+    from openocr_spark.functions.text import stream_merge
 
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     rows = []
@@ -295,7 +295,9 @@ def _gen_rec_long_pairs(
         t = text if isinstance(text, str) else ""
         n = max(1, math.ceil((len(t) - window) / stride) + 1)
         slices = [t[i * stride : i * stride + window] for i in range(n)]
-        rows.append({"doc_id": str(doc_id), "pred": stream_match(slices), "gt": t})
+        rows.append(
+            {"doc_id": str(doc_id), "pred": stream_merge(slices), "gt": t}
+        )
     return pd.DataFrame(rows)
 
 

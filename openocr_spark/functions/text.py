@@ -89,26 +89,51 @@ def truncate_repeated_tail(text: str, threshold: int = 20, keep: int = 1) -> str
     return text
 
 
+def _match_ss(prev: str, seg: str) -> str:
+    """Longest suffix(prev)==prefix(seg) overlap, longest-first; returns
+    seg's post-overlap remainder (rec_metric.py:7-11 match_ss, exact —
+    including the no-overlap fallthrough that appends seg whole)."""
+    for k in range(len(prev), 0, -1):
+        if prev[len(prev) - k :] == seg[:k]:
+            return seg[k:]
+    return seg
+
+
 def stream_match(segments: list[str]) -> str:
-    """Merge ordered overlapping text windows into one string by the
-    longest suffix/prefix overlap (rec_metric.py:6-28 semantics, used for
-    out-of-length recognition with sliding crops)."""
-    out = ""
-    for seg in segments:
-        if not out:
-            out = seg
-            continue
-        max_ov = 0
-        limit = min(len(out), len(seg))
-        for k in range(limit, 0, -1):
-            if out[-k:] == seg[:k]:
-                max_ov = k
-                break
-        out += seg[max_ov:]
+    """The reference's sliding-window text merge (rec_metric.py:6-28
+    stream_match/match_ss, exact; pinned against the reference's own
+    function by test_metric_differential). Window-boundary characters
+    are unreliable crop-edge glyphs, so the FIRST segment drops its last
+    char, MIDDLE segments drop first and last, the FINAL segment drops
+    its first (a single segment therefore loses its last char — kept
+    bug-for-bug). Each trimmed segment matches against the PREVIOUS
+    REMAINDER only (not the accumulated string) by the longest
+    suffix==prefix overlap; the post-overlap remainder is appended and
+    becomes the next matching context."""
+    if not segments:
+        return ""
+    rem = segments[0][:-1]
+    out = rem
+    n = len(segments)
+    for i in range(1, n):
+        seg = segments[i][1:-1] if i < n - 1 else segments[i][1:]
+        rem = _match_ss(rem, seg)
+        out += rem
     return out
 
 
 _LATIN_RUN = re.compile(r"[a-zA-Z0-9 :*./%+-]+")
+
+
+def stream_merge(ordered_slices: list[str]) -> str:
+    """Slice-merge dispatch per the reference: stream_match only runs on
+    text that was actually SLICED (out-of-length lines,
+    rec_metric_long.py stream mode); a lone in-length segment passes
+    through unchanged — stream_match's boundary trim would drop its
+    last character."""
+    if len(ordered_slices) == 1:
+        return ordered_slices[0]
+    return stream_match(ordered_slices)
 
 
 def pred_reverse(text: str) -> str:

@@ -68,12 +68,15 @@ def merge_slices(slices: DataFrame) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
-    from openocr_spark.functions.text import stream_match
+    from openocr_spark.functions.text import stream_merge
 
     @pandas_udf(StringType())
     def merge_udf(arr: pd.Series) -> pd.Series:
+        # single-slice (in-length) texts bypass the stream merge — the
+        # reference streams only sliced long lines, and stream_match's
+        # boundary trim would drop the last char of a lone segment
         return pd.Series(
-            [stream_match([s["slice"] for s in a]) for a in arr]
+            [stream_merge([s["slice"] for s in a]) for a in arr]
         )
 
     gathered = slices.groupBy("id").agg(

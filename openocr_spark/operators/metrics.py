@@ -328,17 +328,24 @@ def det_metric(pred: DataFrame, gt: DataFrame) -> DataFrame:
 
 
 def rec_metric(pairs: DataFrame, pred_col: str = "pred", gt_col: str = "gt") -> DataFrame:
-    """Exact-match acc + 1−NED (rec_metric.py:71-99): one aggregation."""
+    """Exact-match acc + 1−NED (rec_metric.py:69-97, reference-exact
+    including the eps=1e-5 denominator guard: acc = correct/(n+eps),
+    1−NED = 1 − Σned/(n+eps) — pinned against the reference's own
+    RecMetric by test_metric_differential)."""
     ned = normalized_levenshtein(F.col(pred_col), F.col(gt_col))
+    eps = F.lit(1e-5)
+    n = F.count("*")
     return pairs.agg(
-        F.count("*").alias("all_num"),
+        n.alias("all_num"),
         F.sum(F.when(F.col(pred_col) == F.col(gt_col), 1).otherwise(0)).alias(
             "correct_num"
         ),
         F.round(
-            F.avg(F.when(F.col(pred_col) == F.col(gt_col), 1.0).otherwise(0.0)), 6
+            F.sum(F.when(F.col(pred_col) == F.col(gt_col), 1.0).otherwise(0.0))
+            / (n + eps),
+            6,
         ).alias("acc"),
-        F.round(F.avg(1.0 - ned), 6).alias("one_minus_ned"),
+        F.round(1.0 - F.sum(ned) / (n + eps), 6).alias("one_minus_ned"),
     )
 
 

@@ -1658,9 +1658,12 @@ def q_det_ap(spark: SparkSession, sf: str) -> DataFrame:
     SELECT COUNT(*) AS all_num,
            CAST(SUM(CASE WHEN pred = gt THEN 1 ELSE 0 END) AS BIGINT)
              AS correct_num,
-           ROUND(AVG(CASE WHEN pred = gt THEN 1.0 ELSE 0.0 END), 6) AS acc,
-           ROUND(AVG(1.0 - levenshtein(pred, gt) /
-                     GREATEST(len(pred), len(gt), 1)), 6) AS one_minus_ned
+           ROUND(SUM(CASE WHEN pred = gt THEN 1.0 ELSE 0.0 END)
+                 / (COUNT(*) + 1e-5), 6) AS acc,
+           ROUND(1.0 - SUM(CASE WHEN pred = gt THEN 0.0
+                           ELSE levenshtein(pred, gt) * 1.0 /
+                                GREATEST(len(pred), len(gt), 1) END)
+                 / (COUNT(*) + 1e-5), 6) AS one_minus_ned
     FROM read_parquet('{_ORA}/rec_pairs.parquet')
     """,
 )
@@ -1869,9 +1872,12 @@ def q_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     SELECT COUNT(*) AS all_num,
            CAST(SUM(CASE WHEN pred = gt THEN 1 ELSE 0 END) AS BIGINT)
              AS correct_num,
-           ROUND(AVG(CASE WHEN pred = gt THEN 1.0 ELSE 0.0 END), 6) AS acc,
-           ROUND(AVG(1.0 - levenshtein(pred, gt) /
-                     GREATEST(len(pred), len(gt), 1)), 6) AS one_minus_ned
+           ROUND(SUM(CASE WHEN pred = gt THEN 1.0 ELSE 0.0 END)
+                 / (COUNT(*) + 1e-5), 6) AS acc,
+           ROUND(1.0 - SUM(CASE WHEN pred = gt THEN 0.0
+                           ELSE levenshtein(pred, gt) * 1.0 /
+                                GREATEST(len(pred), len(gt), 1) END)
+                 / (COUNT(*) + 1e-5), 6) AS one_minus_ned
     FROM read_parquet('{_ORA}/rec_long_pairs.parquet')
     """,
 )

@@ -106,7 +106,7 @@ def merge_text_slices_stream(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from openocr_spark.functions.text import stream_match
+    from openocr_spark.functions.text import stream_merge
 
     out_schema = "media_ref string, merged string, n_slices int"
     state_schema = "pending array<string>, idxs array<int>, done boolean"
@@ -116,7 +116,7 @@ def merge_text_slices_stream(
         if state.hasTimedOut:
             (pending, idxs, _done) = state.get
             order = sorted(range(len(idxs)), key=lambda i: idxs[i])
-            merged = stream_match([pending[i] for i in order])
+            merged = stream_merge([pending[i] for i in order])
             state.remove()
             yield pd.DataFrame(
                 [{"media_ref": media_ref, "merged": merged, "n_slices": len(idxs)}]
@@ -135,7 +135,7 @@ def merge_text_slices_stream(
                 done = done or bool(row["is_last"])
         if done:
             order = sorted(range(len(idxs)), key=lambda i: idxs[i])
-            merged = stream_match([pending[i] for i in order])
+            merged = stream_merge([pending[i] for i in order])
             state.remove()
             yield pd.DataFrame(
                 [{"media_ref": media_ref, "merged": merged, "n_slices": len(idxs)}]

@@ -57,17 +57,32 @@ class TestTruncateTail:
 
 
 class TestStreamMatch:
+    """Reference-exact semantics (rec_metric.py:6-28, pinned by
+    test_metric_differential): boundary chars are trimmed as unreliable
+    crop edges — first segment loses its last char, middle segments both
+    ends, the final segment its first — and matching chains on the
+    previous REMAINDER only."""
+
     def test_overlap_merge(self):
         assert stream_match(["hello wor", "world peace"]) == "hello world peace"
 
-    def test_no_overlap(self):
-        assert stream_match(["abc", "def"]) == "abcdef"
+    def test_no_overlap_trims_boundaries(self):
+        # 'abc'[:-1] + 'def'[1:] with no overlap found
+        assert stream_match(["abc", "def"]) == "abef"
 
     def test_full_containment_prefix(self):
         assert stream_match(["abcdef", "def"]) == "abcdef"
 
-    def test_single(self):
-        assert stream_match(["only"]) == "only"
+    def test_single_drops_last(self):
+        # bug-for-bug: a lone segment loses its trailing char — callers
+        # dispatch through stream_merge, which bypasses for one slice
+        assert stream_match(["only"]) == "onl"
+
+    def test_stream_merge_dispatch(self):
+        from openocr_spark.functions.text import stream_merge
+
+        assert stream_merge(["only"]) == "only"
+        assert stream_merge(["hello wor", "world peace"]) == "hello world peace"
 
     def test_empty_list(self):
         assert stream_match([]) == ""

@@ -1,0 +1,311 @@
+"""Differential tests for the evaluation metrics vs the reference's own
+implementations (opendet/metrics/eval_det_iou.py + det_metric.py,
+openrec/metrics/rec_metric.py), imported at test time.
+
+Stubs (see _reference_loader for the policy): rapidfuzz is replaced by
+an independent test-side DP Levenshtein (normalized by max length, the
+rapidfuzz definition); shapely by exact closed-form axis-aligned-rect
+geometry — the corpus is restricted to rects, where the stub is
+mathematically identical to shapely, keeping the geometry comparison
+independent of the repo's own polygon kernel."""
+
+from __future__ import annotations
+
+import random
+import sys
+import types
+
+import pytest
+
+from tests._reference_loader import REF_TOOLS, load_module
+
+from openocr_spark.functions.text import stream_match
+
+
+# ------------------------------------------------------------- stubs
+
+
+def _dp_lev(a: str, b: str) -> int:
+    """Independent DP edit distance (the differential ground truth)."""
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _norm_dist(a: str, b: str) -> float:
+    m = max(len(a), len(b))
+    return _dp_lev(a, b) / m if m else 0.0
+
+
+def _install_rapidfuzz_stub():
+    if "rapidfuzz" in sys.modules:
+        return
+    rf = types.ModuleType("rapidfuzz")
+    dist = types.ModuleType("rapidfuzz.distance")
+
+    class Levenshtein:
+        normalized_distance = staticmethod(_norm_dist)
+        distance = staticmethod(_dp_lev)
+
+    dist.Levenshtein = Levenshtein
+    rf.distance = dist
+    sys.modules["rapidfuzz"] = rf
+    sys.modules["rapidfuzz.distance"] = dist
+
+
+class _RectPoly:
+    """Axis-aligned-rect Polygon: exact closed forms for area /
+    intersection / union — identical to shapely ON RECTS."""
+
+    def __init__(self, pts):
+        xs = [float(p[0]) for p in pts]
+        ys = [float(p[1]) for p in pts]
+        self.x0, self.x1 = min(xs), max(xs)
+        self.y0, self.y1 = min(ys), max(ys)
+
+    @property
+    def area(self):
+        return (self.x1 - self.x0) * (self.y1 - self.y0)
+
+    @property
+    def is_valid(self):
+        return self.x1 > self.x0 and self.y1 > self.y0
+
+    def _inter_area(self, o):
+        w = min(self.x1, o.x1) - max(self.x0, o.x0)
+        h = min(self.y1, o.y1) - max(self.y0, o.y0)
+        return max(0.0, w) * max(0.0, h)
+
+    def intersection(self, other):
+        o = other if isinstance(other, _RectPoly) else _RectPoly(other)
+        r = types.SimpleNamespace()
+        r.area = self._inter_area(o)
+        return r
+
+    def union(self, other):
+        o = other if isinstance(other, _RectPoly) else _RectPoly(other)
+        r = types.SimpleNamespace()
+        r.area = self.area + o.area - self._inter_area(o)
+        return r
+
+
+def _install_shapely_stub():
+    if "shapely" in sys.modules:
+        return
+    sh = types.ModuleType("shapely")
+    geom = types.ModuleType("shapely.geometry")
+    geom.Polygon = lambda pts: pts if isinstance(pts, _RectPoly) else _RectPoly(pts)
+    sh.geometry = geom
+    sys.modules["shapely"] = sh
+    sys.modules["shapely.geometry"] = geom
+
+
+def _ref_rec_metric_mod():
+    _install_rapidfuzz_stub()
+    return load_module("rec_metric", f"{REF_TOOLS}/../openrec/metrics/rec_metric.py")
+
+
+def _ref_det_evaluator():
+    _install_shapely_stub()
+    mod = load_module(
+        "eval_det_iou", f"{REF_TOOLS}/../opendet/metrics/eval_det_iou.py"
+    )
+    return mod.DetectionIoUEvaluator()
+
+
+# ------------------------------------------------------- stream_match
+
+
+def _segment_corpus():
+    rng = random.Random(628)
+    cases = [
+        ["hello"],
+        ["ab", "bc"],
+        ["abcd", "cdef", "efgh"],
+        ["xxxx", "xxxx", "xxxx"],  # repetitive over-merge domain
+        ["a", "b"],
+        ["ab", "b"],
+    ]
+    for _ in range(300):
+        full = "".join(
+            rng.choice("abcde fgh") for _ in range(rng.randint(5, 120))
+        )
+        window = rng.randint(3, 30)
+        stride = rng.randint(1, window)
+        segs = [
+            full[i : i + window] for i in range(0, max(1, len(full)), stride)
+        ]
+        segs = [s for s in segs if s][: rng.randint(1, 12)]
+        cases.append(segs)
+    return cases
+
+
+def test_stream_match_matches_reference():
+    mod = _ref_rec_metric_mod()
+    for segs in _segment_corpus():
+        want, _conf = mod.stream_match([(s, 1.0) for s in segs])
+        assert stream_match(segs) == want, segs
+
+
+# ---------------------------------------------------------- RecMetric
+
+
+def _string_pairs():
+    rng = random.Random(71)
+    words = [
+        "", " ", "Hello World", "hello world", "HELLOWORLD", "a b c",
+        "123-456", "naïve café", "ΔΘΛ text", "punct!,;", "tab\tsep",
+        "trailing  ", "  leading", "MiXeD CaSe 42",
+    ]
+    pairs = [(a, b) for a in words for b in words if rng.random() < 0.3]
+    for _ in range(150):
+        a = "".join(rng.choice("aA bB1!.é") for _ in range(rng.randint(0, 20)))
+        b = a if rng.random() < 0.3 else "".join(
+            rng.choice("aA bB1!.é") for _ in range(rng.randint(0, 20))
+        )
+        pairs.append((a, b))
+    return pairs
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        dict(ignore_space=True, is_filter=False, is_lower=True),  # defaults
+        dict(ignore_space=False, is_filter=False, is_lower=False),
+        dict(ignore_space=True, is_filter=True, is_lower=True),
+        dict(ignore_space=False, is_filter=True, is_lower=False),
+    ],
+)
+def test_rec_metric_matches_reference(spark, flags):
+    """The reference RecMetric under each flag combo vs the repo's
+    composition of the same normalizations (functions/exprs) with the
+    rec_metric aggregation — acc AND 1−NED including the eps=1e-5
+    denominator."""
+    from pyspark.sql import functions as F
+
+    from openocr_spark.operators.metrics import rec_metric
+
+    mod = _ref_rec_metric_mod()
+    rm = mod.RecMetric(**flags)
+    pairs = _string_pairs()
+    want = rm.eval_metric(
+        ([(p, 1.0) for p, _ in pairs], [(g, 1.0) for _, g in pairs])
+    )
+
+    df = spark.createDataFrame(pairs, "pred string, gt string")
+    pred, gt = F.col("pred"), F.col("gt")
+    if flags["ignore_space"]:
+        pred = F.replace(pred, F.lit(" "), F.lit(""))
+        gt = F.replace(gt, F.lit(" "), F.lit(""))
+    if flags["is_filter"]:
+        pred = F.regexp_replace(pred, "[^0-9a-zA-Z]", "")
+        gt = F.regexp_replace(gt, "[^0-9a-zA-Z]", "")
+    if flags["is_lower"]:
+        pred, gt = F.lower(pred), F.lower(gt)
+    row = rec_metric(
+        df.select(pred.alias("pred"), gt.alias("gt"))
+    ).collect()[0]
+    assert row["acc"] == pytest.approx(want["acc"], abs=2e-6)
+    assert row["one_minus_ned"] == pytest.approx(
+        want["norm_edit_dis"], abs=2e-6
+    )
+
+
+def test_normalized_levenshtein_matches_dp(spark):
+    """The Spark levenshtein/max expression vs the independent DP
+    ground truth (the rapidfuzz normalized_distance definition)."""
+    from pyspark.sql import functions as F
+
+    from openocr_spark.functions.exprs import normalized_levenshtein
+
+    pairs = [(a, b) for a, b in _string_pairs() if a or b][:120]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    rows = df.select(
+        "a", "b", normalized_levenshtein(F.col("a"), F.col("b")).alias("d")
+    ).collect()
+    for r in rows:
+        assert r["d"] == pytest.approx(_norm_dist(r["a"], r["b"]), abs=1e-12)
+
+
+# ---------------------------------------------------------- DetMetric
+
+
+def _det_corpus():
+    rng = random.Random(505)
+    media = []
+    for m in range(40):
+        gts, dets = [], []
+        for _ in range(rng.randint(0, 8)):
+            x, y = rng.randint(0, 80), rng.randint(0, 80)
+            w, h = rng.randint(2, 30), rng.randint(2, 30)
+            gts.append(
+                (
+                    [
+                        (x, y), (x + w, y), (x + w, y + h), (x, y + h)
+                    ],
+                    rng.random() < 0.25,  # don't-care
+                )
+            )
+        for _ in range(rng.randint(0, 8)):
+            if gts and rng.random() < 0.6:
+                # near a gt (jittered) so IoU>0.5 matches occur
+                (pts, _ig) = gts[rng.randrange(len(gts))]
+                dx, dy = rng.randint(-2, 2), rng.randint(-2, 2)
+                quad = [(px + dx, py + dy) for px, py in pts]
+            else:
+                x, y = rng.randint(0, 80), rng.randint(0, 80)
+                w, h = rng.randint(2, 30), rng.randint(2, 30)
+                quad = [(x, y), (x + w, y), (x + w, y + h), (x, y + h)]
+            dets.append((quad, rng.random()))
+        media.append((f"m{m}", gts, dets))
+    return media
+
+
+def test_det_metric_matches_reference(spark):
+    """The reference's DetectionIoUEvaluator greedy matching +
+    combine_results vs the repo's det_metric over the same rect corpus
+    (don't-care exclusion, 1:1 IoU>0.5 matching, global P/R/hmean)."""
+    from openocr_spark.operators.metrics import det_metric
+
+    ev = _ref_det_evaluator()
+    media = _det_corpus()
+    results = []
+    for _ref, gts, dets in media:
+        gt_info = [
+            {"points": pts, "text": "", "ignore": ig} for pts, ig in gts
+        ]
+        det_info = [{"points": pts, "text": ""} for pts, _c in dets]
+        results.append(ev.evaluate_image(gt_info, det_info))
+    want = ev.combine_results(results)
+
+    pred_rows, gt_rows = [], []
+    for ref, gts, dets in media:
+        for gi, (pts, ig) in enumerate(gts):
+            gt_rows.append(
+                (ref, gi, [[float(x), float(y)] for x, y in pts], bool(ig))
+            )
+        for di, (pts, _conf) in enumerate(dets):
+            pred_rows.append(
+                (ref, di, [[float(x), float(y)] for x, y in pts])
+            )
+    pred = spark.createDataFrame(
+        pred_rows,
+        "media_ref string, det_idx int, points array<array<double>>",
+    )
+    gt = spark.createDataFrame(
+        gt_rows,
+        "media_ref string, gt_idx int, points array<array<double>>, "
+        "ignore boolean",
+    )
+    row = det_metric(pred, gt).collect()[0]
+    assert row["precision"] == pytest.approx(want["precision"], abs=1e-6)
+    assert row["recall"] == pytest.approx(want["recall"], abs=1e-6)
+    assert row["hmean"] == pytest.approx(want["hmean"], abs=1e-6)

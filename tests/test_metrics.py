@@ -61,8 +61,10 @@ def test_rec_metric_formulas(spark):
     )
     m = rec_metric(pairs).collect()[0]
     assert m["all_num"] == 2 and m["correct_num"] == 1
-    assert m["acc"] == 0.5
-    assert m["one_minus_ned"] == pytest.approx((1.0 + 2 / 3) / 2, abs=1e-6)
+    # reference-exact eps=1e-5 denominator (rec_metric.py:47,95-97):
+    # acc = 1/(2+1e-5), 1-NED = 1 - (1/3)/(2+1e-5)
+    assert m["acc"] == 0.499998
+    assert m["one_minus_ned"] == pytest.approx(0.833334, abs=1e-6)
     hist = {r["gt_len"]: r for r in rec_metric_by_length(pairs).collect()}
     assert hist[3]["n"] == 2 and hist[3]["acc"] == 0.5
 

@@ -114,7 +114,9 @@ def test_stateful_stream_match_merge(spark, tmp_path):
         for r in spark.sql("select * from merged_slices").collect()
     }
     assert got["m1"] == ("hello world peace now", 3)
-    assert got["m2"] == ("abcde", 2)
+    # reference stream_match semantics: 'abc'[:-1] + 'cde'[1:] with no
+    # suffix/prefix overlap between 'ab' and 'de'
+    assert got["m2"] == ("abde", 2)
 
 
 def test_dedup_stream_across_microbatches(spark, tmp_path):
