@@ -415,16 +415,22 @@ def mgp_bpe_decode(
 
 
 def wp_join(tokens: list[str]) -> str:
-    """The word-piece detokenizer convention (BERT decode analog):
-    tokens join with a single space except '##'-prefixed continuations,
-    which append to the previous token with the marker stripped."""
-    out: list[str] = []
-    for tok in tokens:
-        if tok.startswith("##") and out:
-            out[-1] += tok[2:]
-        elif tok:
-            out.append(tok)
-    return " ".join(out)
+    """BertTokenizer.decode exact: ' '.join(tokens).replace(' ##', '')
+    (convert_tokens_to_string), then transformers'
+    clean_up_tokenization — the de-spacing of punctuation and English
+    contractions that decode() applies by default
+    (clean_up_tokenization_spaces=True; the reference pins
+    transformers==4.2.1, mgp_postprocess.py:30). Pinned against the
+    reference's own wp_decode in test_decode_heads_differential —
+    the cleanup step is where the previous skip-empties loop join
+    diverged ('sat ,' vs the reference's 'sat,')."""
+    s = " ".join(tokens).replace(" ##", "")
+    return (
+        s.replace(" .", ".").replace(" ?", "?").replace(" !", "!")
+        .replace(" ,", ",").replace(" ' ", "'").replace(" n't", "n't")
+        .replace(" 'm", "'m").replace(" 's", "'s").replace(" 've", "'ve")
+        .replace(" 're", "'re")
+    )
 
 
 def mgp_wp_decode(

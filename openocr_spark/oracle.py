@@ -318,13 +318,13 @@ def rec_heads_rows(media_ref: str) -> list[dict]:
         # STRING at find('[SEP]') (absent → -1 drops the last char),
         # product over probs[:index_of_sep_id+1] (absent → [:-1]; empty
         # window → 0.0)
-        wp_toks: list[str] = []
-        for tok in toks:
-            if tok.startswith("##") and wp_toks:
-                wp_toks[-1] += tok[2:]
-            elif tok:
-                wp_toks.append(tok)
-        wp_pred = " ".join(wp_toks)
+        wp_pred = " ".join(toks).replace(" ##", "")
+        for _a, _b in (
+            (" .", "."), (" ?", "?"), (" !", "!"), (" ,", ","),
+            (" ' ", "'"), (" n't", "n't"), (" 'm", "'m"), (" 's", "'s"),
+            (" 've", "'ve"), (" 're", "'re"),
+        ):
+            wp_pred = wp_pred.replace(_a, _b)
         wp_pred = wp_pred[: wp_pred.find("[SEP]")]
         sep_ids = [i for i, k in enumerate(ids) if tokmap.get(int(k)) == "[SEP]"]
         eos_index = sep_ids[0] + 1 if sep_ids else -1

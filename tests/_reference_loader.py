@@ -18,6 +18,7 @@ carries only (width, height) is installed before import.
 from __future__ import annotations
 
 import ast
+import importlib.machinery
 import importlib.util
 import sys
 import types
@@ -102,3 +103,189 @@ def load_function(path: str, fn_name: str, extra_globals: dict | None = None):
 
 def ref_sorted_boxes():
     return load_function(f"{REF_TOOLS}/infer_e2e.py", "sorted_boxes")
+
+
+# --- openrec postprocess (decode heads) --------------------------------------
+#
+# The reference's rec postprocess classes are numpy-pure except for
+# `isinstance(x, torch.Tensor)` guards, VisionLAN's softmax/topk flow
+# and the MGP word-piece confidence cumprod — all runnable on a tiny
+# numpy-backed Tensor stand-in. transformers is only touched for
+# trained tokenizer artifacts (external, like weights); tests inject
+# fake tokenizers that share the id→token map with the repo kernels.
+
+import numpy as np
+
+
+class MiniTensor:
+    """numpy-backed stand-in for the torch.Tensor surface the reference
+    postprocess files actually touch."""
+
+    def __init__(self, arr):
+        self.a = np.asarray(arr)
+
+    # -- plumbing
+    def detach(self):
+        return self
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self.a
+
+    def tolist(self):
+        return self.a.tolist()
+
+    def __len__(self):
+        return len(self.a)
+
+    def __getitem__(self, key):
+        # always wrap — torch indexing yields 0-d tensors, and the
+        # reference chains .cpu()/.numpy() off scalar index results
+        # (mgp wp cumprod(...)[-1].cpu().numpy().sum())
+        return MiniTensor(self.a[key])
+
+    @property
+    def shape(self):
+        return self.a.shape
+
+    def reshape(self, shape):
+        return MiniTensor(self.a.reshape(shape))
+
+    def __float__(self):
+        return float(self.a)
+
+    def __truediv__(self, other):
+        return MiniTensor(self.a / (other.a if isinstance(other, MiniTensor) else other))
+
+    def __gt__(self, other):
+        return self.a > (other.a if isinstance(other, MiniTensor) else other)
+
+    # -- math used by visionlan / mgp wp
+    def sum(self, dim=None):
+        return MiniTensor(self.a.sum(axis=dim))
+
+    def cumprod(self, dim=0):
+        return MiniTensor(np.cumprod(self.a, axis=dim))
+
+    def topk(self, k):
+        idx = np.argsort(-self.a, axis=-1, kind="stable")[..., :k]
+        vals = np.take_along_axis(self.a, idx, axis=-1)
+        return MiniTensor(vals), MiniTensor(idx)
+
+    def max(self, dim=None):
+        if dim is None:
+            return MiniTensor(self.a.max())
+        return MiniTensor(self.a.max(axis=dim)), MiniTensor(self.a.argmax(axis=dim))
+
+
+def install_torch_stub():
+    if "torch" in sys.modules and not getattr(sys.modules["torch"], "__stub__", False):
+        return
+    torch = types.ModuleType("torch")
+    torch.__stub__ = True
+    torch.Tensor = MiniTensor
+    torch.float32 = np.float32
+
+    def _tensor(data, dtype=None):
+        return MiniTensor(np.asarray(data, dtype=np.float64))
+
+    def _cat(ts, dim=0):
+        return MiniTensor(np.concatenate([t.a for t in ts], axis=dim))
+
+    def _exp(t):
+        return MiniTensor(np.exp(t.a))
+
+    def _log(t):
+        return MiniTensor(np.log(t.a))
+
+    torch.tensor = _tensor
+    torch.cat = _cat
+    torch.exp = _exp
+    torch.log = _log
+    # a real ModuleSpec so importlib.util.find_spec("torch") (pyspark's
+    # optional-dep probe) doesn't raise on the spec-less stub
+    torch.__spec__ = importlib.machinery.ModuleSpec("torch", loader=None)
+
+    nn = types.ModuleType("torch.nn")
+    functional = types.ModuleType("torch.nn.functional")
+
+    def _softmax(t, dim=1):
+        x = t.a.astype(np.float64)
+        m = x.max(axis=dim, keepdims=True)
+        e = np.exp(x - m)
+        return MiniTensor(e / e.sum(axis=dim, keepdims=True))
+
+    functional.softmax = _softmax
+    nn.functional = functional
+    torch.nn = nn
+    nn.__spec__ = importlib.machinery.ModuleSpec("torch.nn", loader=None)
+    functional.__spec__ = importlib.machinery.ModuleSpec(
+        "torch.nn.functional", loader=None
+    )
+    sys.modules["torch"] = torch
+    sys.modules["torch.nn"] = nn
+    sys.modules["torch.nn.functional"] = functional
+
+
+def install_transformers_stub():
+    if "transformers" in sys.modules and not getattr(
+        sys.modules["transformers"], "__stub__", False
+    ):
+        return
+    tf = types.ModuleType("transformers")
+    tf.__stub__ = True
+    tf.__spec__ = importlib.machinery.ModuleSpec("transformers", loader=None)
+
+    class _Unavailable:
+        def __init__(self, *a, **k):
+            raise RuntimeError(
+                "trained tokenizer artifacts are external; tests inject fakes"
+            )
+
+        @classmethod
+        def from_pretrained(cls, *a, **k):
+            raise RuntimeError(
+                "trained tokenizer artifacts are external; tests inject fakes"
+            )
+
+    tf.PreTrainedTokenizerFast = _Unavailable
+    tf.AutoTokenizer = _Unavailable
+    tf.BertTokenizer = _Unavailable
+    tf.GPT2Tokenizer = _Unavailable
+    sys.modules["transformers"] = tf
+
+
+REF_OPENREC_PP = "/root/reference/openrec/postprocess"
+
+
+def ref_postprocess(modname: str):
+    """Import openrec.postprocess.<modname> from the reference with
+    torch/transformers stubbed. Registers a synthetic `openrec`
+    namespace package so the modules' relative AND absolute
+    (`from openrec.postprocess.x import ...`) imports resolve."""
+    install_torch_stub()
+    install_transformers_stub()
+    if "openrec" not in sys.modules:
+        pkg = types.ModuleType("openrec")
+        pkg.__path__ = ["/root/reference/openrec"]
+        pkg.__spec__ = importlib.machinery.ModuleSpec(
+            "openrec", loader=None, is_package=True
+        )
+        sys.modules["openrec"] = pkg
+        # execute the REAL package __init__ (build_post_process dispatch
+        # + the GTCLabelDecode composition class live there)
+        spec = importlib.util.spec_from_file_location(
+            "openrec.postprocess",
+            f"{REF_OPENREC_PP}/__init__.py",
+            submodule_search_locations=[REF_OPENREC_PP],
+        )
+        sub = importlib.util.module_from_spec(spec)
+        sys.modules["openrec.postprocess"] = sub
+        spec.loader.exec_module(sub)
+    import importlib as _il
+
+    if modname == "__init__":
+        return sys.modules["openrec.postprocess"]
+    return _il.import_module(f"openrec.postprocess.{modname}")

@@ -78,11 +78,27 @@ def test_truncation_idempotent_and_shrinking(t):
 
 @given(st.lists(texts, max_size=6))
 @settings(max_examples=60, deadline=None)
-def test_stream_match_contains_tail_segment(segs):
+def test_stream_match_reference_invariants(segs):
+    # reference-exact semantics (rec_metric.py stream_match): boundary
+    # chars are trimmed — first segment drops its last char, middle
+    # segments both ends, the final segment its first — and each
+    # trimmed segment contributes at most its remainder
     merged = stream_match(segs)
-    if segs:
-        assert merged.endswith(segs[-1][-min(len(segs[-1]), len(merged)):])
-    assert len(merged) <= sum(len(s) for s in segs)
+    if not segs:
+        assert merged == ""
+        return
+    assert merged.startswith(segs[0][:-1])
+    if len(segs) == 1:
+        assert merged == segs[0][:-1]
+    trimmed_budget = max(len(segs[0]) - 1, 0) + sum(
+        max(len(s) - 2, 0) for s in segs[1:-1]
+    ) + (max(len(segs[-1]) - 1, 0) if len(segs) > 1 else 0)
+    assert len(merged) <= trimmed_budget
+    assert stream_match(segs) == merged  # deterministic
+    # the dispatch layer: a lone in-length slice passes through whole
+    from openocr_spark.functions.text import stream_merge
+
+    assert stream_merge([segs[0]]) == segs[0]
 
 
 @given(st.text(alphabet=list("abc<>fcelnux "), max_size=80))
