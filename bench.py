@@ -275,7 +275,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
-    extras_df: dict[str, object] = {}  # bellwether re-measure handles
+    joined_df = None  # bellwether re-measure handle (extract_joined)
 
     for name in names:
         # Untimed heap settle before EVERY timed query (ADVICE r4 item
@@ -334,7 +334,7 @@ def main() -> None:
                 )
             payloads = spark.read.parquet(payloads_dir)
             out = extract(docs, payloads)
-            extras_df["_joined_df"] = out
+            joined_df = out
             dt = None
             for _ in range(max(repeat, 1)):
                 t0 = time.monotonic()
@@ -400,8 +400,8 @@ def main() -> None:
     # the settled min, the artifact records BOTH numbers and derives the
     # throughput from the settled min — so a grader reading the JSON
     # sees the window noise instead of a phantom regression.
-    if "extract_joined" in timings and "_joined_df" in extras_df:
-        out = extras_df["_joined_df"]
+    if "extract_joined" in timings and joined_df is not None:
+        out = joined_df
         spark._jvm.System.gc()
         time.sleep(1.0)
         solo = None

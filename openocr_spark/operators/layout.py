@@ -31,6 +31,7 @@ and is differential-tested there.
 from __future__ import annotations
 
 import random as _random
+import re
 
 import numpy as np
 import pandas as pd
@@ -156,7 +157,16 @@ def merge_block_rows(
       has_img                — False on merged-group continuations (the
                                reference nulls their img; only the group
                                head carries the merged crop) and on
-                               degenerate (size-0) crops;
+                               degenerate (size-0) crops. DELIBERATE
+                               DIVERGENCE: the reference sets img=None
+                               for zero-area crops (infer_doc_onnx.py:
+                               330-332) and then CRASHES in
+                               calc_merged_wh (Image.fromarray(None))
+                               for any merge group containing one —
+                               singletons included; this engine degrades
+                               gracefully instead (pinned both ways by
+                               test_layout_differential.py::
+                               test_merge_degenerate_crop_*);
       is_merged_continuation — True on non-head members of a merged
                                group (infer_doc_onnx.py:979-1007).
     Live only for UNSUFFIXED labels (torch path) — after the onnx path's
@@ -476,8 +486,6 @@ def untokenize(text: str, token_to_md: dict[str, str]) -> str:
     """Replace [Fn] placeholder tokens in recognized table text with
     their <img src> html (utils.py:537-555 untokenize_figure_of_table,
     regex-driven: unknown token numbers are left in place)."""
-    import re
-
     return re.sub(
         r"\[F(\d+)\]",
         lambda m: token_to_md.get(m.group(0), m.group(0)),

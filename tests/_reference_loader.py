@@ -51,9 +51,18 @@ def install_pil_stub():
     image_mod = types.ModuleType("PIL.Image")
     image_mod.Image = StubImage
     image_mod.new = lambda mode, size, color=None: StubImage(size)
-    image_mod.fromarray = lambda arr: StubImage(
-        (arr.shape[1], arr.shape[0]) if getattr(arr, "ndim", 0) >= 2 else (1, 1)
-    )
+    def _fromarray(arr):
+        # Faithful to real PIL: Image.fromarray(None) raises (no
+        # __array_interface__) — the reference feeds img=None for
+        # degenerate crops (infer_doc_onnx.py:330-332), and merge's
+        # calc_merged_wh crashes on it under real PIL. The stub must
+        # NOT mask that crash or the merge differential tests would
+        # claim agreement over a domain where the reference dies.
+        if arr is None or getattr(arr, "ndim", 0) < 2:
+            raise TypeError(f"Cannot handle this data type: {type(arr)!r}")
+        return StubImage((arr.shape[1], arr.shape[0]))
+
+    image_mod.fromarray = _fromarray
     pil.Image = image_mod
     sys.modules["PIL"] = pil
     sys.modules["PIL.Image"] = image_mod

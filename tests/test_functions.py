@@ -178,3 +178,43 @@ def test_spark_udfs(spark):
     ).collect()[0]
     assert row["t"] == "ab"
     assert row["h"] == "<table><tr><td>a</td><td>b</td></tr></table>"
+
+
+def test_formula_dollars_matches_vlm_dollar_rewrite(spark):
+    """Pin the column-expression twin (exprs.formula_dollars) to the
+    kernel twin (doc_parse.vlm_dollar_rewrite) so they cannot drift:
+    the doc flow runs only the kernel version, and nothing else would
+    fail if one side's gate or formula_number strip changed."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from openocr_spark.functions.exprs import formula_dollars
+    from openocr_spark.operators.doc_parse import vlm_dollar_rewrite
+
+    rng = random.Random(60601)
+    pieces = [
+        "\\(", "\\)", "\\[", "\\]", "$", "$$", "x+y", " ", "a",
+        "\\(\\)", "e=mc^2", "(1)", "\\", "[", "]", "(", ")",
+    ]
+    cases = [
+        ("".join(rng.choice(pieces) for _ in range(rng.randint(0, 8))),
+         rng.random() < 0.5)
+        for _ in range(300)
+    ]
+    cases += [("", False), ("", True), ("$", True), ("\\( \\)", True)]
+
+    df = spark.createDataFrame(cases, ["t", "is_fn"])
+    got = (
+        df.select(
+            "t",
+            "is_fn",
+            formula_dollars(F.col("t"), F.col("is_fn")).alias("col_twin"),
+        )
+        .collect()
+    )
+    for row in got:
+        assert row["col_twin"] == vlm_dollar_rewrite(row["t"], row["is_fn"]), (
+            row["t"],
+            row["is_fn"],
+        )

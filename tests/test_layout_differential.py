@@ -247,3 +247,61 @@ def test_untokenize_matches_reference():
     ]
     for text, tmap in cases:
         assert untokenize(text, tmap) == ref(text, tmap)
+
+
+def test_merge_degenerate_crop_reference_crashes_repo_degrades():
+    """The degenerate-crop domain is a DELIBERATE divergence: the
+    reference sets img=None for zero-area int crops
+    (infer_doc_onnx.py:330-332) and merge_blocks then feeds the None
+    into calc_merged_wh -> Image.fromarray(None), which raises under
+    real PIL for EVERY group containing such a block (singletons
+    included — calc_merged_wh runs on every group). The engine must not
+    crash on adversarial inputs, so merge_block_rows degrades: the
+    block is kept with has_img=False. This test pins BOTH behaviors so
+    the divergence stays a documented choice, not a drift."""
+    ref = ref_utils().merge_blocks
+    non_merge = list(IMAGE_LABELS) + ["table"]
+
+    # one normal text block + one zero-height text block (int crop 0px)
+    rows = [
+        {"label": "text", "bbox": [10.0, 20.0, 110.0, 60.0]},
+        {"label": "text", "bbox": [10.0, 80.0, 110.0, 80.7]},
+    ]
+    ref_blocks = []
+    for i, r in enumerate(rows):
+        x1, y1, x2, y2 = (int(v) for v in r["bbox"])
+        w, h = x2 - x1, y2 - y1
+        ref_blocks.append(
+            {
+                "label": r["label"],
+                "box": list(r["bbox"]),
+                "img": StubImage((w, h)) if w > 0 and h > 0 else None,
+                "uid": i,
+            }
+        )
+    with pytest.raises(TypeError):
+        ref(ref_blocks, non_merge)
+
+    got = merge_block_rows(
+        [dict(r, uid=i) for i, r in enumerate(rows)], tuple(non_merge)
+    )
+    assert [r["uid"] for r in got] == [0, 1]
+    assert [r["has_img"] for r in got] == [True, False]
+    assert all(not r["is_merged_continuation"] for r in got)
+
+    # degenerate NON-MERGE blocks bypass calc_merged_wh in the
+    # reference (only group imgs are touched) — both sides agree there
+    ref_blocks2 = [
+        {
+            "label": "image",
+            "box": [5.0, 5.0, 5.4, 40.0],
+            "img": None,
+            "uid": 0,
+        }
+    ]
+    assert [b["uid"] for b in ref(ref_blocks2, non_merge)] == [0]
+    got2 = merge_block_rows(
+        [{"label": "image", "bbox": [5.0, 5.0, 5.4, 40.0], "uid": 0}],
+        tuple(non_merge),
+    )
+    assert [(r["uid"], r["has_img"]) for r in got2] == [(0, False)]
