@@ -137,12 +137,22 @@ def decode_exr(data: bytes) -> np.ndarray:
                 row = np.frombuffer(raw, dtype=dt, count=w, offset=p)
                 planes[name][y] = row.astype(np.float32)
                 p += w * dt.itemsize
+    def tonemap(v: np.ndarray) -> np.ndarray:
+        # Corrupt streams decode to NaN/inf halves/floats: make them
+        # well-defined (NaN->0) instead of UB NaN->uint8 casts; valid
+        # [0,1] data is bit-unchanged.
+        with np.errstate(over="ignore", invalid="ignore"):
+            s = v * 255.0 + 0.5
+        return np.clip(
+            np.nan_to_num(s, nan=0.0, posinf=255.0, neginf=0.0), 0, 255
+        ).astype(np.uint8)
+
     names = [n for n, _ in chans]
     if all(c in names for c in "RGB"):
-        rgb = np.stack([planes["R"], planes["G"], planes["B"]], axis=2)
-        return np.clip(rgb * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        return tonemap(
+            np.stack([planes["R"], planes["G"], planes["B"]], axis=2)
+        )
     if "Y" in names:
-        return np.clip(planes["Y"] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        return tonemap(planes["Y"])
     # fall back to the first channel as gray (e.g. a lone Z/depth plane)
-    first = planes[names[0]]
-    return np.clip(first * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    return tonemap(planes[names[0]])

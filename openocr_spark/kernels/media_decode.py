@@ -176,7 +176,14 @@ def _decode_pfm(data: bytes) -> np.ndarray:
     px = np.frombuffer(raster[: n * 4], dtype=dt).reshape(h, w, nch)
     px = px[::-1]  # bottom-up
     norm = abs(scale) or 1.0
-    u8 = np.clip(px / norm * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    # Corrupt streams can carry inf/NaN floats: keep the arithmetic
+    # dtype unchanged for valid data but make non-finite values
+    # well-defined (NaN→0) instead of UB NaN→uint8 casts.
+    with np.errstate(over="ignore", invalid="ignore"):
+        scaled = px / norm * 255.0 + 0.5
+    u8 = np.clip(
+        np.nan_to_num(scaled, nan=0.0, posinf=255.0, neginf=0.0), 0, 255
+    ).astype(np.uint8)
     if nch == 1:
         return u8[:, :, 0]
     return _luma(u8[:, :, 0], u8[:, :, 1], u8[:, :, 2])
@@ -192,6 +199,11 @@ def _decode_sun_raster(data: bytes) -> np.ndarray:
     )
     if magic != 0x59A66A95:
         raise NotImplementedError("not a Sun Raster stream")
+    # Validate depth BEFORE any size arithmetic: a corrupt depth word
+    # otherwise turns row_bytes*h into a multi-GB ljust allocation bomb
+    # (caught by scripts/soak_decode_fuzz.py on a single header bitflip).
+    if depth not in (1, 8, 24):
+        raise NotImplementedError(f"Sun Raster depth {depth}")
     check_dims(w, h, "Sun Raster", 3)
     pos = 32
     cmap = None

@@ -193,3 +193,18 @@ def test_bitflip_terminates_cleanly(fmt, off, bit):
     for p in pages:
         assert isinstance(p, np.ndarray) and p.dtype == np.uint8
         assert p.ndim in (2, 3) and p.size > 0
+
+
+def test_ras_depth_bomb_rejected_fast():
+    """Regression (soak-caught): one bitflip in the Sun Raster depth
+    header word turned row_bytes*h into a multi-GB ljust allocation —
+    a >20s stall per stream. Depth must be validated BEFORE any size
+    arithmetic."""
+    import time
+
+    data = bytearray(STREAMS["ras_rle"])
+    data[12] ^= 1 << 5  # depth MSB: 24 -> 0x20000018
+    t0 = time.monotonic()
+    with pytest.raises(Exception):
+        decode_bytes(bytes(data))
+    assert time.monotonic() - t0 < 2.0
