@@ -9,6 +9,11 @@ design stance):
                       (opendet/preprocess/db_resize_for_test.py:67-115):
                       limit-side ratio, round sides to multiples of 32
                       (min 32), bilinear resample, return (img, rh, rw)
+  det_resize_for_test — the FULL DetResizeForTest surface: tiny-input
+                      padding + type0/type1/type2 shape arithmetic with
+                      the class's kwarg precedence (differentially
+                      pinned against the reference class itself in
+                      tests/test_preprocess_differential.py)
   normalize_image   — scale/mean/std normalize
                       (opendet/preprocess/__init__.py:19-45)
   crop_margin       — min/max-normalize to u8, inverse-threshold at 200,
@@ -32,6 +37,8 @@ formulation — same quantity, independent derivation.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 
@@ -81,6 +88,86 @@ def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return bilinear_apply(img, bilinear_grids(h, w, out_h, out_w))
 
 
+def image_padding(img: np.ndarray, value: int = 0) -> np.ndarray:
+    """G7 tiny-input pre-pad (db_resize_for_test.py:47-51): inputs with
+    h + w < 64 are value-padded to at least 32×32 BEFORE the resize, so
+    content keeps its scale in the top-left corner instead of being
+    stretched to the target shape."""
+    h, w = img.shape[:2]
+    out = np.zeros((max(32, h), max(32, w)) + img.shape[2:], img.dtype) + value
+    out[:h, :w, ...] = img
+    return out
+
+
+def det_resize_shape_type1(
+    h: int, w: int, image_shape: tuple[int, int], keep_ratio: bool = False
+) -> tuple[int, int]:
+    """G7 fixed-target shape arithmetic (db_resize_for_test.py:53-65):
+    resize to image_shape outright, or — keep_ratio — hold the height
+    and ceil the ratio-preserving width up to a multiple of 32."""
+    resize_h, resize_w = image_shape
+    if keep_ratio:
+        resize_w = w * resize_h / float(h)
+        resize_w = int(math.ceil(resize_w / 32) * 32)
+    return int(resize_h), int(resize_w)
+
+
+def det_resize_shape_type2(
+    h: int, w: int, resize_long: int = 960
+) -> tuple[int, int]:
+    """G7 long-side shape arithmetic (db_resize_for_test.py:116-131):
+    scale the LONG side to resize_long, then ceil both sides up to a
+    multiple of the 128 max stride (ceil, unlike type0's round-to-32)."""
+    ratio = float(resize_long) / max(h, w)
+    resize_h = int(h * ratio)
+    resize_w = int(w * ratio)
+    stride = 128
+    return (
+        (resize_h + stride - 1) // stride * stride,
+        (resize_w + stride - 1) // stride * stride,
+    )
+
+
+def _resize_nd(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """bilinear_resize for 2-D gray or per-channel 3-D images."""
+    if img.ndim == 2:
+        return bilinear_resize(img, out_h, out_w)
+    return np.stack(
+        [bilinear_resize(img[:, :, c], out_h, out_w) for c in range(img.shape[2])],
+        axis=2,
+    )
+
+
+def det_resize_for_test(
+    img: np.ndarray,
+    image_shape: tuple[int, int] | None = None,
+    keep_ratio: bool = False,
+    limit_side_len: int | None = None,
+    limit_type: str = "min",
+    resize_long: int | None = None,
+) -> tuple[np.ndarray, float, float]:
+    """G7: the reference's FULL DetResizeForTest surface as a function,
+    kwarg precedence exactly the class's __init__
+    (db_resize_for_test.py:7-26): image_shape → type1 (fixed target /
+    keep-ratio width), elif limit_side_len → type0 (round-to-32 under a
+    side limit), elif resize_long → type2 (ceil-to-128 long-side), else
+    the 736/'min' type0 default. Inputs with h + w < 64 pad through
+    image_padding first (:47-51); returned ratios are resize/padded —
+    the reference's data['shape'][2:]."""
+    if img.shape[0] + img.shape[1] < 64:
+        img = image_padding(img)
+    h, w = img.shape[:2]
+    if image_shape is not None:
+        rh, rw = det_resize_shape_type1(h, w, image_shape, keep_ratio)
+    elif limit_side_len is not None:
+        rh, rw = det_resize_shape(h, w, limit_side_len, limit_type)
+    elif resize_long is not None:
+        rh, rw = det_resize_shape_type2(h, w, resize_long)
+    else:
+        rh, rw = det_resize_shape(h, w, 736, "min")
+    return _resize_nd(img, rh, rw), rh / float(h), rw / float(w)
+
+
 def det_resize_shape(
     h: int, w: int, limit_side_len: int = 736, limit_type: str = "min"
 ) -> tuple[int, int]:
@@ -107,10 +194,11 @@ def det_resize(
 ) -> tuple[np.ndarray, float, float]:
     """G7: resize to a multiple-of-32 shape under a side-length limit;
     returns (resized, ratio_h, ratio_w) with the post-rounding ratios
-    (db_resize_for_test.py:113-114)."""
-    h, w = img.shape
-    resize_h, resize_w = det_resize_shape(h, w, limit_side_len, limit_type)
-    return bilinear_resize(img, resize_h, resize_w), resize_h / float(h), resize_w / float(w)
+    (db_resize_for_test.py:113-114). Routes through det_resize_for_test
+    so tiny inputs (h + w < 64) get the reference's zero-pad pre-step."""
+    return det_resize_for_test(
+        img, limit_side_len=limit_side_len, limit_type=limit_type
+    )
 
 
 def normalize_image(

@@ -110,6 +110,24 @@ def load_function(path: str, fn_name: str, extra_globals: dict | None = None):
     raise LookupError(f"{fn_name} not found in {path}")
 
 
+def load_class(path: str, cls_name: str, extra_globals: dict | None = None):
+    """Extract ONE top-level class from a reference file by AST and exec
+    it in an isolated namespace — the class-shaped sibling of
+    load_function, for modules whose top-level imports pull in cv2/
+    pyclipper/shapely chains (opendet/preprocess)."""
+    src = open(path).read()
+    tree = ast.parse(src)
+    for node in tree.body:
+        if isinstance(node, ast.ClassDef) and node.name == cls_name:
+            ns: dict = dict(extra_globals or {})
+            code = compile(
+                ast.Module(body=[node], type_ignores=[]), path, "exec"
+            )
+            exec(code, ns)
+            return ns[cls_name]
+    raise LookupError(f"class {cls_name} not found in {path}")
+
+
 def ref_sorted_boxes():
     return load_function(f"{REF_TOOLS}/infer_e2e.py", "sorted_boxes")
 
