@@ -412,9 +412,20 @@ def resize_norm_pad(
     """G16/G17: keep-ratio resize to height target_h (width capped at
     target_w), zero-pad right to the full width; returns (padded,
     valid_ratio = used_width / target_w) — the recognition batch shape
-    normalizer."""
+    normalizer (openrec/preprocess/resize.py:402-431 resize_norm_img /
+    RecTVResize width rule). The width uses the reference's exact
+    expression order ceil(target_h · (w / float(h))) — ratio FIRST:
+    for power-of-2 heights the two associativity orders are provably
+    identical (×2^k is exact), and for the reference's non-pow2 config
+    heights (48/40) divergent pairs only occur above the width cap,
+    but expression-identical means never having to make that argument."""
     h, w = img.shape
-    new_w = min(int(np.ceil(target_h * w / h)), target_w)
+    ratio = w / float(h)
+    new_w = (
+        target_w
+        if math.ceil(target_h * ratio) > target_w
+        else int(math.ceil(target_h * ratio))
+    )
     resized = bilinear_resize(img, target_h, max(new_w, 1))
     out = np.zeros((target_h, target_w), dtype=np.float32)
     out[:, : resized.shape[1]] = resized

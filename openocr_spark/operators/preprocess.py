@@ -67,7 +67,10 @@ def det_training_targets(
                 shape = (h, w)
                 if shape not in det_shapes:
                     rh, rw = det_resize_shape(h, w, limit_side_len, limit_type)
-                    nw = max(min(int(np.ceil(rec_h * w / h)), rec_w), 1)
+                    # reference expression order (resize.py:416-418):
+                    # ratio first — identical to CEIL(rec_h*w/h) for the
+                    # pow2 rec_h used here (the DuckDB oracle's form)
+                    nw = max(min(int(np.ceil(rec_h * (w / float(h)))), rec_w), 1)
                     det_shapes[shape] = (rh, rw, nw)
                 rh, rw, nw = det_shapes[shape]
                 rects = [

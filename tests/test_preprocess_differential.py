@@ -47,7 +47,7 @@ def _make_cv2_stub() -> types.ModuleType:
     cv2.THRESH_BINARY_INV = 1
     cv2.COLOR_BGR2GRAY = 6
 
-    def resize(img, dsize):
+    def resize(img, dsize, interpolation=None):
         # repo bilinear as the resample — see module docstring
         w, h = int(dsize[0]), int(dsize[1])
         return pp._resize_nd(np.asarray(img), h, w)
@@ -212,6 +212,44 @@ def test_tiny_input_padding_matches_reference():
     # and the padded flow differs from a naive stretch of the raw image
     naive = pp._resize_nd(img, data["image"].shape[0], data["image"].shape[1])
     assert not np.array_equal(naive, out)
+
+
+def test_resize_norm_pad_matches_reference():
+    """G16/G17 vs openrec/preprocess/resize.py:resize_norm_img (the
+    SVTRResize path, gray image_shape (1,H,W)): resized-region pixels
+    (up to the reference's (x/255−0.5)/0.5 normalize, applied here to
+    the repo output), width rule incl. the cap, and valid_ratio.
+    Pad-region semantics are a DOCUMENTED divergence: the reference
+    zero-pads in NORMALIZED space (pad value 0.0 ≡ raw 127.5) while the
+    repo zero-pads raw pixels — downstream consumers mask the pad
+    region via valid_ratio either way, and the repo's rec kernels read
+    only the valid region."""
+    import math
+
+    cv2 = _make_cv2_stub()
+    cv2.INTER_LINEAR = 1  # referenced as the default-arg at def time
+    ref_fn = load_function(
+        f"{REF_DET.rsplit('/', 3)[0]}/openrec/preprocess/resize.py",
+        "resize_norm_img",
+        {"np": np, "math": math, "cv2": cv2},
+    )
+    rng = np.random.default_rng(78)
+    dims = [(int(rng.integers(4, 80)), int(rng.integers(4, 400))) for _ in range(30)]
+    dims += [(3, 5), (7, 29), (32, 32), (100, 4), (1, 1)]
+    for h, w in dims:
+        for imgH, imgW in ((32, 128), (48, 96), (40, 112)):
+            img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            ref_out, ref_vr = ref_fn(img.copy(), (1, imgH, imgW))
+            got, vr = pp.resize_norm_pad(img.astype(np.float32), imgH, imgW)
+            assert vr == ref_vr
+            nw = int(round(vr * imgW))
+            np.testing.assert_allclose(
+                ref_out[0][:, :nw],
+                (got[:, :nw] / 255.0 - 0.5) / 0.5,
+                rtol=0,
+                atol=1e-6,
+            )
+            assert np.all(ref_out[0][:, nw:] == 0.0)
 
 
 def test_normalize_image_matches_reference():
