@@ -43,19 +43,26 @@ def with_ratio_bucket(
     df: DataFrame,
     width_col: str = "width",
     height_col: str = "height",
-    min_ratio: float = 0.5,
     max_ratio: float = 12.0,
+    ceil: bool = False,
 ) -> DataFrame:
-    """Aspect-ratio bucket column (S6/G9/L3: ratio = round(w/h) clipped
-    to [min,max]; max_ratio 12 mirrors infer_rec.py:119,144). Sorting
+    """Aspect-ratio bucket column (S6/G9/L3): the reference's exact
+    gen_ratio rule (infer_rec.py:150-154 RatioRecTVReisze.__call__) —
+    default mode is min(max(1, round(w/h)), max_ratio) where round is
+    Python's round-half-to-EVEN (F.rint is Math.rint, the same
+    semantics; F.round would be HALF_UP and puts w/h = 2.5 in bucket 3
+    where the reference puts it in 2); ceil mode is int(w/h) + 1.
+    max_ratio 12 mirrors infer_rec.py:119. The training-path variant
+    (ratio_dataset.py:50-51, np.around then np.clip to [1, 10]) is the
+    same rint-then-clip composition under its own bounds. Sorting
     within kernel partitions by this key gives shape-uniform Arrow
     batches — the RatioSampler's skew-aware bucketing, distributed."""
-    ratio = F.round(
-        F.least(
-            F.greatest(F.col(width_col) / F.col(height_col), F.lit(min_ratio)),
-            F.lit(max_ratio),
-        )
-    ).cast("int")
+    wh = F.col(width_col) / F.col(height_col)
+    if ceil:
+        gen = wh.cast("int") + F.lit(1)
+    else:
+        gen = F.greatest(F.rint(wh), F.lit(1.0))
+    ratio = F.least(gen.cast("double"), F.lit(float(max_ratio))).cast("int")
     return df.withColumn("ratio_bucket", ratio)
 
 

@@ -35,7 +35,34 @@ def test_with_ratio_bucket_clips(spark):
         [(320, 32), (64, 64), (1000, 10), (10, 100)], ["width", "height"]
     )
     got = [r["ratio_bucket"] for r in with_ratio_bucket(df).collect()]
-    assert got == [10, 1, 12, 1]  # 12 = max_ratio cap, 0.1 -> min 0.5 -> round 1
+    assert got == [10, 1, 12, 1]  # 12 = max_ratio cap, 0.1 -> floor 1
+
+
+def test_with_ratio_bucket_matches_reference_rounding(spark):
+    """gen_ratio = max(1, round(w/h)) with PYTHON round semantics
+    (half-to-even, infer_rec.py:153): w/h = 2.5 buckets to 2, not 3 —
+    HALF_UP F.round would diverge on every even+0.5 ratio. The Spark
+    column expression must agree with the reference line evaluated in
+    Python across randomized dims, plus the exact tie points."""
+    dims = [(80, 32), (112, 32), (144, 32), (45, 18), (5, 2), (7, 2), (3, 2)]
+    rng = __import__("numpy").random.default_rng(79)
+    dims += [(int(rng.integers(1, 400)), int(rng.integers(1, 64))) for _ in range(40)]
+    df = spark.createDataFrame(dims, ["width", "height"])
+    got = {
+        (r["width"], r["height"]): r["ratio_bucket"]
+        for r in with_ratio_bucket(df, max_ratio=12).collect()
+    }
+    for w, h in dims:
+        expect = min(max(1, round(float(w) / float(h))), 12)
+        assert got[(w, h)] == expect, (w, h, got[(w, h)], expect)
+    # ceil mode: int(w/h) + 1 (infer_rec.py:151)
+    got_ceil = {
+        (r["width"], r["height"]): r["ratio_bucket"]
+        for r in with_ratio_bucket(df, max_ratio=12, ceil=True).collect()
+    }
+    for w, h in dims:
+        expect = min(int(float(w) / float(h)) + 1, 12)
+        assert got_ceil[(w, h)] == expect, (w, h, got_ceil[(w, h)], expect)
 
 
 def test_union_suites(spark):
