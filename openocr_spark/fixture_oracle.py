@@ -438,12 +438,17 @@ def _gen_preproc_stats(
 
     from openocr_spark.fixtures import payload_for_media_ref
 
-    # DetResize type0 (resize_long) closed form — constant-shape media
-    ratio = float(limit_side_len) / max(h, w)
-    resized_h = max(int(round(int(h * ratio) / 32) * 32), 32)
-    resized_w = max(int(round(int(w * ratio) / 32) * 32), 32)
-    ratio_h = round(resized_h / float(h), 6)
-    ratio_w = round(resized_w / float(w), 6)
+    # DetResize type0 (resize_long) closed form — constant-shape media.
+    # DetResizeForTest's tiny-input pre-pad (h+w<64 → ≥32×32,
+    # db_resize_for_test.py:47-51) is encoded in lockstep with the
+    # engine even though fixture media never trigger it; ratios are
+    # resize/PADDED dims per the reference
+    ph, pw = (max(32, h), max(32, w)) if h + w < 64 else (h, w)
+    ratio = float(limit_side_len) / max(ph, pw)
+    resized_h = max(int(round(int(ph * ratio) / 32) * 32), 32)
+    resized_w = max(int(round(int(pw * ratio) / 32) * 32), 32)
+    ratio_h = round(resized_h / float(ph), 6)
+    ratio_w = round(resized_w / float(pw), 6)
     pad_valid = round(min(math.ceil(rec_h * w / h), rec_w) / float(rec_w), 6)
 
     rows = []

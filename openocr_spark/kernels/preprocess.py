@@ -129,11 +129,16 @@ def det_resize_shape_type2(
 
 
 def _resize_nd(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """bilinear_resize for 2-D gray or per-channel 3-D images."""
+    """bilinear_resize for 2-D gray or per-channel 3-D images (grids
+    built once and shared across channels — they depend only on shape)."""
     if img.ndim == 2:
         return bilinear_resize(img, out_h, out_w)
+    h, w = img.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return img.astype(np.float32, copy=True)
+    grids = bilinear_grids(h, w, out_h, out_w)
     return np.stack(
-        [bilinear_resize(img[:, :, c], out_h, out_w) for c in range(img.shape[2])],
+        [bilinear_apply(img[:, :, c], grids) for c in range(img.shape[2])],
         axis=2,
     )
 
@@ -165,7 +170,37 @@ def det_resize_for_test(
         rh, rw = det_resize_shape_type2(h, w, resize_long)
     else:
         rh, rw = det_resize_shape(h, w, 736, "min")
+    if rh <= 0 or rw <= 0:
+        # type2's ceil-128 of int(h·ratio) hits 0 for extreme aspect
+        # ratios (e.g. 1×1000 at resize_long=128); the reference
+        # crashes inside cv2.resize on the zero size — fail loud here
+        # instead of emitting an empty raster with a 0.0 ratio
+        raise ValueError(
+            f"degenerate resize target {rh}x{rw} for input {h}x{w}"
+        )
     return _resize_nd(img, rh, rw), rh / float(h), rw / float(w)
+
+
+def det_stats_shapes(
+    h: int,
+    w: int,
+    limit_side_len: int = 64,
+    limit_type: str = "resize_long",
+    rec_h: int = 32,
+    rec_w: int = 128,
+) -> tuple[int, int, int, int, int]:
+    """Shape arithmetic for the det_training_targets stats operator,
+    raised to a testable altitude: returns (padded_h, padded_w,
+    resized_h, resized_w, rec_valid_w). Applies DetResizeForTest's
+    tiny-input pre-pad (h+w<64 → ≥32×32, db_resize_for_test.py:47-51)
+    before the type0 shape math — ratios downstream are resize/PADDED
+    dims, the reference's data['shape'][2:]. rec_valid_w uses the
+    reference expression order ceil(rec_h·(w/float(h))) on the RAW dims
+    (the rec path resizes crops, which are never pre-padded)."""
+    ph, pw = (max(32, h), max(32, w)) if h + w < 64 else (h, w)
+    rh, rw = det_resize_shape(ph, pw, limit_side_len, limit_type)
+    nw = max(min(int(np.ceil(rec_h * (w / float(h)))), rec_w), 1)
+    return ph, pw, rh, rw, nw
 
 
 def det_resize_shape(

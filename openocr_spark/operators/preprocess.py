@@ -46,7 +46,7 @@ def det_training_targets(
     from openocr_spark.fixtures import payload_for_media_ref
     from openocr_spark.kernels.preprocess import (
         crop_margin,
-        det_resize_shape,
+        det_stats_shapes,
         make_border_map,
         make_shrink_map,
     )
@@ -66,13 +66,13 @@ def det_training_targets(
                 h, w = prob.shape
                 shape = (h, w)
                 if shape not in det_shapes:
-                    rh, rw = det_resize_shape(h, w, limit_side_len, limit_type)
-                    # reference expression order (resize.py:416-418):
-                    # ratio first — identical to CEIL(rec_h*w/h) for the
-                    # pow2 rec_h used here (the DuckDB oracle's form)
-                    nw = max(min(int(np.ceil(rec_h * (w / float(h)))), rec_w), 1)
-                    det_shapes[shape] = (rh, rw, nw)
-                rh, rw, nw = det_shapes[shape]
+                    # incl. DetResizeForTest's tiny-input pre-pad —
+                    # ratios are resize/PADDED dims (fixture_oracle
+                    # lockstep; pinned in test_preprocess_differential)
+                    det_shapes[shape] = det_stats_shapes(
+                        h, w, limit_side_len, limit_type, rec_h, rec_w
+                    )
+                ph, pw, rh, rw, nw = det_shapes[shape]
                 rects = [
                     (
                         float(r["points"][0][0]), float(r["points"][0][1]),
@@ -92,8 +92,8 @@ def det_training_targets(
                         "h": h, "w": w,
                         "resized_h": rh,
                         "resized_w": rw,
-                        "ratio_h": round(rh / float(h), 6),
-                        "ratio_w": round(rw / float(w), 6),
+                        "ratio_h": round(rh / float(ph), 6),
+                        "ratio_w": round(rw / float(pw), 6),
                         "shrink_pos": int((gt == 1.0).sum()),
                         "mask_zero": int((mask == 0.0).sum()),
                         "border_mask_pos": int((bmask == 1.0).sum()),

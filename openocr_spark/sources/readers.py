@@ -46,17 +46,29 @@ def with_ratio_bucket(
     max_ratio: float = 12.0,
     ceil: bool = False,
 ) -> DataFrame:
-    """Aspect-ratio bucket column (S6/G9/L3): the reference's exact
-    gen_ratio rule (infer_rec.py:150-154 RatioRecTVReisze.__call__) —
-    default mode is min(max(1, round(w/h)), max_ratio) where round is
-    Python's round-half-to-EVEN (F.rint is Math.rint, the same
-    semantics; F.round would be HALF_UP and puts w/h = 2.5 in bucket 3
-    where the reference puts it in 2); ceil mode is int(w/h) + 1.
-    max_ratio 12 mirrors infer_rec.py:119. The training-path variant
-    (ratio_dataset.py:50-51, np.around then np.clip to [1, 10]) is the
-    same rint-then-clip composition under its own bounds. Sorting
-    within kernel partitions by this key gives shape-uniform Arrow
-    batches — the RatioSampler's skew-aware bucketing, distributed."""
+    """Aspect-ratio bucket column (S6/G9/L3): the reference's gen_ratio
+    rule, both modes.
+
+    Default mode is min(max(1, round(w/h)), max_ratio) with
+    round-half-to-EVEN — Python round / np.around semantics, which
+    F.rint (Math.rint) matches exactly; F.round would be HALF_UP and
+    puts w/h = 2.5 in bucket 3 where the reference puts it in 2. This
+    is the rule the reference executes on the RecTVResizeRatio eval
+    path (openrec/preprocess/resize.py:252, `round(float(w)/float(h))`)
+    and, composed with its own [1, 10] bounds, the RatioDataSet
+    training path (ratio_dataset.py:50-51, np.around then np.clip).
+
+    Ceil mode is int(w/h) + 1 (infer_rec.py:151). NOTE: the reference's
+    RatioRecTVReisze AS EXECUTED always takes the ceil branch — its
+    config read `self.ceil = cfg[...].get('ceil', False),` has a
+    trailing comma (infer_rec.py:134), so self.ceil is the truthy
+    1-tuple (False,) regardless of config. Model that path as it
+    actually runs with ceil=True; the default here follows the
+    resize.py/ratio_dataset rule, whose round is real.
+
+    max_ratio 12 mirrors infer_rec.py:119. Sorting within kernel
+    partitions by this key gives shape-uniform Arrow batches — the
+    RatioSampler's skew-aware bucketing, distributed."""
     wh = F.col(width_col) / F.col(height_col)
     if ceil:
         gen = wh.cast("int") + F.lit(1)

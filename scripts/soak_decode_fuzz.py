@@ -68,31 +68,34 @@ def main() -> int:
         if only and fmt not in only:
             continue
         n = len(valid)
+        fmt_fail_start = len(failures)
         # exhaustive truncation: every prefix length 0..n-1
         for cut in range(n):
             err = check(fmt, valid[:cut], f"trunc@{cut}")
             if err:
                 failures.append(err)
                 print("FAIL", err, flush=True)
-        # dense single-bit flips on an even grid
+        # dense single-bit flips: exactly `bitflips` flips per format
+        # (exhaustive when the stream has no more bits than the budget)
         rng = np.random.RandomState(60606)
-        offs = (
-            np.arange(n)
-            if n * 8 <= bitflips
-            else np.unique(rng.randint(0, n, bitflips))
+        total_bits = n * 8
+        bit_idx = (
+            np.arange(total_bits)
+            if total_bits <= bitflips
+            else np.unique(rng.randint(0, total_bits, bitflips))
         )
-        for off in offs:
-            for bit in range(8):
-                mut = bytearray(valid)
-                mut[off] ^= 1 << bit
-                err = check(fmt, bytes(mut), f"flip@{off}.{bit}")
-                if err:
-                    failures.append(err)
-                    print("FAIL", err, flush=True)
+        for bi in bit_idx:
+            off, bit = divmod(int(bi), 8)
+            mut = bytearray(valid)
+            mut[off] ^= 1 << bit
+            err = check(fmt, bytes(mut), f"flip@{off}.{bit}")
+            if err:
+                failures.append(err)
+                print("FAIL", err, flush=True)
+        fmt_fails = len(failures) - fmt_fail_start
         print(
-            f"[soak] {fmt}: {n} truncations + {len(offs) * 8} bitflips clean"
-            if not failures
-            else f"[soak] {fmt}: {len(failures)} FAILURES so far",
+            f"[soak] {fmt}: {n} truncations + {len(bit_idx)} bitflips, "
+            + ("clean" if fmt_fails == 0 else f"{fmt_fails} FAILURES"),
             flush=True,
         )
     print(f"[soak] done: {len(failures)} failures")

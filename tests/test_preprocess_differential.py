@@ -214,6 +214,35 @@ def test_tiny_input_padding_matches_reference():
     assert not np.array_equal(naive, out)
 
 
+def test_type2_degenerate_target_fails_loud():
+    """Extreme aspect ratios make type2's ceil-128 of int(h·ratio) hit
+    zero (review-caught); the reference crashes inside cv2.resize —
+    the repo must raise cleanly, never emit an empty raster with a
+    0.0 ratio."""
+    img = np.zeros((1, 1000), np.float32)
+    with pytest.raises(ValueError, match="degenerate resize target"):
+        pp.det_resize_for_test(img, resize_long=128)
+
+
+def test_det_stats_shapes_applies_tiny_pad():
+    """The operator-level shape stats must follow DetResizeForTest's
+    padded flow (review-caught: the pad was only wired into the pixel
+    path at first): for tiny inputs the resize targets and implied
+    ratios derive from the PADDED dims."""
+    DetResizeForTest = _ref_det_resize()
+    for h, w in [(10, 20), (1, 1), (30, 33), (40, 50), (96, 160)]:
+        op = DetResizeForTest(limit_side_len=64, limit_type="resize_long")
+        data = op({"image": np.zeros((h, w, 3), np.uint8)})
+        ph, pw, rh, rw, _nw = pp.det_stats_shapes(
+            h, w, limit_side_len=64, limit_type="resize_long"
+        )
+        assert (rh, rw) == data["image"].shape[:2]
+        assert (rh / float(ph), rw / float(pw)) == (
+            float(data["shape"][2]),
+            float(data["shape"][3]),
+        )
+
+
 def test_resize_norm_pad_matches_reference():
     """G16/G17 vs openrec/preprocess/resize.py:resize_norm_img (the
     SVTRResize path, gray image_shape (1,H,W)): resized-region pixels

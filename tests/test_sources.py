@@ -40,8 +40,13 @@ def test_with_ratio_bucket_clips(spark):
 
 def test_with_ratio_bucket_matches_reference_rounding(spark):
     """gen_ratio = max(1, round(w/h)) with PYTHON round semantics
-    (half-to-even, infer_rec.py:153): w/h = 2.5 buckets to 2, not 3 —
-    HALF_UP F.round would diverge on every even+0.5 ratio. The Spark
+    (half-to-even) — the rule as the reference executes it on the
+    RecTVResizeRatio eval path (resize.py:252) and, under its own
+    bounds, the RatioDataSet training path (np.around): w/h = 2.5
+    buckets to 2, not 3 — HALF_UP F.round would diverge on every
+    even+0.5 ratio. (RatioRecTVReisze's round branch is DEAD code —
+    infer_rec.py:134's trailing comma makes self.ceil always truthy;
+    ceil mode below models that path as it actually runs.) The Spark
     column expression must agree with the reference line evaluated in
     Python across randomized dims, plus the exact tie points."""
     dims = [(80, 32), (112, 32), (144, 32), (45, 18), (5, 2), (7, 2), (3, 2)]
