@@ -155,8 +155,12 @@ def test_det_resize_multiple_of_32(h, w):
                              limit_side_len=64, limit_type="resize_long")
     assert out.shape[0] % 32 == 0 and out.shape[1] % 32 == 0
     assert out.shape[0] >= 32 and out.shape[1] >= 32
-    assert abs(rh - out.shape[0] / h) < 1e-9
-    assert abs(rw - out.shape[1] / w) < 1e-9
+    # ratios are resize/PADDED dims — DetResizeForTest zero-pads tiny
+    # inputs (h+w<64) to ≥32×32 before resizing (db_resize_for_test.py
+    # :47-51; differentially pinned in test_preprocess_differential)
+    ph, pw = (max(32, h), max(32, w)) if h + w < 64 else (h, w)
+    assert abs(rh - out.shape[0] / ph) < 1e-9
+    assert abs(rw - out.shape[1] / pw) < 1e-9
 
 
 # --- JPEG progressive == baseline (full successive approximation) ----
