@@ -87,15 +87,61 @@ def merge_slices(slices: DataFrame) -> DataFrame:
     return gathered.select("id", merge_udf("ordered").alias("merged"))
 
 
+def normalize_long_pairs(
+    pairs: DataFrame, ignore_space: bool = True, is_filter: bool = False
+) -> DataFrame:
+    """RecMetricLong's pre-metric normalization (rec_metric_long.py:
+    48-52 with the reference DEFAULTS ignore_space=True, is_filter=
+    False): strip ALL spaces from pred and target, and under is_filter
+    keep only [0-9a-zA-Z] lowered (:27-31 _normalize_text)."""
+    pred, gt = F.col("pred"), F.col("gt")
+    if ignore_space:
+        pred = F.replace(pred, F.lit(" "), F.lit(""))
+        gt = F.replace(gt, F.lit(" "), F.lit(""))
+    if is_filter:
+        pred = F.lower(F.regexp_replace(pred, "[^0-9a-zA-Z]", ""))
+        gt = F.lower(F.regexp_replace(gt, "[^0-9a-zA-Z]", ""))
+    return pairs.select(pred.alias("pred"), gt.alias("gt"))
+
+
+def long_text_indicators(pairs: DataFrame) -> DataFrame:
+    """The reference's long-text secondary indicators over (pred, gt)
+    pairs (rec_metric_long.py:67-75, reported at :93-103): acc_slice
+    (pred is a PREFIX of the target), f_l_acc (first AND last chars
+    match, both strings non-empty), len_acc (length match) — each over
+    the same eps=1e-5 denominator as acc. Differentially pinned against
+    the reference's own RecMetricLong in test_metric_differential."""
+    pred, gt = F.col("pred"), F.col("gt")
+    eps = F.lit(1e-5)
+    n = F.count("*")
+    is_slice = pred == F.substring(gt, 1, F.length(pred))
+    is_fl = (
+        (F.length(pred) >= 1)
+        & (F.length(gt) >= 1)
+        & (F.substring(pred, 1, 1) == F.substring(gt, 1, 1))
+        & (F.substring(pred, -1, 1) == F.substring(gt, -1, 1))
+    )
+    is_len = F.length(pred) == F.length(gt)
+    return pairs.agg(
+        F.round(F.sum(is_slice.cast("double")) / (n + eps), 6).alias("acc_slice"),
+        F.round(F.sum(is_fl.cast("double")) / (n + eps), 6).alias("f_l_acc"),
+        F.round(F.sum(is_len.cast("double")) / (n + eps), 6).alias("len_acc"),
+    )
+
+
 def rec_metric_long(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = DEFAULT_WINDOW,
     stride: int = DEFAULT_STRIDE,
+    ignore_space: bool = True,
+    is_filter: bool = False,
 ) -> DataFrame:
-    """Full composed metric: slice → merge → exact acc + 1−NED vs the
-    original text (rec_metric_long.py semantics)."""
+    """Full composed metric: slice → merge → RecMetricLong's
+    normalization (ignore_space=True is the reference DEFAULT — spaces
+    are stripped before every comparison) → exact acc + 1−NED plus the
+    reference's secondary indicators (acc_slice / f_l_acc / len_acc)."""
     from openocr_spark.operators.metrics import rec_metric
 
     base = docs.select(
@@ -104,5 +150,7 @@ def rec_metric_long(
     merged = merge_slices(
         slice_text(base, "doc_id", "gt", window, stride)
     ).select(F.col("id").alias("doc_id"), F.col("merged").alias("pred"))
-    pairs = base.join(merged, "doc_id").select("pred", "gt")
-    return rec_metric(pairs)
+    pairs = normalize_long_pairs(
+        base.join(merged, "doc_id").select("pred", "gt"), ignore_space, is_filter
+    )
+    return rec_metric(pairs).crossJoin(long_text_indicators(pairs))

@@ -1869,6 +1869,13 @@ def q_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "rec_metric_long",
     f"""
+    WITH pairs AS (
+      -- RecMetricLong's default normalization (rec_metric_long.py:
+      -- 48-50, ignore_space=True): spaces stripped before every
+      -- comparison — engine lockstep in normalize_long_pairs
+      SELECT replace(pred, ' ', '') AS pred, replace(gt, ' ', '') AS gt
+      FROM read_parquet('{_ORA}/rec_long_pairs.parquet')
+    )
     SELECT COUNT(*) AS all_num,
            CAST(SUM(CASE WHEN pred = gt THEN 1 ELSE 0 END) AS BIGINT)
              AS correct_num,
@@ -1877,8 +1884,20 @@ def q_decode_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
            ROUND(1.0 - SUM(CASE WHEN pred = gt THEN 0.0
                            ELSE levenshtein(pred, gt) * 1.0 /
                                 GREATEST(len(pred), len(gt), 1) END)
-                 / (COUNT(*) + 1e-5), 6) AS one_minus_ned
-    FROM read_parquet('{_ORA}/rec_long_pairs.parquet')
+                 / (COUNT(*) + 1e-5), 6) AS one_minus_ned,
+           -- the reference's long-text secondary indicators
+           -- (rec_metric_long.py:93-103), same eps denominator
+           ROUND(SUM(CASE WHEN pred = substr(gt, 1, len(pred))
+                          THEN 1.0 ELSE 0.0 END)
+                 / (COUNT(*) + 1e-5), 6) AS acc_slice,
+           ROUND(SUM(CASE WHEN len(pred) >= 1 AND len(gt) >= 1
+                           AND substr(pred, 1, 1) = substr(gt, 1, 1)
+                           AND substr(pred, -1, 1) = substr(gt, -1, 1)
+                          THEN 1.0 ELSE 0.0 END)
+                 / (COUNT(*) + 1e-5), 6) AS f_l_acc,
+           ROUND(SUM(CASE WHEN len(pred) = len(gt) THEN 1.0 ELSE 0.0 END)
+                 / (COUNT(*) + 1e-5), 6) AS len_acc
+    FROM pairs
     """,
 )
 def q_rec_metric_long(spark: SparkSession, sf: str) -> DataFrame:

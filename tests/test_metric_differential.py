@@ -309,3 +309,65 @@ def test_det_metric_matches_reference(spark):
     assert row["precision"] == pytest.approx(want["precision"], abs=1e-6)
     assert row["recall"] == pytest.approx(want["recall"], abs=1e-6)
     assert row["hmean"] == pytest.approx(want["hmean"], abs=1e-6)
+
+
+# ---------------------------------------------------- RecMetricLong
+
+
+def _ref_rec_metric_long_cls():
+    from tests._reference_loader import load_class
+
+    _install_rapidfuzz_stub()
+    import string as _string
+
+    import numpy as _np
+
+    return load_class(
+        f"{REF_TOOLS}/../openrec/metrics/rec_metric_long.py",
+        "RecMetricLong",
+        {
+            "np": _np,
+            "string": _string,
+            "Levenshtein": sys.modules["rapidfuzz.distance"].Levenshtein,
+            "stream_match": None,  # only touched under stream=True
+        },
+    )
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        dict(ignore_space=True, is_filter=False),  # reference defaults
+        dict(ignore_space=False, is_filter=False),
+        dict(ignore_space=True, is_filter=True),
+        dict(ignore_space=False, is_filter=True),
+    ],
+)
+def test_rec_metric_long_indicators_match_reference(spark, flags):
+    """The reference RecMetricLong (pairs mode, stream=False) vs the
+    repo's normalize_long_pairs + rec_metric + long_text_indicators:
+    acc, 1−NED, acc_slice (prefix), f_l_acc (first+last char), len_acc
+    — under every normalization flag combo, eps=1e-5 denominators."""
+    from openocr_spark.operators.longtext import (
+        long_text_indicators,
+        normalize_long_pairs,
+    )
+    from openocr_spark.operators.metrics import rec_metric
+
+    RecMetricLong = _ref_rec_metric_long_cls()
+    # max_len guards the per-length histograms (target len < 201)
+    pairs = [(a, b) for a, b in _string_pairs() if len(b) < 200]
+    rm = RecMetricLong(**flags)
+    rm(([(p, 1.0) for p, _ in pairs], [(g, 1.0) for _, g in pairs]))
+    want = rm.get_metric()
+
+    df = normalize_long_pairs(
+        spark.createDataFrame(pairs, "pred string, gt string"), **flags
+    )
+    got = rec_metric(df).crossJoin(long_text_indicators(df)).collect()[0]
+    assert got["all_num"] == want["all_num"]
+    assert abs(got["acc"] - want["acc"]) < 1e-6
+    assert abs(got["one_minus_ned"] - want["norm_edit_dis"]) < 1e-6
+    assert abs(got["acc_slice"] - want["acc_slice"]) < 1e-6
+    assert abs(got["f_l_acc"] - want["f_l_acc"]) < 1e-6
+    assert abs(got["len_acc"] - want["len_acc"]) < 1e-6
