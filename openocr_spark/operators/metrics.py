@@ -364,6 +364,136 @@ def rec_metric_by_length(
     )
 
 
+def _staged_norm_pairs(
+    pairs: DataFrame,
+    pred_col: str,
+    gt_col: str,
+    ignore_space: bool,
+    is_filter: bool,
+    is_lower: bool,
+) -> DataFrame:
+    """The PROGRESSIVE normalization stages of RecMetric.eval_all_metric
+    (rec_metric.py:119-148): each accuracy variant is measured at its
+    own stage of a single normalization pipeline, NOT independently —
+    space strip only under ignore_space, the digits+letters filter only
+    under is_filter (RecMetric's _normalize_text does NOT lower, unlike
+    RecMetricLong's), lowering only under is_lower; NED and the
+    histogram bins use the FINAL stage."""
+    p0, g0 = F.col(pred_col), F.col(gt_col)
+    p1 = F.replace(p0, F.lit(" "), F.lit("")) if ignore_space else p0
+    g1 = F.replace(g0, F.lit(" "), F.lit("")) if ignore_space else g0
+    p2 = F.regexp_replace(p1, "[^0-9a-zA-Z]", "") if is_filter else p1
+    g2 = F.regexp_replace(g1, "[^0-9a-zA-Z]", "") if is_filter else g1
+    p3 = F.lower(p2) if is_lower else p2
+    g3 = F.lower(g2) if is_lower else g2
+    return pairs.select(
+        (p0 == g0).cast("double").alias("eq_real"),
+        (F.lower(p0) == F.lower(g0)).cast("double").alias("eq_lower"),
+        (p1 == g1).cast("double").alias("eq_ignore_space"),
+        (F.lower(p1) == F.lower(g1)).cast("double").alias("eq_ignore_space_lower"),
+        (p2 == g2).cast("double").alias("eq_ignore_space_symbol"),
+        (p3 == g3).cast("double").alias("eq_final"),
+        normalized_levenshtein(p3, g3).alias("ned"),
+        F.length(g3).alias("gt_len"),
+        pairs[pred_col].alias("pred"),
+        pairs[gt_col].alias("gt"),
+        *[c for c in pairs.columns if c not in (pred_col, gt_col)],
+    )
+
+
+def rec_metric_all(
+    pairs: DataFrame,
+    pred_col: str = "pred",
+    gt_col: str = "gt",
+    ignore_space: bool = True,
+    is_filter: bool = False,
+    is_lower: bool = True,
+) -> DataFrame:
+    """RecMetric's with_ratio=True accuracy family (rec_metric.py:
+    204-251 get_all_metric — what the eval_rec_all_* tools report): six
+    accuracies at progressive normalization stages plus 1−NED and
+    num_samples, eps=1e-5 denominators. acc_ignore_space_lower_symbol
+    is the reference's alias for the final-stage acc (:240) and is
+    emitted equal to it. Differentially pinned against the reference's
+    own RecMetric(with_ratio=True) in test_metric_differential."""
+    staged = _staged_norm_pairs(
+        pairs, pred_col, gt_col, ignore_space, is_filter, is_lower
+    )
+    eps = F.lit(1e-5)
+    n = F.count("*")
+
+    def frac(c):
+        return F.round(F.sum(F.col(c)) / (n + eps), 6)
+
+    return staged.agg(
+        frac("eq_final").alias("acc"),
+        frac("eq_real").alias("acc_real"),
+        frac("eq_lower").alias("acc_lower"),
+        frac("eq_ignore_space").alias("acc_ignore_space"),
+        frac("eq_ignore_space_lower").alias("acc_ignore_space_lower"),
+        frac("eq_ignore_space_symbol").alias("acc_ignore_space_symbol"),
+        frac("eq_final").alias("acc_ignore_space_lower_symbol"),
+        F.round(1.0 - F.sum("ned") / (n + eps), 6).alias("one_minus_ned"),
+        n.alias("num_samples"),
+    )
+
+
+def rec_metric_by_ratio(
+    pairs: DataFrame,
+    ratio_col: str = "ratio",
+    pred_col: str = "pred",
+    gt_col: str = "gt",
+    max_ratio: int = 4,
+    ignore_space: bool = True,
+    is_filter: bool = False,
+    is_lower: bool = True,
+) -> DataFrame:
+    """Per-aspect-ratio-bucket accuracy/NED rollup (rec_metric.py:
+    149-161 each_ratio_*): bins are 1-based gen_ratio capped at
+    max_ratio (reference index ratio-1, overflow collapsed into the
+    last bin), acc/NED on the FINAL normalization stage with per-bin
+    eps=1e-5 denominators. Empty bins read acc 0.0 / 1−NED 1.0 in the
+    reference's fixed-size lists; a grouped DataFrame simply omits
+    them."""
+    staged = _staged_norm_pairs(
+        pairs, pred_col, gt_col, ignore_space, is_filter, is_lower
+    )
+    eps = F.lit(1e-5)
+    n = F.count("*")
+    bin_ = F.least(F.greatest(F.col(ratio_col), F.lit(1)), F.lit(max_ratio))
+    return staged.groupBy(bin_.alias("ratio_bin")).agg(
+        n.alias("n"),
+        F.round(F.sum("eq_final") / (n + eps), 6).alias("acc"),
+        F.round(1.0 - F.sum("ned") / (n + eps), 6).alias("one_minus_ned"),
+    )
+
+
+def rec_metric_by_length_binned(
+    pairs: DataFrame,
+    pred_col: str = "pred",
+    gt_col: str = "gt",
+    max_len: int = 25,
+    ignore_space: bool = True,
+    is_filter: bool = False,
+    is_lower: bool = True,
+) -> DataFrame:
+    """Per-GT-length rollup with the eval_all binning (rec_metric.py:
+    147-158 each_len_*): 1-based final-stage GT length capped at
+    max_len (reference index max(0, min(max_len, len)−1) — length 0
+    shares bin 1), acc AND 1−NED per bin, eps denominators."""
+    staged = _staged_norm_pairs(
+        pairs, pred_col, gt_col, ignore_space, is_filter, is_lower
+    )
+    eps = F.lit(1e-5)
+    n = F.count("*")
+    bin_ = F.greatest(F.least(F.col("gt_len"), F.lit(max_len)), F.lit(1))
+    return staged.groupBy(bin_.alias("len_bin")).agg(
+        n.alias("n"),
+        F.round(F.sum("eq_final") / (n + eps), 6).alias("acc"),
+        F.round(1.0 - F.sum("ned") / (n + eps), 6).alias("one_minus_ned"),
+    )
+
+
 def extract_detail(
     media_refs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG
 ) -> DataFrame:

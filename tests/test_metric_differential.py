@@ -371,3 +371,89 @@ def test_rec_metric_long_indicators_match_reference(spark, flags):
     assert abs(got["acc_slice"] - want["acc_slice"]) < 1e-6
     assert abs(got["f_l_acc"] - want["f_l_acc"]) < 1e-6
     assert abs(got["len_acc"] - want["len_acc"]) < 1e-6
+
+
+# ------------------------------------------- RecMetric with_ratio=True
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        dict(ignore_space=True, is_filter=False, is_lower=True),  # defaults
+        dict(ignore_space=False, is_filter=False, is_lower=False),
+        dict(ignore_space=True, is_filter=True, is_lower=True),
+        dict(ignore_space=False, is_filter=True, is_lower=False),
+    ],
+)
+def test_rec_metric_all_matches_reference(spark, flags):
+    """The reference RecMetric(with_ratio=True) — the eval_rec_all_*
+    path — vs the repo's rec_metric_all / rec_metric_by_ratio /
+    rec_metric_by_length_binned: the six progressive-stage accuracies,
+    1−NED, and the per-ratio and per-length binned rollups (max_ratio=4
+    cap, max_len=25 cap, eps=1e-5 denominators everywhere)."""
+    from openocr_spark.operators.metrics import (
+        rec_metric_all,
+        rec_metric_by_length_binned,
+        rec_metric_by_ratio,
+    )
+
+    mod = _ref_rec_metric_mod()
+    rng = random.Random(80)
+    pairs = [(a, b) for a, b in _string_pairs() if len(b) < 200]
+    ratios = [rng.randint(1, 7) for _ in pairs]  # exercises the cap at 4
+
+    rm = mod.RecMetric(with_ratio=True, max_len=25, max_ratio=4, **flags)
+    rm(
+        ([(p, 1.0) for p, _ in pairs], [(g, 1.0) for _, g in pairs]),
+        batch=[None, ratios],
+    )
+    want = rm.get_metric(training=False)
+
+    df = spark.createDataFrame(
+        [(p, g, r) for (p, g), r in zip(pairs, ratios)],
+        "pred string, gt string, ratio int",
+    )
+    got = rec_metric_all(df, **flags).collect()[0]
+    for key in [
+        "acc",
+        "acc_real",
+        "acc_lower",
+        "acc_ignore_space",
+        "acc_ignore_space_lower",
+        "acc_ignore_space_symbol",
+        "acc_ignore_space_lower_symbol",
+    ]:
+        assert abs(got[key] - want[key]) < 1e-6, (key, got[key], want[key])
+    assert abs(got["one_minus_ned"] - want["norm_edit_dis"]) < 1e-6
+    assert got["num_samples"] == want["num_samples"]
+
+    by_ratio = {
+        r["ratio_bin"]: r for r in rec_metric_by_ratio(df, **flags).collect()
+    }
+    for i in range(4):  # reference bins are 0-based fixed-size lists
+        row = by_ratio.get(i + 1)
+        if row is None:
+            assert want["each_ratio_num"][i] == 0
+            continue
+        assert row["n"] == want["each_ratio_num"][i]
+        assert abs(row["acc"] - want["each_ratio_acc"][i]) < 1e-6
+        assert (
+            abs(row["one_minus_ned"] - want["each_ratio_norm_edit_dis"][i])
+            < 1e-6
+        )
+
+    by_len = {
+        r["len_bin"]: r
+        for r in rec_metric_by_length_binned(df, **flags).collect()
+    }
+    for i in range(25):
+        row = by_len.get(i + 1)
+        if row is None:
+            assert want["each_len_num"][i] == 0
+            continue
+        assert row["n"] == want["each_len_num"][i]
+        assert abs(row["acc"] - want["each_len_acc"][i]) < 1e-6
+        assert (
+            abs(row["one_minus_ned"] - want["each_len_norm_edit_dis"][i])
+            < 1e-6
+        )
