@@ -327,6 +327,33 @@ def det_metric(pred: DataFrame, gt: DataFrame) -> DataFrame:
     )
 
 
+def det_metric_thresholds(
+    pred: DataFrame,
+    gt: DataFrame,
+    thresholds: tuple[float, ...] = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """DetFCEMetric's score-threshold sweep (det_metric.py:75-160): the
+    SAME IoU evaluation repeated with detections filtered at
+    score ≥ thr for each threshold — filtering changes the greedy
+    matching, so each threshold is its own evaluation pass, exactly as
+    the reference runs evaluate_image once per threshold. Returns one
+    (score_thr, precision, recall, hmean) row per threshold; the
+    reference's headline 'hmean' is the MAX over these rows (:139).
+    Metrics-table scale: seven small aggregation branches over the same
+    inputs, unioned."""
+    out: DataFrame | None = None
+    for thr in thresholds:
+        m = det_metric(pred.filter(F.col("conf") >= thr), gt).select(
+            F.lit(float(thr)).alias("score_thr"),
+            "precision",
+            "recall",
+            "hmean",
+        )
+        out = m if out is None else out.unionByName(m)
+    assert out is not None, "at least one threshold required"
+    return out
+
+
 def rec_metric(pairs: DataFrame, pred_col: str = "pred", gt_col: str = "gt") -> DataFrame:
     """Exact-match acc + 1−NED (rec_metric.py:69-97, reference-exact
     including the eps=1e-5 denominator guard: acc = correct/(n+eps),

@@ -457,3 +457,74 @@ def test_rec_metric_all_matches_reference(spark, flags):
             abs(row["one_minus_ned"] - want["each_len_norm_edit_dis"][i])
             < 1e-6
         )
+
+
+# ----------------------------------------------------- DetFCEMetric
+
+
+def test_det_metric_thresholds_matches_reference(spark):
+    """The reference DetFCEMetric (score-threshold sweep, det_metric.py
+    :75-160) vs the repo's det_metric_thresholds: per-threshold
+    precision/recall/hmean over the same rect corpus, and the headline
+    hmean = max over thresholds."""
+    from tests._reference_loader import load_class
+
+    from openocr_spark.operators.metrics import det_metric_thresholds
+
+    _install_shapely_stub()
+    ev_cls = type(_ref_det_evaluator())
+    DetFCEMetric = load_class(
+        f"{REF_TOOLS}/../opendet/metrics/det_metric.py",
+        "DetFCEMetric",
+        {"DetectionIoUEvaluator": ev_cls},
+    )
+    media = _det_corpus()
+    fce = DetFCEMetric()
+    for _ref, gts, dets in media:
+        fce(
+            [
+                {
+                    "points": [pts for pts, _c in dets],
+                    "scores": [c for _pts, c in dets],
+                }
+            ],
+            [None, None, [[pts for pts, _ig in gts]], [[ig for _p, ig in gts]]],
+        )
+    want = fce.get_metric()
+
+    pred_rows, gt_rows = [], []
+    for ref, gts, dets in media:
+        for gi, (pts, ig) in enumerate(gts):
+            gt_rows.append(
+                (ref, gi, [[float(x), float(y)] for x, y in pts], bool(ig))
+            )
+        for di, (pts, conf) in enumerate(dets):
+            pred_rows.append(
+                (ref, di, [[float(x), float(y)] for x, y in pts], float(conf))
+            )
+    pred = spark.createDataFrame(
+        pred_rows,
+        "media_ref string, det_idx int, points array<array<double>>, "
+        "conf double",
+    )
+    gt = spark.createDataFrame(
+        gt_rows,
+        "media_ref string, gt_idx int, points array<array<double>>, "
+        "ignore boolean",
+    )
+    rows = {
+        r["score_thr"]: r for r in det_metric_thresholds(pred, gt).collect()
+    }
+    assert set(rows) == {0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9}
+    for thr, row in rows.items():
+        want_str = want[f"thr {thr}"]
+        # 'precision:X recall:Y hmean:Z' — parse the reference's string
+        parts = dict(kv.split(":") for kv in want_str.split(" "))
+        assert row["precision"] == pytest.approx(
+            float(parts["precision"]), abs=1e-5
+        )
+        assert row["recall"] == pytest.approx(float(parts["recall"]), abs=1e-5)
+        assert row["hmean"] == pytest.approx(float(parts["hmean"]), abs=1e-5)
+    assert max(r["hmean"] for r in rows.values()) == pytest.approx(
+        want["hmean"], abs=1e-5
+    )
