@@ -327,6 +327,72 @@ def det_metric(pred: DataFrame, gt: DataFrame) -> DataFrame:
     )
 
 
+def rec_metric_composed(
+    base_pairs: DataFrame,
+    head_pairs: dict[str, DataFrame],
+    pred_col: str = "pred",
+    gt_col: str = "gt",
+) -> DataFrame:
+    """The RecGTCMetric / RecMPGMetric composition shape
+    (rec_metric_gtc.py:46-57, rec_metric_mgp.py:76-94): the base head's
+    full rec_metric row plus {name}_acc / {name}_norm_edit_dis for each
+    auxiliary head (the reference's norm_edit_dis keys are 1−NED, the
+    same quantity as the base row's one_minus_ned). Pairs arrive
+    pre-normalized — apply the ignore_space/is_filter/is_lower exprs
+    upstream, as the reference's flags do."""
+    out = rec_metric(base_pairs, pred_col, gt_col)
+    for name, pairs in head_pairs.items():
+        aux = rec_metric(pairs, pred_col, gt_col).select(
+            F.col("acc").alias(f"{name}_acc"),
+            F.col("one_minus_ned").alias(f"{name}_norm_edit_dis"),
+        )
+        out = out.crossJoin(aux)
+    return out
+
+
+def cmer_metric(
+    pairs: DataFrame, pred_col: str = "pred", gt_col: str = "gt"
+) -> DataFrame:
+    """CMERMetric (rec_metric_cmer.py:241-328) — the chart/markdown
+    extraction metric: per-pair ROUGE-1/2/L f-measures, BLEU (13a
+    tokenization, max_order 4, unsmoothed), and RAW Levenshtein edit
+    distance, averaged over all pairs. Per-pair scorers run in ONE
+    Arrow-batched pandas UDF (functions/seqeval — pure per-row work, no
+    shuffle); the edit distance stays JVM-side via F.levenshtein.
+    Empty input averages to all-zeros like the reference (:308-315)."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    from openocr_spark.functions.seqeval import cmer_pair_scores
+
+    @pandas_udf("rouge1 double, rouge2 double, rougeL double, bleu double")
+    def scores_udf(pred: pd.Series, gt: pd.Series) -> pd.DataFrame:
+        vals = [
+            cmer_pair_scores(p or "", g or "") for p, g in zip(pred, gt)
+        ]
+        return pd.DataFrame(
+            vals, columns=["rouge1", "rouge2", "rougeL", "bleu"]
+        )
+
+    scored = pairs.select(
+        scores_udf(F.col(pred_col), F.col(gt_col)).alias("s"),
+        F.levenshtein(F.col(pred_col), F.col(gt_col))
+        .cast("double")
+        .alias("edit_distance"),
+    )
+    return scored.agg(
+        F.round(F.coalesce(F.avg("s.rouge1"), F.lit(0.0)), 6).alias("rouge1"),
+        F.round(F.coalesce(F.avg("s.rouge2"), F.lit(0.0)), 6).alias("rouge2"),
+        F.round(F.coalesce(F.avg("s.rougeL"), F.lit(0.0)), 6).alias("rougeL"),
+        F.round(F.coalesce(F.avg("s.bleu"), F.lit(0.0)), 6).alias("bleu"),
+        F.round(F.coalesce(F.avg("edit_distance"), F.lit(0.0)), 6).alias(
+            "edit_distance"
+        ),
+        F.count("*").alias("num_samples"),
+    )
+
+
 def det_metric_thresholds(
     pred: DataFrame,
     gt: DataFrame,

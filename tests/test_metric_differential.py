@@ -528,3 +528,219 @@ def test_det_metric_thresholds_matches_reference(spark):
     assert max(r["hmean"] for r in rows.values()) == pytest.approx(
         want["hmean"], abs=1e-5
     )
+
+
+# ------------------------------------------------------- CMERMetric
+
+
+def _install_cmer_dep_stubs():
+    """rec_metric_cmer.py imports datasets/evaluate/rouge_score/
+    Levenshtein. evaluate/datasets are plumbing (stubbed inert);
+    rouge_score is the actual ROUGE engine — stubbed with an
+    INDEPENDENT test-side implementation of the published definition
+    (the test-side-DP policy); Levenshtein.distance is the test DP."""
+    if "evaluate" not in sys.modules:
+        ev = types.ModuleType("evaluate")
+
+        class Metric:
+            def compute(self, **kw):
+                return self._compute(**kw)
+
+        ev.Metric = Metric
+        ev.MetricInfo = lambda **k: None
+        sys.modules["evaluate"] = ev
+    if "datasets" not in sys.modules:
+        ds = types.ModuleType("datasets")
+        ds.Features = lambda d: d
+        ds.Value = lambda *a, **k: None
+        ds.Sequence = lambda *a, **k: None
+        sys.modules["datasets"] = ds
+    if "Levenshtein" not in sys.modules:
+        lv = types.ModuleType("Levenshtein")
+        lv.distance = _dp_lev
+        sys.modules["Levenshtein"] = lv
+    if "rouge_score" in sys.modules:
+        return
+
+    class _Score:
+        def __init__(self, p, r, f):
+            self.precision, self.recall, self.fmeasure = p, r, f
+
+    def _f(p, r):
+        return 2 * p * r / (p + r) if p + r > 0 else 0.0
+
+    def _grams(toks, n):
+        d = {}
+        for i in range(len(toks) - n + 1):
+            k = tuple(toks[i : i + n])
+            d[k] = d.get(k, 0) + 1
+        return d
+
+    def _lcs(a, b):
+        import numpy as _np
+
+        t = _np.zeros((len(a) + 1, len(b) + 1), dtype=_np.int64)
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                t[i, j] = (
+                    t[i - 1, j - 1] + 1
+                    if a[i - 1] == b[j - 1]
+                    else max(t[i - 1, j], t[i, j - 1])
+                )
+        return int(t[len(a), len(b)])
+
+    class RougeScorer:
+        def __init__(self, rouge_types, use_stemmer=False, tokenizer=None):
+            self.types = rouge_types
+            self.tok = tokenizer
+
+        def _one(self, rtype, ref, pred):
+            rt, pt = self.tok.tokenize(ref), self.tok.tokenize(pred)
+            if rtype.startswith("rougeL"):  # rougeLsum computed by the
+                # default type list but never read by CMERMetric —
+                # sentence-level split is a no-op on tokenizer output
+                l = _lcs(pt, rt)
+                p = l / max(len(pt), 1)
+                r = l / max(len(rt), 1)
+            else:
+                n = int(rtype[-1])
+                pg, rg = _grams(pt, n), _grams(rt, n)
+                inter = sum(
+                    min(c, rg[k]) for k, c in pg.items() if k in rg
+                )
+                p = inter / max(sum(pg.values()), 1)
+                r = inter / max(sum(rg.values()), 1)
+            return _Score(p, r, _f(p, r))
+
+        def score(self, ref, pred):
+            return {t: self._one(t, ref, pred) for t in self.types}
+
+        def score_multi(self, refs, pred):
+            out = {}
+            for t in self.types:
+                out[t] = max(
+                    (self._one(t, r, pred) for r in refs),
+                    key=lambda s: s.fmeasure,
+                )
+            return out
+
+    class _Agg:
+        def __init__(self):
+            self.scores = []
+
+        def add_scores(self, s):
+            self.scores.append(s)
+
+        def aggregate(self):
+            class _Mid:
+                def __init__(self, f):
+                    self.mid = types.SimpleNamespace(fmeasure=f)
+
+            keys = self.scores[0].keys()
+            return {
+                k: _Mid(
+                    sum(s[k].fmeasure for s in self.scores)
+                    / len(self.scores)
+                )
+                for k in keys
+            }
+
+    rs = types.ModuleType("rouge_score")
+    rsc = types.ModuleType("rouge_score.rouge_scorer")
+    rsc.RougeScorer = RougeScorer
+    sco = types.ModuleType("rouge_score.scoring")
+    sco.BootstrapAggregator = _Agg
+    rs.rouge_scorer = rsc
+    rs.scoring = sco
+    sys.modules["rouge_score"] = rs
+    sys.modules["rouge_score.rouge_scorer"] = rsc
+    sys.modules["rouge_score.scoring"] = sco
+
+
+def _cmer_corpus():
+    rng = random.Random(90)
+    cases = [
+        ("the cat sat on the mat", "the cat sat on the mat"),
+        ("| a | b |\n| 1 | 2 |", "| a | b |\n| 1 | 2.5 |"),
+        ("Revenue grew 4.2% in Q3", "Revenue grew 4.3% in Q3, per chart"),
+        ("", "nonempty reference"),
+        ("nonempty pred", ""),
+        ("", ""),
+        ("a", "a b c d e f g h"),
+        ("x &amp; y <skipped> z", "x & y z"),
+    ]
+    words = "alpha beta 3.14 100,000 gamma-ray | # * chart axis value".split()
+    for _ in range(40):
+        a = " ".join(rng.choice(words) for _ in range(rng.randint(0, 15)))
+        b = (
+            a
+            if rng.random() < 0.3
+            else " ".join(rng.choice(words) for _ in range(rng.randint(0, 15)))
+        )
+        cases.append((a, b))
+    return cases
+
+
+def test_cmer_metric_matches_reference(spark):
+    """The reference CMERMetric (BLEU from its own in-file compute_bleu
+    + 13a tokenizer — REAL reference code; ROUGE via the stubbed
+    independent test-side scorer; raw Levenshtein) vs the repo's
+    cmer_metric over markdown-ish pairs."""
+    from tests._reference_loader import load_module
+
+    from openocr_spark.operators.metrics import cmer_metric
+
+    _install_cmer_dep_stubs()
+    mod = load_module(
+        "rec_metric_cmer",
+        f"{REF_TOOLS}/../openrec/metrics/rec_metric_cmer.py",
+    )
+    pairs = _cmer_corpus()
+    cm = mod.CMERMetric()
+    cm([p for p, _ in pairs], [g for _, g in pairs])
+    want = cm.get_metric()
+
+    df = spark.createDataFrame(pairs, "pred string, gt string")
+    got = cmer_metric(df).collect()[0]
+    for key in ["rouge1", "rouge2", "rougeL", "bleu", "edit_distance"]:
+        assert abs(got[key] - want[key]) < 1e-6, (key, got[key], want[key])
+    assert got["num_samples"] == len(pairs)
+
+
+def test_cmer_rouge_hand_pins():
+    """Hand-computed ROUGE pins so a symmetric mistake in both from-
+    scratch implementations cannot hide: pred='the cat sat',
+    ref='the cat on the mat' under 13a tokenization.
+      rouge1: inter(the:1?,cat:1,sat:0 ...) — pred grams {the,cat,sat},
+        ref {the:2,cat,on,mat}; inter = the(1)+cat(1) = 2;
+        p = 2/3, r = 2/5, f = 2*(2/3)*(2/5)/(2/3+2/5) = 0.5
+      rouge2: pred {the cat, cat sat}; ref {the cat, cat on, on the,
+        the mat}; inter = 1; p = 1/2, r = 1/4, f = 1/3
+      rougeL: LCS('the cat sat', 'the cat on the mat') = 2 ('the cat');
+        p = 2/3, r = 2/5, f = 0.5
+    """
+    from openocr_spark.functions.seqeval import cmer_pair_scores
+
+    r1, r2, rl, _bleu = cmer_pair_scores("the cat sat", "the cat on the mat")
+    assert r1 == pytest.approx(0.5)
+    assert r2 == pytest.approx(1 / 3)
+    assert rl == pytest.approx(0.5)
+
+
+def test_rec_metric_composed_shapes(spark):
+    """RecGTCMetric/RecMPGMetric composition: base row columns plus
+    {head}_acc / {head}_norm_edit_dis per auxiliary head
+    (rec_metric_gtc.py:46-57, rec_metric_mgp.py:76-94)."""
+    from openocr_spark.operators.metrics import rec_metric_composed
+
+    base = spark.createDataFrame(
+        [("ab", "ab"), ("cd", "ce")], "pred string, gt string"
+    )
+    aux = spark.createDataFrame(
+        [("ab", "ab"), ("ce", "ce")], "pred string, gt string"
+    )
+    row = rec_metric_composed(base, {"gtc": aux}).collect()[0]
+    assert row["all_num"] == 2
+    assert row["acc"] == pytest.approx(2 / (2 + 1e-5) * 0.5, abs=1e-6)
+    assert row["gtc_acc"] == pytest.approx(2 / (2 + 1e-5), abs=1e-6)
+    assert "gtc_norm_edit_dis" in row.asDict()
