@@ -686,3 +686,41 @@ def read_lmdb_dataset(spark, root_dir: str):
     return sdf.mapInPandas(
         kernel, schema="shard string, idx int, image binary, label string"
     )
+
+
+def read_text_lmdb_dataset(spark, root_dir: str):
+    """TextLMDBDataSet analog (text_lmdb_dataset.py:34-113): LMDB shards
+    carrying label-%09d keys ONLY (text-only corpora, no image keys) —
+    the same hierarchical walk and num-samples contract as the image
+    dataset, emitting (shard, idx, label). Closes the dataset-registry
+    key-scheme matrix: LMDBDataSet / STRLMDBDataSet / LMDBDataSetTest
+    share the image+label scheme read_lmdb_dataset handles."""
+    import pandas as pd
+
+    shards = []
+    for dirpath, _dirnames, filenames in os.walk(root_dir):
+        if "data.mdb" in filenames:
+            shards.append(dirpath)
+    shards.sort()
+    sdf = spark.createDataFrame([(s,) for s in shards], "shard string")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for shard in pdf["shard"].tolist():
+                r = LmdbReader(shard)
+                num = r.get(b"num-samples")
+                for i in range(1, (int(num) if num is not None else 0) + 1):
+                    lab = r.get(b"label-%09d" % i)
+                    rows.append(
+                        {
+                            "shard": shard,
+                            "idx": i,
+                            "label": lab.decode("utf-8")
+                            if lab is not None
+                            else "",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["shard", "idx", "label"])
+
+    return sdf.mapInPandas(kernel, schema="shard string, idx int, label string")

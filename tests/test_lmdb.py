@@ -131,6 +131,17 @@ def test_distributed_shard_reader(spark, tmp_path):
     ]
 
 
+def test_text_lmdb_dataset_reader(spark, tmp_path):
+    """TextLMDBDataSet analog (text_lmdb_dataset.py key scheme:
+    label-%09d + num-samples, NO image keys)."""
+    recs = [(b"label-%09d" % (i + 1), f"line {i}".encode()) for i in range(4)]
+    recs.append((b"num-samples", b"4"))
+    L.write_lmdb(str(tmp_path / "root" / "sh0"), recs)
+    out = L.read_text_lmdb_dataset(spark, str(tmp_path / "root"))
+    rows = sorted((r.idx, r.label) for r in out.collect())
+    assert rows == [(1, "line 0"), (2, "line 1"), (3, "line 2"), (4, "line 3")]
+
+
 # --- interop with REAL liblmdb (ADVICE r3 item 3): the reader/writer
 # were previously validated only against each other; these tests break
 # that circularity with the C library on both directions -------------
