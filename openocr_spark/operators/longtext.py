@@ -104,13 +104,18 @@ def normalize_long_pairs(
     return pairs.select(pred.alias("pred"), gt.alias("gt"))
 
 
-def long_text_indicators(pairs: DataFrame) -> DataFrame:
-    """The reference's long-text secondary indicators over (pred, gt)
-    pairs (rec_metric_long.py:67-75, reported at :93-103): acc_slice
-    (pred is a PREFIX of the target), f_l_acc (first AND last chars
-    match, both strings non-empty), len_acc (length match) — each over
-    the same eps=1e-5 denominator as acc. Differentially pinned against
-    the reference's own RecMetricLong in test_metric_differential."""
+def long_text_indicator_aggs() -> list:
+    """Aggregate columns for the reference's long-text secondary
+    indicators over (pred, gt) pairs (rec_metric_long.py:67-75,
+    reported at :93-103): acc_slice (pred is a PREFIX of the target),
+    f_l_acc (first AND last chars match, both strings non-empty),
+    len_acc (length match) — each over the same eps=1e-5 denominator as
+    acc, empty input reading 0.0 like the reference's 0/(0+eps).
+    Exposed as columns so rec_metric_long folds them into ONE .agg with
+    the rec_metric aggregates (the slice+merge lineage is expensive —
+    a crossJoin of two aggregations would execute it twice).
+    Differentially pinned against the reference's own RecMetricLong in
+    test_metric_differential."""
     pred, gt = F.col("pred"), F.col("gt")
     eps = F.lit(1e-5)
     n = F.count("*")
@@ -122,11 +127,20 @@ def long_text_indicators(pairs: DataFrame) -> DataFrame:
         & (F.substring(pred, -1, 1) == F.substring(gt, -1, 1))
     )
     is_len = F.length(pred) == F.length(gt)
-    return pairs.agg(
-        F.round(F.sum(is_slice.cast("double")) / (n + eps), 6).alias("acc_slice"),
-        F.round(F.sum(is_fl.cast("double")) / (n + eps), 6).alias("f_l_acc"),
-        F.round(F.sum(is_len.cast("double")) / (n + eps), 6).alias("len_acc"),
-    )
+
+    def frac(c):
+        return F.round(F.coalesce(F.sum(c), F.lit(0.0)) / (n + eps), 6)
+
+    return [
+        frac(is_slice.cast("double")).alias("acc_slice"),
+        frac(is_fl.cast("double")).alias("f_l_acc"),
+        frac(is_len.cast("double")).alias("len_acc"),
+    ]
+
+
+def long_text_indicators(pairs: DataFrame) -> DataFrame:
+    """One-row DataFrame form of long_text_indicator_aggs."""
+    return pairs.agg(*long_text_indicator_aggs())
 
 
 def rec_metric_long(
@@ -141,8 +155,9 @@ def rec_metric_long(
     """Full composed metric: slice → merge → RecMetricLong's
     normalization (ignore_space=True is the reference DEFAULT — spaces
     are stripped before every comparison) → exact acc + 1−NED plus the
-    reference's secondary indicators (acc_slice / f_l_acc / len_acc)."""
-    from openocr_spark.operators.metrics import rec_metric
+    reference's secondary indicators (acc_slice / f_l_acc / len_acc),
+    all in ONE aggregation pass over the merge lineage."""
+    from openocr_spark.operators.metrics import rec_metric_aggs
 
     base = docs.select(
         F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("gt")
@@ -153,4 +168,4 @@ def rec_metric_long(
     pairs = normalize_long_pairs(
         base.join(merged, "doc_id").select("pred", "gt"), ignore_space, is_filter
     )
-    return rec_metric(pairs).crossJoin(long_text_indicators(pairs))
+    return pairs.agg(*rec_metric_aggs(), *long_text_indicator_aggs())

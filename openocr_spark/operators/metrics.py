@@ -375,11 +375,14 @@ def cmer_metric(
             vals, columns=["rouge1", "rouge2", "rougeL", "bleu"]
         )
 
+    # NULL pred/gt must score as "" in EVERY column, or edit_distance
+    # (F.avg skips the NULL F.levenshtein yields) would average over a
+    # different sample set than the UDF-scored rouge/bleu columns
+    pred = F.coalesce(F.col(pred_col), F.lit(""))
+    gt = F.coalesce(F.col(gt_col), F.lit(""))
     scored = pairs.select(
-        scores_udf(F.col(pred_col), F.col(gt_col)).alias("s"),
-        F.levenshtein(F.col(pred_col), F.col(gt_col))
-        .cast("double")
-        .alias("edit_distance"),
+        scores_udf(pred, gt).alias("s"),
+        F.levenshtein(pred, gt).cast("double").alias("edit_distance"),
     )
     return scored.agg(
         F.round(F.coalesce(F.avg("s.rouge1"), F.lit(0.0)), 6).alias("rouge1"),
@@ -420,26 +423,42 @@ def det_metric_thresholds(
     return out
 
 
+def rec_metric_aggs(
+    pred_col: str = "pred", gt_col: str = "gt"
+) -> list:
+    """The rec_metric aggregate columns, exposed so composers
+    (rec_metric_long) can fold them into ONE .agg pass instead of
+    crossJoining two aggregations over the same (expensive) lineage.
+    Empty input follows the reference's 0/(0+eps) arithmetic — acc 0.0,
+    1−NED 1.0 — not NULL."""
+    ned = normalized_levenshtein(F.col(pred_col), F.col(gt_col))
+    eps = F.lit(1e-5)
+    n = F.count("*")
+
+    def z(c):  # F.sum over zero rows is NULL; the reference sums are 0
+        return F.coalesce(c, F.lit(0.0))
+
+    return [
+        n.alias("all_num"),
+        F.coalesce(
+            F.sum(F.when(F.col(pred_col) == F.col(gt_col), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("correct_num"),
+        F.round(
+            z(F.sum(F.when(F.col(pred_col) == F.col(gt_col), 1.0).otherwise(0.0)))
+            / (n + eps),
+            6,
+        ).alias("acc"),
+        F.round(1.0 - z(F.sum(ned)) / (n + eps), 6).alias("one_minus_ned"),
+    ]
+
+
 def rec_metric(pairs: DataFrame, pred_col: str = "pred", gt_col: str = "gt") -> DataFrame:
     """Exact-match acc + 1−NED (rec_metric.py:69-97, reference-exact
     including the eps=1e-5 denominator guard: acc = correct/(n+eps),
     1−NED = 1 − Σned/(n+eps) — pinned against the reference's own
     RecMetric by test_metric_differential)."""
-    ned = normalized_levenshtein(F.col(pred_col), F.col(gt_col))
-    eps = F.lit(1e-5)
-    n = F.count("*")
-    return pairs.agg(
-        n.alias("all_num"),
-        F.sum(F.when(F.col(pred_col) == F.col(gt_col), 1).otherwise(0)).alias(
-            "correct_num"
-        ),
-        F.round(
-            F.sum(F.when(F.col(pred_col) == F.col(gt_col), 1.0).otherwise(0.0))
-            / (n + eps),
-            6,
-        ).alias("acc"),
-        F.round(1.0 - F.sum(ned) / (n + eps), 6).alias("one_minus_ned"),
-    )
+    return pairs.agg(*rec_metric_aggs(pred_col, gt_col))
 
 
 def rec_metric_by_length(
@@ -516,7 +535,8 @@ def rec_metric_all(
     n = F.count("*")
 
     def frac(c):
-        return F.round(F.sum(F.col(c)) / (n + eps), 6)
+        # coalesce: empty input follows the reference's 0/(0+eps) = 0.0
+        return F.round(F.coalesce(F.sum(F.col(c)), F.lit(0.0)) / (n + eps), 6)
 
     return staged.agg(
         frac("eq_final").alias("acc"),
@@ -526,7 +546,9 @@ def rec_metric_all(
         frac("eq_ignore_space_lower").alias("acc_ignore_space_lower"),
         frac("eq_ignore_space_symbol").alias("acc_ignore_space_symbol"),
         frac("eq_final").alias("acc_ignore_space_lower_symbol"),
-        F.round(1.0 - F.sum("ned") / (n + eps), 6).alias("one_minus_ned"),
+        F.round(
+            1.0 - F.coalesce(F.sum("ned"), F.lit(0.0)) / (n + eps), 6
+        ).alias("one_minus_ned"),
         n.alias("num_samples"),
     )
 
@@ -547,7 +569,11 @@ def rec_metric_by_ratio(
     last bin), acc/NED on the FINAL normalization stage with per-bin
     eps=1e-5 denominators. Empty bins read acc 0.0 / 1−NED 1.0 in the
     reference's fixed-size lists; a grouped DataFrame simply omits
-    them."""
+    them. DELIBERATE divergence: ratio ≤ 0 (unreachable through
+    gen_ratio = max(1, round(w/h))) clamps into bin 1 here, where the
+    reference's ratio-1 index would be -1 — Python negative indexing
+    silently landing it in the LAST bin; the clamp is the saner reading
+    of an out-of-domain input."""
     staged = _staged_norm_pairs(
         pairs, pred_col, gt_col, ignore_space, is_filter, is_lower
     )

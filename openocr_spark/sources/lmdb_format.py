@@ -657,21 +657,27 @@ def read_lmdb_dataset_records(path: str) -> list[tuple[int, bytes, str]]:
     return out
 
 
-def read_lmdb_dataset(spark, root_dir: str):
-    """Distributed LMDB-dataset reader (LMDBDataSet analog,
-    lmdb_dataset.py:37-58 hierarchical walk): leaf directories under
-    root_dir are the shards; the shard LIST is driver-side metadata
-    (cheap), the record decode runs in executors — one task per shard,
-    the same parallelism unit as the reference's per-env traversal.
-    Output: (shard string, idx int, image binary, label string)."""
-    import pandas as pd
-
+def _walk_shards(spark, root_dir: str):
+    """Hierarchical LMDB shard discovery (lmdb_dataset.py:37-58): leaf
+    directories containing data.mdb under root_dir, sorted — driver-
+    side metadata (cheap), shared by the image and text dataset
+    readers. Returns a one-column (shard string) DataFrame."""
     shards = []
-    for dirpath, dirnames, filenames in os.walk(root_dir):
+    for dirpath, _dirnames, filenames in os.walk(root_dir):
         if "data.mdb" in filenames:
             shards.append(dirpath)
     shards.sort()
-    sdf = spark.createDataFrame([(s,) for s in shards], "shard string")
+    return spark.createDataFrame([(s,) for s in shards], "shard string")
+
+
+def read_lmdb_dataset(spark, root_dir: str):
+    """Distributed LMDB-dataset reader (LMDBDataSet analog): the record
+    decode runs in executors — one task per shard, the same parallelism
+    unit as the reference's per-env traversal.
+    Output: (shard string, idx int, image binary, label string)."""
+    import pandas as pd
+
+    sdf = _walk_shards(spark, root_dir)
 
     def kernel(batches):
         for pdf in batches:
@@ -688,6 +694,20 @@ def read_lmdb_dataset(spark, root_dir: str):
     )
 
 
+def read_text_lmdb_dataset_records(path: str) -> list[tuple[int, str]]:
+    """(index, label) rows from one text-only LMDB shard — label-%09d
+    keys plus num-samples, NO image keys (text_lmdb_dataset.py:
+    100-113)."""
+    r = LmdbReader(path)
+    num = r.get(b"num-samples")
+    n = int(num) if num is not None else 0
+    out = []
+    for i in range(1, n + 1):
+        lab = r.get(b"label-%09d" % i)
+        out.append((i, lab.decode("utf-8") if lab is not None else ""))
+    return out
+
+
 def read_text_lmdb_dataset(spark, root_dir: str):
     """TextLMDBDataSet analog (text_lmdb_dataset.py:34-113): LMDB shards
     carrying label-%09d keys ONLY (text-only corpora, no image keys) —
@@ -697,30 +717,14 @@ def read_text_lmdb_dataset(spark, root_dir: str):
     share the image+label scheme read_lmdb_dataset handles."""
     import pandas as pd
 
-    shards = []
-    for dirpath, _dirnames, filenames in os.walk(root_dir):
-        if "data.mdb" in filenames:
-            shards.append(dirpath)
-    shards.sort()
-    sdf = spark.createDataFrame([(s,) for s in shards], "shard string")
+    sdf = _walk_shards(spark, root_dir)
 
     def kernel(batches):
         for pdf in batches:
             rows = []
             for shard in pdf["shard"].tolist():
-                r = LmdbReader(shard)
-                num = r.get(b"num-samples")
-                for i in range(1, (int(num) if num is not None else 0) + 1):
-                    lab = r.get(b"label-%09d" % i)
-                    rows.append(
-                        {
-                            "shard": shard,
-                            "idx": i,
-                            "label": lab.decode("utf-8")
-                            if lab is not None
-                            else "",
-                        }
-                    )
+                for i, lab in read_text_lmdb_dataset_records(shard):
+                    rows.append({"shard": shard, "idx": i, "label": lab})
             yield pd.DataFrame(rows, columns=["shard", "idx", "label"])
 
     return sdf.mapInPandas(kernel, schema="shard string, idx int, label string")

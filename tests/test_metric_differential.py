@@ -744,3 +744,42 @@ def test_rec_metric_composed_shapes(spark):
     assert row["acc"] == pytest.approx(2 / (2 + 1e-5) * 0.5, abs=1e-6)
     assert row["gtc_acc"] == pytest.approx(2 / (2 + 1e-5), abs=1e-6)
     assert "gtc_norm_edit_dis" in row.asDict()
+
+
+def test_empty_input_matches_reference_zero_arithmetic(spark):
+    """Review-caught: F.sum over zero rows is NULL; the reference's
+    0/(0+eps) arithmetic gives acc 0.0 and 1−NED 1.0 on EMPTY input —
+    every ungrouped metric aggregate must coalesce, not emit NULLs."""
+    from openocr_spark.operators.longtext import long_text_indicators
+    from openocr_spark.operators.metrics import (
+        cmer_metric,
+        rec_metric,
+        rec_metric_all,
+    )
+
+    empty = spark.createDataFrame([], "pred string, gt string")
+    row = rec_metric(empty).collect()[0]
+    assert (row["all_num"], row["correct_num"]) == (0, 0)
+    assert row["acc"] == 0.0 and row["one_minus_ned"] == 1.0
+    row = rec_metric_all(empty).collect()[0]
+    assert row["acc"] == 0.0 and row["acc_real"] == 0.0
+    assert row["one_minus_ned"] == 1.0 and row["num_samples"] == 0
+    row = long_text_indicators(empty).collect()[0]
+    assert (row["acc_slice"], row["f_l_acc"], row["len_acc"]) == (0.0, 0.0, 0.0)
+    row = cmer_metric(empty).collect()[0]
+    assert row["bleu"] == 0.0 and row["edit_distance"] == 0.0
+
+
+def test_cmer_null_columns_score_as_empty(spark):
+    """Review-caught: NULL pred/gt must enter every column as "" so
+    edit_distance averages over the SAME sample set as rouge/bleu."""
+    from openocr_spark.operators.metrics import cmer_metric
+
+    df = spark.createDataFrame(
+        [(None, "ref text"), ("pred text", None), ("same", "same")],
+        "pred string, gt string",
+    )
+    row = cmer_metric(df).collect()[0]
+    assert row["num_samples"] == 3
+    # levenshtein("", "ref text")=8, ("pred text","")=9, ("same","same")=0
+    assert row["edit_distance"] == pytest.approx((8 + 9 + 0) / 3, abs=1e-6)
