@@ -1655,6 +1655,13 @@ def q_det_ap(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "rec_metric_fixture",
     f"""
+    WITH pairs AS (
+      SELECT pred, gt,
+             replace(pred, ' ', '') AS p1, replace(gt, ' ', '') AS g1,
+             lower(replace(pred, ' ', '')) AS p3,
+             lower(replace(gt, ' ', '')) AS g3
+      FROM read_parquet('{_ORA}/rec_pairs.parquet')
+    )
     SELECT COUNT(*) AS all_num,
            CAST(SUM(CASE WHEN pred = gt THEN 1 ELSE 0 END) AS BIGINT)
              AS correct_num,
@@ -1663,24 +1670,71 @@ def q_det_ap(spark: SparkSession, sf: str) -> DataFrame:
            ROUND(1.0 - SUM(CASE WHEN pred = gt THEN 0.0
                            ELSE levenshtein(pred, gt) * 1.0 /
                                 GREATEST(len(pred), len(gt), 1) END)
-                 / (COUNT(*) + 1e-5), 6) AS one_minus_ned
-    FROM read_parquet('{_ORA}/rec_pairs.parquet')
+                 / (COUNT(*) + 1e-5), 6) AS one_minus_ned,
+           -- RecMetric(with_ratio=True) six-stage family under the
+           -- DEFAULT flags (rec_metric.py:204-251; is_filter off so
+           -- the symbol stage equals the space-stripped stage)
+           ROUND(SUM(CASE WHEN pred = gt THEN 1.0 ELSE 0.0 END)
+                 / (COUNT(*) + 1e-5), 6) AS acc_real,
+           ROUND(SUM(CASE WHEN lower(pred) = lower(gt) THEN 1.0 ELSE 0.0 END)
+                 / (COUNT(*) + 1e-5), 6) AS acc_lower,
+           ROUND(SUM(CASE WHEN p1 = g1 THEN 1.0 ELSE 0.0 END)
+                 / (COUNT(*) + 1e-5), 6) AS acc_ignore_space,
+           ROUND(SUM(CASE WHEN lower(p1) = lower(g1) THEN 1.0 ELSE 0.0 END)
+                 / (COUNT(*) + 1e-5), 6) AS acc_ignore_space_lower,
+           ROUND(SUM(CASE WHEN p1 = g1 THEN 1.0 ELSE 0.0 END)
+                 / (COUNT(*) + 1e-5), 6) AS acc_ignore_space_symbol,
+           ROUND(SUM(CASE WHEN p3 = g3 THEN 1.0 ELSE 0.0 END)
+                 / (COUNT(*) + 1e-5), 6) AS acc_ignore_space_lower_symbol,
+           ROUND(1.0 - SUM(CASE WHEN p3 = g3 THEN 0.0
+                           ELSE levenshtein(p3, g3) * 1.0 /
+                                GREATEST(len(p3), len(g3), 1) END)
+                 / (COUNT(*) + 1e-5), 6) AS one_minus_ned_final
+    FROM pairs
     """,
 )
 def q_rec_metric_fixture(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end recognition eval (SURVEY A5): confident decodes vs the
-    assigned region's GT text — exact acc + 1−NED. Oracle: the metric in
-    SQL over the single-node decode loop's (pred, gt) pairs."""
-    from openocr_spark.operators.metrics import extract_detail, rec_metric
-
+    assigned region's GT text — raw exact acc + 1−NED PLUS the
+    RecMetric(with_ratio=True) six-stage accuracy family under the
+    reference's default flags (r6 extension of this query's columns —
+    the driver window is full, so new driver-checked behavior extends
+    existing queries). One aggregation pass over the staged projection.
+    Oracle: the same metrics in SQL over the single-node decode loop's
+    (pred, gt) pairs."""
     from openocr_spark.config import DEFAULT_CONFIG
+    from openocr_spark.operators.metrics import (
+        _staged_norm_pairs,
+        extract_detail,
+        rec_metric_aggs,
+    )
 
     detail = extract_detail(_fixture_media_refs(spark, sf))
     pairs = detail.filter(
         (F.col("rec_score") >= DEFAULT_CONFIG.drop_score)
         & F.col("gt_text").isNotNull()
     ).select(F.col("transcription").alias("pred"), F.col("gt_text").alias("gt"))
-    return rec_metric(pairs)
+    staged = _staged_norm_pairs(
+        pairs, "pred", "gt", ignore_space=True, is_filter=False, is_lower=True
+    )
+    eps = F.lit(1e-5)
+    n = F.count("*")
+
+    def frac(c):
+        return F.round(F.coalesce(F.sum(F.col(c)), F.lit(0.0)) / (n + eps), 6)
+
+    return staged.agg(
+        *rec_metric_aggs(),
+        frac("eq_real").alias("acc_real"),
+        frac("eq_lower").alias("acc_lower"),
+        frac("eq_ignore_space").alias("acc_ignore_space"),
+        frac("eq_ignore_space_lower").alias("acc_ignore_space_lower"),
+        frac("eq_ignore_space_symbol").alias("acc_ignore_space_symbol"),
+        frac("eq_final").alias("acc_ignore_space_lower_symbol"),
+        F.round(
+            1.0 - F.coalesce(F.sum("ned"), F.lit(0.0)) / (n + eps), 6
+        ).alias("one_minus_ned_final"),
+    )
 
 
 @q(
