@@ -851,6 +851,15 @@ def decode_bytes(data: bytes) -> list[np.ndarray]:
         if px.ndim == 3:
             px = _luma(px[:, :, 0], px[:, :, 1], px[:, :, 2])
         return [px]
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from openocr_spark.kernels.riff_media import decode_avi_frames
+
+        return decode_avi_frames(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        raise NotImplementedError(
+            "RIFF/WAVE is an audio container — use kernels/riff_media."
+            "decode_wav or operators/multimodal.audio_stats"
+        )
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         from openocr_spark.kernels.webp_format import decode_webp
 

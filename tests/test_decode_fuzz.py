@@ -156,6 +156,16 @@ def _streams() -> dict[str, bytes]:
     anim = b"ANIM" + struct.pack("<I", 6) + b"\x00" * 6
     riff = b"WEBP" + vp8x + anim + _anmf(rgb) + _anmf(rgb[::-1])
     out["webp_anim"] = b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    # r6 audio/video legs: AVI/MJPEG walks decode_bytes like any other
+    # container; WAV's real parser gets its own contract test below
+    # (decode_bytes only raises the clean audio-container pointer)
+    from riff_ref_writer import avi_mjpeg_bytes, wav_bytes
+
+    out["avi_mjpeg"] = avi_mjpeg_bytes([img, img[::-1]])
+    out["wav"] = wav_bytes(
+        np.stack([np.sin(np.arange(200) / 7.0)] * 2, axis=1), 8000
+    )
     return out
 
 
@@ -193,6 +203,25 @@ def test_bitflip_terminates_cleanly(fmt, off, bit):
     for p in pages:
         assert isinstance(p, np.ndarray) and p.dtype == np.uint8
         assert p.ndim in (2, 3) and p.size > 0
+
+
+@given(cut=st.floats(0.01, 0.999), off=st.floats(0.0, 0.999), bit=st.integers(0, 7))
+@settings(max_examples=60, deadline=2000)
+def test_wav_parser_corruption_contract(cut, off, bit):
+    """decode_wav under truncation + bitflip: clean exception or a
+    well-formed (samples, rate) pair — decode_bytes only raises the
+    audio-container pointer for WAVE, so the real parser needs its own
+    matrix entry."""
+    from openocr_spark.kernels.riff_media import decode_wav
+
+    data = bytearray(STREAMS["wav"][: max(12, int(len(STREAMS["wav"]) * cut))])
+    data[int(len(data) * off)] ^= 1 << bit
+    try:
+        samples, rate = decode_wav(bytes(data))
+    except Exception:
+        return
+    assert isinstance(samples, np.ndarray) and samples.dtype == np.float32
+    assert samples.ndim == 2 and rate >= 1
 
 
 def test_ras_depth_bomb_rejected_fast():

@@ -1,0 +1,117 @@
+"""Audio/video multimodal legs: WAV PCM decode + AVI/MJPEG frame
+sampling, validated against the independent test-side RIFF writers
+(riff_ref_writer) standalone and through the Spark operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from riff_ref_writer import avi_mjpeg_bytes, wav_bytes
+
+from openocr_spark.kernels.media_decode import decode_bytes
+from openocr_spark.kernels.riff_media import decode_avi_frames, decode_wav
+from openocr_spark.operators.multimodal import audio_stats, video_frame_sample
+
+
+def _tone(n=480, ch=2, rate=8000):
+    t = np.arange(n) / rate
+    left = np.sin(2 * np.pi * 440 * t)
+    right = 0.5 * np.sin(2 * np.pi * 220 * t)
+    return np.stack([left, right][:ch], axis=1)
+
+
+@pytest.mark.parametrize(
+    "bits,ieee", [(8, False), (16, False), (24, False), (32, False), (32, True), (64, True)]
+)
+def test_wav_roundtrip_all_widths(bits, ieee):
+    x = _tone()
+    data = wav_bytes(x, 8000, bits=bits, ieee_float=ieee)
+    got, rate = decode_wav(data)
+    assert rate == 8000 and got.shape == x.shape
+    # quantization error bounded by one step of the narrowest width
+    tol = 1e-6 if ieee else 2.0 ** -(bits - 1) + 1e-6
+    np.testing.assert_allclose(got, x, atol=tol)
+
+
+def test_wav_compressed_fails_loudly():
+    data = bytearray(wav_bytes(_tone(), 8000))
+    data[20] = 0x55  # fmt tag -> some compressed codec id
+    with pytest.raises(NotImplementedError, match="fail-loud boundary"):
+        decode_wav(bytes(data))
+
+
+def _frames(k=5, h=24, w=32):
+    rng = np.random.default_rng(42)
+    return [
+        (rng.integers(0, 256, size=(h, w)).astype(np.uint8) // 16 * 16)
+        for _ in range(k)
+    ]
+
+
+def test_avi_mjpeg_frames_decode():
+    frames = _frames()
+    data = avi_mjpeg_bytes(frames)
+    got = decode_avi_frames(data)
+    assert len(got) == len(frames)
+    for a, b in zip(got, frames):
+        assert a.shape == b.shape
+        # near-lossless qtable: frames match to small JPEG error
+        assert float(np.abs(a.astype(int) - b.astype(int)).mean()) < 3.0
+
+
+def test_avi_every_n_strides_at_chunk_level():
+    frames = _frames(7)
+    data = avi_mjpeg_bytes(frames)
+    got = decode_avi_frames(data, every_n=3)
+    assert len(got) == 3  # frames 0, 3, 6
+
+
+def test_avi_through_decode_bytes_pages():
+    data = avi_mjpeg_bytes(_frames(3))
+    pages = decode_bytes(data)
+    assert len(pages) == 3 and all(p.dtype == np.uint8 for p in pages)
+
+
+def test_wav_through_decode_bytes_fails_with_pointer():
+    with pytest.raises(NotImplementedError, match="decode_wav"):
+        decode_bytes(wav_bytes(_tone(), 8000))
+
+
+def test_non_mjpeg_avi_fails_loudly():
+    frames = _frames(1)
+    data = bytearray(avi_mjpeg_bytes(frames))
+    i = data.find(b"\xff\xd8")  # corrupt the frame codec
+    data[i] = 0x00
+    with pytest.raises(NotImplementedError, match="MJPEG"):
+        decode_avi_frames(bytes(data))
+
+
+def test_audio_stats_operator(spark):
+    x = _tone()
+    rows = audio_stats(
+        spark.createDataFrame(
+            [("a1", bytearray(wav_bytes(x, 8000)))], "media_ref string, payload binary"
+        )
+    ).collect()
+    r = rows[0]
+    assert (r.sample_rate, r.n_channels, r.n_samples) == (8000, 2, 480)
+    assert r.duration_ms == pytest.approx(60.0)
+    assert r.rms == pytest.approx(float(np.sqrt(np.mean(x**2))), abs=1e-3)
+    assert r.peak == pytest.approx(float(np.abs(x).max()), abs=1e-3)
+
+
+def test_video_frame_sample_operator(spark):
+    frames = _frames(6)
+    rows = video_frame_sample(
+        spark.createDataFrame(
+            [("v1", bytearray(avi_mjpeg_bytes(frames)))],
+            "media_ref string, payload binary",
+        ),
+        every_n=2,
+    ).collect()
+    assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == [0, 2, 4]
+    assert all(
+        (r.height, r.width) == frames[0].shape and 0 <= r.mean_px <= 255
+        for r in rows
+    )
