@@ -79,7 +79,9 @@ def video_frame_sample(
     """AVI/MJPEG payloads → every_n-sampled frames, 1→N exploded (the
     frame-sample leg). The stride is applied at the container-chunk
     level inside the kernel, so unsampled frames are never
-    entropy-decoded; frame_idx is the index IN THE SOURCE STREAM."""
+    entropy-decoded; frame_idx indexes the FIRST video stream's
+    non-empty frames (drop-frame placeholders and other stream ids are
+    excluded by the kernel — see decode_avi_frames)."""
     from openocr_spark.kernels.riff_media import decode_avi_frames
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

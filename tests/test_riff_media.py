@@ -115,3 +115,124 @@ def test_video_frame_sample_operator(spark):
         (r.height, r.width) == frames[0].shape and 0 <= r.mean_px <= 255
         for r in rows
     )
+
+
+# ------------------- review-finding regressions (r6 second pass) ----
+
+
+def test_wav_extensible_pcm_decodes():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping the PCM SubFormat GUID
+    is the mandated layout for >16-bit / >2-channel PCM — it must
+    decode, not be mislabeled as compressed audio."""
+    import struct
+
+    x = _tone(bits_ok := 240, ch=2)
+    base = wav_bytes(x, 8000, bits=24)
+    # rebuild with an extensible fmt chunk: tag 0xFFFE + 22-byte ext
+    i = base.find(b"fmt ")
+    (fmt_size,) = struct.unpack_from("<I", base, i + 4)
+    fmt_body = bytearray(base[i + 8 : i + 8 + fmt_size])
+    struct.pack_into("<H", fmt_body, 0, 0xFFFE)
+    ext = struct.pack("<HHI", 22, 24, 0b11) + struct.pack(
+        "<I", 1
+    ) + bytes.fromhex("00001000800000aa00389b71")
+    new_fmt = bytes(fmt_body) + ext
+    data_chunk = base[i + 8 + fmt_size :]
+    rebuilt = (
+        base[:i]
+        + b"fmt "
+        + struct.pack("<I", len(new_fmt))
+        + new_fmt
+        + data_chunk
+    )
+    rebuilt = b"RIFF" + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+    got, rate = decode_wav(rebuilt)
+    assert rate == 8000 and got.shape == x.shape
+    np.testing.assert_allclose(got, x, atol=2.0**-23 + 1e-6)
+
+
+def test_wav_trailing_garbage_tolerated():
+    """The walk is bounded by the RIFF size field: bytes appended past
+    a complete valid file must not abort the decode."""
+    x = _tone()
+    data = wav_bytes(x, 8000) + b"\x99" * 37
+    got, rate = decode_wav(data)
+    assert rate == 8000 and got.shape == x.shape
+
+
+def test_wav_float_nonfinite_sanitized():
+    """NaN/inf float samples sanitize (NaN->0, +-inf -> +-1) instead of
+    poisoning downstream stats — the EXR/PFM non-finite stance."""
+    x = _tone(n=16, ch=1)
+    data = bytearray(wav_bytes(x, 8000, bits=32, ieee_float=True))
+    i = data.find(b"data") + 8
+    data[i : i + 4] = np.array([np.nan], "<f4").tobytes()
+    data[i + 4 : i + 8] = np.array([np.inf], "<f4").tobytes()
+    got, _ = decode_wav(bytes(data))
+    assert np.isfinite(got).all()
+    assert got[0, 0] == 0.0 and got[1, 0] == 1.0
+
+
+def test_avi_drop_frames_skipped():
+    """Zero-length '00dc' chunks are the AVI drop-frame timing
+    placeholder — a valid file, not a foreign codec."""
+    import struct
+
+    frames = _frames(3)
+    data = avi_mjpeg_bytes(frames)
+    i = data.find(b"00dc")
+    empty = b"00dc" + struct.pack("<I", 0)
+    patched = bytearray(data[:i] + empty + data[i:])
+    # the insert sits inside the movi LIST: grow its declared size too
+    m = patched.find(b"movi")
+    (movi_size,) = struct.unpack_from("<I", patched, m - 4)
+    struct.pack_into("<I", patched, m - 4, movi_size + len(empty))
+    struct.pack_into("<I", patched, 4, len(patched) - 8)
+    got = decode_avi_frames(bytes(patched))
+    assert len(got) == 3
+
+
+def test_avi_second_stream_ignored():
+    """Chunks from a second video stream id must not interleave into
+    the first stream's frame sequence (the player-0 convention)."""
+    import struct
+
+    frames = _frames(2)
+    data = avi_mjpeg_bytes(frames)
+    i = data.find(b"00dc")
+    j = data.find(b"00dc", i + 4)
+    foreign = bytearray(data)
+    foreign[j : j + 2] = b"01"  # second chunk now belongs to stream 01
+    got = decode_avi_frames(bytes(foreign))
+    assert len(got) == 1  # only stream 00's frame
+
+
+def test_avi_deep_list_nesting_bounded():
+    """~600 nested LISTs must terminate with a clean result or error —
+    never RecursionError (iterative walk)."""
+    import struct
+
+    inner = b""
+    for _ in range(600):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"rec " + inner
+    data = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    assert decode_avi_frames(data) == []
+
+
+def test_avi_aggregate_allocation_capped():
+    """The TOTAL decoded samples are capped, not just per-frame — a
+    long clip cannot materialize gigabytes from one row."""
+    import struct
+
+    from openocr_spark.kernels import riff_media
+
+    frames = _frames(4, h=16, w=16)
+    data = avi_mjpeg_bytes(frames)
+    orig = riff_media.MAX_DECODE_SAMPLES
+    riff_media.MAX_DECODE_SAMPLES = 16 * 16 * 2  # cap at two frames
+    try:
+        with pytest.raises(NotImplementedError, match="aggregate cap"):
+            decode_avi_frames(data)
+        assert len(decode_avi_frames(data, every_n=2)) == 2  # stride fits
+    finally:
+        riff_media.MAX_DECODE_SAMPLES = orig
