@@ -126,7 +126,7 @@ def test_wav_extensible_pcm_decodes():
     decode, not be mislabeled as compressed audio."""
     import struct
 
-    x = _tone(bits_ok := 240, ch=2)
+    x = _tone(240, ch=2)
     base = wav_bytes(x, 8000, bits=24)
     # rebuild with an extensible fmt chunk: tag 0xFFFE + 22-byte ext
     i = base.find(b"fmt ")
@@ -236,3 +236,30 @@ def test_avi_aggregate_allocation_capped():
         assert len(decode_avi_frames(data, every_n=2)) == 2  # stride fits
     finally:
         riff_media.MAX_DECODE_SAMPLES = orig
+
+
+def test_wav_roundtrip_property():
+    """Randomized (n, channels, rate, width) round trips within one
+    quantization step — the property-level version of the width matrix."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=2000)
+    @given(
+        n=st.integers(1, 300),
+        ch=st.integers(1, 6),
+        rate=st.sampled_from([8000, 16000, 44100, 192000]),
+        width=st.sampled_from([(8, False), (16, False), (24, False),
+                               (32, False), (32, True), (64, True)]),
+        seed=st.integers(0, 2**16),
+    )
+    def check(n, ch, rate, width, seed):
+        bits, ieee = width
+        rng = np.random.default_rng(seed)
+        x = (rng.random((n, ch)) * 2 - 1).astype(np.float64) * 0.999
+        got, got_rate = decode_wav(wav_bytes(x, rate, bits=bits, ieee_float=ieee))
+        assert got_rate == rate and got.shape == (n, ch)
+        tol = 1e-6 if ieee else 2.0 ** -(bits - 1) + 1e-6
+        np.testing.assert_allclose(got, x, atol=tol)
+
+    check()
