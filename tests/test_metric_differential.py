@@ -783,3 +783,53 @@ def test_cmer_null_columns_score_as_empty(spark):
     assert row["num_samples"] == 3
     # levenshtein("", "ref text")=8, ("pred text","")=9, ("same","same")=0
     assert row["edit_distance"] == pytest.approx((8 + 9 + 0) / 3, abs=1e-6)
+
+
+def test_rec_metric_gtc_composition_matches_reference(spark):
+    """The reference RecGTCMetric (two RecMetrics + gtc_* key merge) vs
+    rec_metric_composed over the same pair sets — base (ctc) metrics
+    plus gtc_acc/gtc_norm_edit_dis, default flags (ignore_space on,
+    lower on via RecMetric default)."""
+    from pyspark.sql import functions as F
+
+    from tests._reference_loader import load_class
+
+    from openocr_spark.operators.metrics import rec_metric_composed
+
+    mod = _ref_rec_metric_mod()
+    RecGTCMetric = load_class(
+        f"{REF_TOOLS}/../openrec/metrics/rec_metric_gtc.py",
+        "RecGTCMetric",
+        {"RecMetric": mod.RecMetric},
+    )
+    pairs = _string_pairs()
+    rng = random.Random(81)
+    gtc_pairs = [
+        (p if rng.random() < 0.5 else p + "x", g) for p, g in pairs
+    ]
+    labels = [(g, 1.0) for _, g in pairs]
+    rm = RecGTCMetric()
+    rm(
+        (
+            ([(p, 1.0) for p, _ in gtc_pairs], labels),
+            ([(p, 1.0) for p, _ in pairs], labels),
+        )
+    )
+    want = rm.get_metric()
+
+    def norm(df):  # RecMetric defaults: ignore_space + is_lower
+        pred = F.lower(F.replace(F.col("pred"), F.lit(" "), F.lit("")))
+        gt = F.lower(F.replace(F.col("gt"), F.lit(" "), F.lit("")))
+        return df.select(pred.alias("pred"), gt.alias("gt"))
+
+    base = norm(spark.createDataFrame(pairs, "pred string, gt string"))
+    aux = norm(spark.createDataFrame(gtc_pairs, "pred string, gt string"))
+    row = rec_metric_composed(base, {"gtc": aux}).collect()[0]
+    assert row["acc"] == pytest.approx(want["acc"], abs=2e-6)
+    assert row["one_minus_ned"] == pytest.approx(
+        want["norm_edit_dis"], abs=2e-6
+    )
+    assert row["gtc_acc"] == pytest.approx(want["gtc_acc"], abs=2e-6)
+    assert row["gtc_norm_edit_dis"] == pytest.approx(
+        want["gtc_norm_edit_dis"], abs=2e-6
+    )
