@@ -225,6 +225,40 @@ def main() -> None:
               f"(labels: {[r.label for r in back]}, "
               f"sizes: {[len(r.image) for r in back]})")
 
+    # 4d ── audio/video multimodal legs (WAV stats + MJPEG frame-sample)
+    try:
+        # tests/ already on sys.path from the codec leg above
+        from riff_ref_writer import avi_mjpeg_bytes, wav_bytes
+
+        from openocr_spark.operators.multimodal import (
+            audio_stats,
+            video_frame_sample,
+        )
+
+        rng = np.random.default_rng(12)
+        tone = np.sin(np.arange(1600)[:, None] / 5.0)
+        av_df = spark.createDataFrame(
+            [
+                ("clip0", bytearray(avi_mjpeg_bytes(
+                    [rng.integers(0, 256, (16, 24)).astype(np.uint8)
+                     for _ in range(4)]))),
+            ],
+            "media_ref string, payload binary",
+        )
+        wav_df = spark.createDataFrame(
+            [("tone0", bytearray(wav_bytes(tone, 8000)))],
+            "media_ref string, payload binary",
+        )
+        a = audio_stats(wav_df).first()
+        v = video_frame_sample(av_df, every_n=2).collect()
+        print(
+            f"[av]        wav {a.duration_ms} ms rms={a.rms}; "
+            f"avi sampled frames: {sorted(r.frame_idx for r in v)}"
+        )
+    except ImportError:
+        print("[av]        tests/ tree not shipped — skipping the "
+              "audio/video leg (riff_ref_writer is test-side)")
+
     # 5 ── manifest resume + golden sink
     from openocr_spark.operators.manifest import run_with_manifest
     from openocr_spark.sources.sinks import write_system_results
