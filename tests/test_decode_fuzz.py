@@ -166,6 +166,26 @@ def _streams() -> dict[str, bytes]:
     out["wav"] = wav_bytes(
         np.stack([np.sin(np.arange(200) / 7.0)] * 2, axis=1), 8000
     )
+
+    # literal dispatch-target closure: the remaining decode_bytes entry
+    # branches not already in the matrix — ASCII P2, color P6, plain
+    # (uncompressed palette) BMP, and the headerless-DIB synthesis path
+    out["pnm_ascii"] = (
+        b"P2\n24 16\n255\n"
+        + "\n".join(" ".join(str(v) for v in row) for row in img).encode()
+        + b"\n"
+    )
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    out["ppm_color"] = b"P6\n24 16\n255\n" + rgb.tobytes()
+    rows8 = b""
+    for y in range(h - 1, -1, -1):
+        row = img[y].tobytes()
+        rows8 += row + b"\x00" * ((-len(row)) % 4)
+    bmp_plain = (
+        _bmp_headers(w, h, 8, 0, len(rows8), n_pal=256) + pal256 + rows8
+    )
+    out["bmp_plain"] = bmp_plain
+    out["dib_headerless"] = bmp_plain[14:]  # strip the BM file header
     return out
 
 
