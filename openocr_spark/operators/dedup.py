@@ -56,9 +56,15 @@ def shingle_array(text: Column, n: int = 3) -> Column:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs — the inverted-index base relation."""
+    """(id, shingle) distinct pairs — the inverted-index base relation.
+    The input projection is spread first (guide §2.5): shingle
+    construction + the explode run before the distinct's exchange, and
+    an unsplittable input would serialize them on one core."""
+    from openocr_spark.operators.partitioning import spread
+
     return (
-        df.select(F.col(id_col).alias("id"), shingle_array(F.col(text_col), n).alias("sh"))
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+        .select("id", shingle_array(F.col("_t"), n).alias("sh"))
         .select("id", F.explode("sh").alias("shingle"))
         .distinct()
     )
@@ -69,13 +75,35 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: for each of N_MINHASHES seeded hash
     functions, the minimum md5 of (shingle + seed). min() over hex
-    strings is engine-portable and order-free."""
-    sh = shingles(df, id_col, text_col, n)
+    strings is engine-portable and order-free.
+
+    Computed per ROW as array_min over the shingle array — no explode,
+    no distinct, no groupBy: MIN is insensitive to duplicate shingles,
+    so the value equals the exploded-distinct-grouped form exactly,
+    while the plan drops from three exchanges (distinct + group) to
+    ZERO (guide §2.4 "remove shuffles outright"; measured 4.1s → the
+    narrow pass at sf0.1). The row set is unchanged: only docs with
+    ≥ n tokens have shingles, which the cheap pre-filter on the token
+    count reproduces (split is evaluated once there and once in
+    shingle_array — still strictly less work than the old shuffle).
+    Docs with duplicate-only shingles keep identical signatures."""
+    from openocr_spark.operators.partitioning import spread
+
+    # spread BEFORE the hashing expressions: an unsplittable input (one
+    # parquet row group) would otherwise run the whole md5 pass on one
+    # core (guide §2.5); no-op when the scan is already parallel
+    base = (
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+        .filter(F.size(F.split(F.col("_t"), " ")) >= n)
+        .select("id", shingle_array(F.col("_t"), n).alias("_sh"))
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{s}")))).alias(f"h{s}")
+        F.array_min(
+            F.transform("_sh", lambda x: F.md5(F.concat(x, F.lit(f"#{s}"))))
+        ).alias(f"h{s}")
         for s in range(N_MINHASHES)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return base.select("id", *aggs)
 
 
 def band_structs(h_cols: list[Column]) -> Column:
@@ -486,9 +514,12 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ascii code of hex digit i of md5(token) — engine-portable (ascii/substr
     /md5 behave identically in Spark and DuckDB). Document bit i = majority
     vote over tokens; code = Σ bit_i · 2^i."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    from openocr_spark.operators.partitioning import spread
+
+    toks = spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    ).select(
+        "id", F.explode(F.split(F.col("_t"), " ")).alias("tok")
     ).withColumn("h", F.md5(F.col("tok")))
     bit_votes = [
         F.sum(

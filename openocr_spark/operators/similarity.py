@@ -18,6 +18,10 @@ from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
+    # NOTE (r7): an unrolled GetArrayItem fast path was tried here and
+    # REVERTED — steady-state it matched the HOF form once stages were
+    # properly parallel, and its Janino compile cost ~0.5-1s per fresh
+    # plan, a net loss for single-shot queries (OPTIMIZATION_r07.md).
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -330,7 +334,8 @@ def cosine_topk_quantized(
     floats = emb.select(F.col(id_col), vec.alias("_v"))
     qcol = F.array(*[F.lit(x) for x in qarr])
     scored = cand.join(floats, id_col).select(
-        F.col(id_col), F.round(cosine(F.col("_v"), qcol), 6).alias("cos_sim")
+        F.col(id_col),
+        F.round(cosine(F.col("_v"), qcol), 6).alias("cos_sim"),
     )
     top = scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
     w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
@@ -380,7 +385,14 @@ def near_dup_pairs_lsh(
     # project the cast (+ strict check) vector ONCE: higher-order fns
     # sit outside codegen CSE, so inlining `vec` into all bands×bits
     # hash expressions would re-evaluate the cast/check 16× per row
-    projected = emb.select(F.col(id_col).alias("id"), vec.alias("_v"))
+    from openocr_spark.operators.partitioning import spread
+
+    # spread the hash-side projection: a single-row-group input would
+    # otherwise run ALL bands×bits hyperplane dots — and the band
+    # self-join probe — on one core (guide §2.5); no-op at scale
+    projected = spread(
+        emb.select(F.col(id_col).alias("id"), vec.alias("_v"))
+    )
     pv = F.col("_v")
     band_arr = F.array(
         *[
@@ -395,11 +407,20 @@ def near_dup_pairs_lsh(
         "id", F.explode("bs").alias("b")
     ).select("id", "b.band", "b.bucket")
     a, b = tagged.alias("a"), tagged.alias("b")
+    # candidate pairs WITHOUT the pre-verify distinct: a pair colliding
+    # in k bands flows to the verify k times and the dedup happens on
+    # the (tiny) post-threshold survivor set instead. verify is a
+    # deterministic function of the pair, so distinct(verify(dups)) ==
+    # verify(distinct(dups)) row-for-row — and the measured plan drops
+    # the 466k-row two-phase distinct aggregation + its exchange (the
+    # single hottest operator of this query, ~20s task time at sf0.1)
+    # for ~11% duplicate dot evaluations. Duplicate factor is bounded
+    # by `bands`, and only truly-near-dup pairs collide in many bands —
+    # exactly the pairs that survive to the small distinct anyway.
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
     # exact verify. Norms are a per-VECTOR quantity → compute them in
     # the n-row float projections, not per candidate pair — the pair-row
@@ -424,10 +445,13 @@ def near_dup_pairs_lsh(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 6
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+        .distinct()
     )
 
 
@@ -555,8 +579,21 @@ def near_dup_pairs(
             cell, F.lit("#"),
             sign_bucket(vec, sign_bits, dims=hash_dims).cast("string"),
         )
-    base = emb.select(
-        cell.alias("cell"), F.col(id_col).alias("id"), vec.alias("v")
+    # norms are a per-VECTOR quantity: computing them in the n-row base
+    # projection instead of per pair drops the pair-row work from 3
+    # array reductions to 1 (same rewrite the LSH verify uses).
+    # dot/(na*nb) keeps cosine()'s exact float order: same fold, same
+    # sqrt-then-multiply sequence — the oracle hash is unchanged.
+    from openocr_spark.operators.partitioning import spread
+
+    # spread: the per-pair dot below runs on the STREAM side's
+    # partitioning (the build side broadcasts); an unsplittable input
+    # would serialize the whole quadratic surface on one core
+    base = spread(
+        emb.select(
+            cell.alias("cell"), F.col(id_col).alias("id"), vec.alias("v"),
+            l2_norm(vec).alias("nrm"),
+        )
     )
     a, b = base.alias("a"), base.alias("b")
     return (
@@ -565,7 +602,11 @@ def near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
