@@ -64,20 +64,34 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
     padded = np.zeros((h, w + 2), dtype=np.int8)
     padded[:, 1:-1] = mask
     d = np.diff(padded, axis=1)
-    starts = np.argwhere(d == 1)      # (row, c0)
-    ends_c = np.argwhere(d == -1)[:, 1] - 1  # inclusive end col
+    # run starts/ends via ONE flatnonzero pass over the row-major ravel
+    # (rows cannot merge: the zero pad separates them) instead of two
+    # argwhere passes — argwhere is nonzero + transpose + stack, and
+    # this function runs once per media payload (guide §1.2); the
+    # .tolist() conversions make the union-find loop iterate plain
+    # ints rather than numpy scalars. Run pairing is unchanged: ravel
+    # preserves row-major order, so the k-th start still matches the
+    # k-th end within its row.
+    flat = d.ravel()
+    idx = np.flatnonzero(flat)
+    vals = flat[idx]
+    wd = w + 1  # d row width
+    sflat = idx[vals == 1]
+    srows = (sflat // wd).tolist()
+    scols = (sflat % wd).tolist()
+    ecols = (idx[vals == -1] % wd - 1).tolist()
     prev_runs: list[tuple[int, int, int]] = []  # (c0, c1, label)
     prev_r = -2
     i = 0
-    n_runs = len(starts)
+    n_runs = len(srows)
     while i < n_runs:
-        r = int(starts[i, 0])
+        r = srows[i]
         if r != prev_r + 1:
             prev_runs = []
         prev_r = r
         row_runs = []
-        while i < n_runs and starts[i, 0] == r:
-            row_runs.append((int(starts[i, 1]), int(ends_c[i])))
+        while i < n_runs and srows[i] == r:
+            row_runs.append((scols[i], ecols[i]))
             i += 1
         cur_runs: list[tuple[int, int, int]] = []
         for c0, c1 in row_runs:

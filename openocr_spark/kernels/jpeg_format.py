@@ -136,30 +136,49 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        # Refill to >= 41 buffered bits (was: >= 25), with a bulk fast
+        # path: a 4-byte chunk with no 0xFF needs no unstuff/marker
+        # handling and lands in one int.from_bytes — this loop is the
+        # hottest line of the JPEG entropy decode (guide §1.2 per-task
+        # work). Locals + end-of-call state writeback avoid ~10
+        # attribute accesses per buffered byte. Consumers read only the
+        # low `nbits` bits of `acc` (every read masks/shifts), so
+        # masking once at the end instead of every byte is equivalent.
         d = self.data
-        while self.nbits <= 24:
-            if self.pos >= len(d):
-                self.acc = (self.acc << 8) & 0xFFFFFFFF
-                self.nbits += 8  # pad with zeros past EOI (spec allows)
-                continue
-            b = d[self.pos]
-            if b == 0xFF:
-                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-                if nxt == 0x00:
-                    self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7:
-                    # restart marker — consumed by restart(), not here
-                    self.acc = (self.acc << 8) & 0xFFFFFFFF
-                    self.nbits += 8
+        pos = self.pos
+        acc = self.acc
+        nb = self.nbits
+        n = len(d)
+        while nb <= 40:
+            if pos + 4 <= n:
+                chunk = d[pos : pos + 4]
+                if 0xFF not in chunk:
+                    acc = (acc << 32) | int.from_bytes(chunk, "big")
+                    nb += 32
+                    pos += 4
                     continue
+            if pos >= n:
+                acc <<= 8
+                nb += 8  # pad with zeros past EOI (spec allows)
+                continue
+            b = d[pos]
+            if b == 0xFF:
+                nxt = d[pos + 1] if pos + 1 < n else 0xD9
+                if nxt == 0x00:
+                    pos += 2
                 else:
-                    self.acc = (self.acc << 8) & 0xFFFFFFFF
-                    self.nbits += 8
+                    # restart (consumed by restart(), not here) or any
+                    # other marker: stop producing real bits, pad zeros
+                    acc <<= 8
+                    nb += 8
                     continue
             else:
-                self.pos += 1
-            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
-            self.nbits += 8
+                pos += 1
+            acc = (acc << 8) | b
+            nb += 8
+        self.pos = pos
+        self.acc = acc & ((1 << nb) - 1)
+        self.nbits = nb
 
     def bit(self) -> int:
         if self.nbits == 0:
@@ -170,7 +189,7 @@ class _BitReader:
     def bits(self, n: int) -> int:
         if n == 0:
             return 0
-        if self.nbits < n:  # _fill leaves ≥ 25 buffered bits, n ≤ 16
+        if self.nbits < n:  # _fill leaves ≥ 41 buffered bits, n ≤ 16
             self._fill()
         self.nbits -= n
         return (self.acc >> self.nbits) & ((1 << n) - 1)
@@ -848,18 +867,26 @@ def _sequential_scan(data, pos, frame, scan, htables, restart_interval, store):
     # (PRED = 0); _progressive_planes omits their level shift
     diff_frame = bool(frame.get("differential"))
 
-    def decode_block(comp, td, ta, by, bx):
+    # hoist the per-scan-component Huffman tables + stores out of the
+    # per-block loop: the (class, id) dict lookups allocated a key
+    # tuple per block (two per block, hot path — guide §1.2)
+    resolved = {
+        c["id"]: (htables[(0, td)], htables[(1, ta)], store[c["id"]])
+        for c, td, ta in scan
+    }
+
+    def decode_block(cid, tdc, tac, cstore, by, bx):
         zz = [0] * 64
-        t = _huff_decode(r, htables[(0, td)])
+        t = _huff_decode(r, tdc)
         diff = _extend(r.bits(t), t) if t else 0
         if diff_frame:
             zz[0] = diff
         else:
-            pred[comp["id"]] += diff
-            zz[0] = pred[comp["id"]]
+            pred[cid] += diff
+            zz[0] = pred[cid]
         k = 1
         while k < 64:
-            rs = _huff_decode(r, htables[(1, ta)])
+            rs = _huff_decode(r, tac)
             rrrr, ssss = rs >> 4, rs & 0x0F
             if ssss == 0:
                 if rrrr == 15:  # ZRL: 16 zeros
@@ -871,7 +898,7 @@ def _sequential_scan(data, pos, frame, scan, htables, restart_interval, store):
                 raise NotImplementedError("JPEG: AC index overflow")
             zz[k] = _extend(r.bits(ssss), ssss)
             k += 1
-        store[comp["id"]][by, bx] = zz
+        cstore[by, bx] = zz
 
     n = 0  # MCUs since scan start (restart intervals count MCUs)
     if len(scan) > 1:  # interleaved: MCU order over the padded grid
@@ -886,23 +913,27 @@ def _sequential_scan(data, pos, frame, scan, htables, restart_interval, store):
                     r.restart()
                     for cid in pred:
                         pred[cid] = 0
-                for comp, td, ta in scan:
+                for comp, _td, _ta in scan:
+                    cid = comp["id"]
+                    tdc, tac, cstore = resolved[cid]
                     for by in range(comp["v"]):
                         for bx in range(comp["h"]):
                             decode_block(
-                                comp, td, ta,
+                                cid, tdc, tac, cstore,
                                 my * comp["v"] + by, mx * comp["h"] + bx,
                             )
                 n += 1
     else:
-        comp, td, ta = scan[0]
+        comp, _td, _ta = scan[0]
+        cid = comp["id"]
+        tdc, tac, cstore = resolved[cid]
         bh, bw = _comp_blocks(frame, comp)
         for by in range(bh):
             for bx in range(bw):
                 if restart_interval and n and n % restart_interval == 0:
                     r.restart()
-                    pred[comp["id"]] = 0
-                decode_block(comp, td, ta, by, bx)
+                    pred[cid] = 0
+                decode_block(cid, tdc, tac, cstore, by, bx)
                 n += 1
 
 

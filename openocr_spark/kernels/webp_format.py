@@ -71,10 +71,19 @@ class _LSBReader:
         self.n = 0
 
     def _fill(self, need: int) -> None:
+        # bulk refill: grab 6 bytes at once (LSB-first == little-endian
+        # int.from_bytes) so the per-symbol read path refills every few
+        # symbols instead of byte-at-a-time — this was the hottest
+        # function of the VP8L decode (guide §1.2 per-task work). Past
+        # EOF the zero-pad loop reproduces the old behavior exactly
+        # (bytepos keeps advancing, virtual zero bytes).
         d, bp, buf, n = self.d, self.bytepos, self.buf, self.n
-        ln = len(d)
-        while n < need:
-            buf |= (d[bp] if bp < ln else 0) << n
+        chunk = d[bp : bp + 6]
+        if chunk:
+            buf |= int.from_bytes(chunk, "little") << n
+            n += 8 * len(chunk)
+            bp += len(chunk)
+        while n < need:  # zero-pad past EOF
             n += 8
             bp += 1
         self.bytepos, self.buf, self.n = bp, buf, n

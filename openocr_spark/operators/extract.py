@@ -323,18 +323,26 @@ def _media_kernel(cfg: ExtractConfig, synthesize: bool):
 
         for pdf in batches:
             out_text = []
-            for i in range(len(pdf)):
-                if synthesize:
-                    p = payload_for_media_ref(pdf["media_ref"].iloc[i])
-                    prob, regions = p["score_map"], p["regions"]
-                else:
-                    h = int(pdf["height"].iloc[i])
-                    w = int(pdf["width"].iloc[i])
-                    prob = _prob_from_buffer(pdf["score_map"].iloc[i], h, w)
-                    regions = list(pdf["regions"].iloc[i])
-                out_text.append(
-                    _process_media_arrays(prob, regions, cfg, decode)
-                )
+            # iterate materialized column lists, not .iloc — per-row
+            # pandas scalar indexing costs µs each and this loop runs
+            # once per media span (guide §1.2 per-task work)
+            if synthesize:
+                for ref in pdf["media_ref"].tolist():
+                    p = payload_for_media_ref(ref)
+                    out_text.append(
+                        _process_media_arrays(
+                            p["score_map"], p["regions"], cfg, decode
+                        )
+                    )
+            else:
+                for h, w, sm, regs in zip(
+                    pdf["height"].tolist(), pdf["width"].tolist(),
+                    pdf["score_map"], pdf["regions"],
+                ):
+                    prob = _prob_from_buffer(sm, int(h), int(w))
+                    out_text.append(
+                        _process_media_arrays(prob, list(regs), cfg, decode)
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
