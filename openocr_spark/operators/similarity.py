@@ -389,23 +389,36 @@ def near_dup_pairs_lsh(
 
     # spread the hash-side projection: a single-row-group input would
     # otherwise run ALL bands×bits hyperplane dots — and the band
-    # self-join probe — on one core (guide §2.5); no-op at scale
+    # self-join probe — on one core (guide §2.5); no-op at scale.
+    # The sliced/padded hash input is projected ONCE per row
+    # (presliced_for_sign_bucket) so the per-bit dots skip their two
+    # per-(row, bit) slice copies — bit-identical, see sign_bucket.
     projected = spread(
-        emb.select(F.col(id_col).alias("id"), vec.alias("_v"))
+        emb.select(
+            F.col(id_col).alias("id"),
+            presliced_for_sign_bucket(vec, hash_dims).alias("_vs"),
+        )
     )
-    pv = F.col("_v")
+    pv = F.col("_vs")
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(t).alias("band"),
-                sign_bucket(pv, bits, seed=seed + 1000 * t, dims=hash_dims).alias("bucket"),
+                sign_bucket(
+                    pv, bits, seed=seed + 1000 * t, dims=hash_dims,
+                    pre_sliced=True,
+                ).alias("bucket"),
             )
             for t in range(bands)
         ]
     )
+    # localCheckpoint (lazy): the band relation is BOTH sides of the
+    # candidate self-join — without it the whole hash lineage runs
+    # twice (the same reasoning as lsh_candidate_pairs); the
+    # materialized relation is bands·n tiny rows
     tagged = projected.select("id", band_arr.alias("bs")).select(
         "id", F.explode("bs").alias("b")
-    ).select("id", "b.band", "b.bucket")
+    ).select("id", "b.band", "b.bucket").localCheckpoint(eager=False)
     a, b = tagged.alias("a"), tagged.alias("b")
     # candidate pairs WITHOUT the pre-verify distinct: a pair colliding
     # in k bands flows to the verify k times and the dedup happens on
@@ -514,7 +527,10 @@ def near_dup_pairs_lsh_tuned(
     )
 
 
-def sign_bucket(vec: Column, bits: int, seed: int = 7, dims: int = 64) -> Column:
+def sign_bucket(
+    vec: Column, bits: int, seed: int = 7, dims: int = 64,
+    pre_sliced: bool = False,
+) -> Column:
     """Random-hyperplane sign-LSH bucket id (0..2^bits-1): bit j is the
     sign of v·h_j for a deterministic pseudo-random hyperplane h_j
     (elements ±1 from md5(seed, j, dim-index) parity — engine-portable,
@@ -528,12 +544,29 @@ def sign_bucket(vec: Column, bits: int, seed: int = 7, dims: int = 64) -> Column
     wider than `dims` the hash projects onto the first `dims`
     coordinates — still a valid bucketing (identical vectors always
     collide; the collision-probability formula then applies to the
-    subspace angle); raise `dims` to hash every coordinate."""
+    subspace angle); raise `dims` to hash every coordinate.
+
+    `pre_sliced=True` declares that the caller already projected
+    `presliced_for_sign_bucket(vec, dims)` — the vector sliced to at
+    most `dims` elements and ZERO-padded to exactly `dims` — into the
+    column it passes (see near_dup_pairs_lsh). The per-bit dot then
+    zips two equal-length arrays with no per-bit slicing. Bit-identical
+    to the unsliced form: for i ≤ len(vec) the products and fold order
+    are unchanged; the padded tail contributes 0.0·(±1) = ±0.0 terms
+    to a fold whose accumulator starts at 0.0, and appending ±0.0 to
+    such a sum never changes its bits; interior null elements still
+    null-poison the dot through the same x*y product; a null vector
+    stays null through slice/concat. The rewrite exists because
+    expression-level CSE does not reach inside higher-order functions:
+    the unsliced form re-evaluates TWO 64-element slice copies per
+    (row, bit) — 2·bits array allocations per row, the hash pass's
+    hottest allocation site."""
     import hashlib
 
     code = F.lit(0)
-    n = F.least(F.size(vec), F.lit(dims))
-    v = F.slice(vec, 1, n)
+    if not pre_sliced:
+        n = F.least(F.size(vec), F.lit(dims))
+        v = F.slice(vec, 1, n)
     for j in range(bits):
         signs = [
             1.0
@@ -541,14 +574,33 @@ def sign_bucket(vec: Column, bits: int, seed: int = 7, dims: int = 64) -> Column
             else -1.0
             for i in range(dims)
         ]
-        hj = F.slice(F.array(*[F.lit(s) for s in signs]), 1, n)
-        dot_j = F.aggregate(
-            F.zip_with(v, hj, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        if pre_sliced:
+            hj = F.array(*[F.lit(s) for s in signs])
+            dot_j = F.aggregate(
+                F.zip_with(vec, hj, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        else:
+            hj = F.slice(F.array(*[F.lit(s) for s in signs]), 1, n)
+            dot_j = F.aggregate(
+                F.zip_with(v, hj, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
         code = code + F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return code
+
+
+def presliced_for_sign_bucket(vec: Column, dims: int = 64) -> Column:
+    """slice-to-dims + zero-pad-to-dims projection for
+    sign_bucket(pre_sliced=True) — computed ONCE per row instead of
+    per (row, bit). See sign_bucket's pre_sliced note for the
+    bit-identity argument."""
+    n = F.least(F.size(vec), F.lit(dims))
+    return F.concat(
+        F.slice(vec, 1, n), F.array_repeat(F.lit(0.0), F.lit(dims) - n)
+    )
 
 
 def near_dup_pairs(

@@ -54,6 +54,42 @@ def test_lsh_late_distinct_no_duplicate_pairs(spark):
     assert len(got) == len(set(got)) and len(got) >= 5
 
 
+def test_sign_bucket_presliced_equals_unsliced(spark):
+    """The pre_sliced fast path (caller-projected slice+zero-pad, no
+    per-bit slicing) must bucket identically to the classic form for
+    short, exact, and over-wide vectors, interior null elements, and
+    null vectors."""
+    import random
+
+    random.seed(3)
+    rows = []
+    for i in range(200):
+        width = random.choice([8, 32, 64, 64, 80])
+        v = [random.uniform(-1, 1) for _ in range(width)]
+        if i % 17 == 0 and width >= 3:
+            v[2] = None  # interior null must null-poison both paths
+        rows.append((i, v))
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    classic = df.select(
+        "vec_id",
+        *[similarity.sign_bucket(F.col("embedding"), 4, seed=7 + 1000 * t)
+          .alias(f"b{t}") for t in range(3)],
+    )
+    pres = df.select(
+        "vec_id",
+        similarity.presliced_for_sign_bucket(F.col("embedding"), 64).alias("_vs"),
+    ).select(
+        "vec_id",
+        *[similarity.sign_bucket(F.col("_vs"), 4, seed=7 + 1000 * t,
+                                 pre_sliced=True).alias(f"b{t}")
+          for t in range(3)],
+    )
+    assert sorted(map(tuple, classic.collect())) == sorted(
+        map(tuple, pres.collect())
+    )
+
+
 def test_spread_noop_when_parallel_and_preserves_rows(spark):
     df = spark.range(0, 1000, 1, 64)
     assert spread(df) is df  # already ≥ defaultParallelism partitions
