@@ -876,9 +876,31 @@ def _sequential_scan(data, pos, frame, scan, htables, restart_interval, store):
     }
 
     def decode_block(cid, tdc, tac, cstore, by, bx):
+        # _huff_decode/_extend/bits are inlined here (the only per-
+        # coefficient call sites of the sequential scan): the bodies
+        # are copied line for line — peek16's fill check + 16-bit LUT
+        # probe, EXTEND's two-branch sign mapping — so the consumed bit
+        # stream and the raised invalid-code error are unchanged
+        # (guide §1.2 per-task work; pinned by the codec fuzz suite).
         zz = [0] * 64
-        t = _huff_decode(r, tdc)
-        diff = _extend(r.bits(t), t) if t else 0
+        dc_len, dc_sym = tdc.lut_len, tdc.lut_sym
+        ac_len, ac_sym = tac.lut_len, tac.lut_sym
+        if r.nbits < 16:
+            r._fill()
+        w16 = (r.acc >> (r.nbits - 16)) & 0xFFFF
+        t = dc_len[w16]
+        if t == 0:
+            raise NotImplementedError("JPEG: invalid Huffman code")
+        r.nbits -= t
+        t = dc_sym[w16]
+        if t:
+            if r.nbits < t:
+                r._fill()
+            r.nbits -= t
+            v = (r.acc >> r.nbits) & ((1 << t) - 1)
+            diff = v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+        else:
+            diff = 0
         if diff_frame:
             zz[0] = diff
         else:
@@ -886,7 +908,14 @@ def _sequential_scan(data, pos, frame, scan, htables, restart_interval, store):
             zz[0] = pred[cid]
         k = 1
         while k < 64:
-            rs = _huff_decode(r, tac)
+            if r.nbits < 16:
+                r._fill()
+            w16 = (r.acc >> (r.nbits - 16)) & 0xFFFF
+            ln = ac_len[w16]
+            if ln == 0:
+                raise NotImplementedError("JPEG: invalid Huffman code")
+            r.nbits -= ln
+            rs = ac_sym[w16]
             rrrr, ssss = rs >> 4, rs & 0x0F
             if ssss == 0:
                 if rrrr == 15:  # ZRL: 16 zeros
@@ -896,7 +925,11 @@ def _sequential_scan(data, pos, frame, scan, htables, restart_interval, store):
             k += rrrr
             if k > 63:
                 raise NotImplementedError("JPEG: AC index overflow")
-            zz[k] = _extend(r.bits(ssss), ssss)
+            if r.nbits < ssss:
+                r._fill()
+            r.nbits -= ssss
+            v = (r.acc >> r.nbits) & ((1 << ssss) - 1)
+            zz[k] = v - (1 << ssss) + 1 if v < (1 << (ssss - 1)) else v
             k += 1
         cstore[by, bx] = zz
 

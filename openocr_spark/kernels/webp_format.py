@@ -245,18 +245,69 @@ def _decode_entropy_image(br: _LSBReader, w: int, h: int,
     pos = 0
     total = w * h
     cache_shift = 32 - cache_bits if cache_bits else 0
+    # Hot-loop form (guide §1.2 per-task work): each prefix code is
+    # pre-lowered to a (single, max_len, mask, lut) tuple and the read
+    # body is inlined at the use sites below — a literal pixel costs 4
+    # prefix reads, and the _Prefix.read call dispatch + attribute
+    # walks were the measured top of the VP8L profile. The inline body
+    # is read()'s, line for line (fill check, LUT index, shift), so
+    # the consumed bit stream is identical; the distance code keeps
+    # the method call (backrefs are ~1% of symbols here).
+    def _lower(p: _Prefix):
+        if p.single is not None:
+            return (p.single, 0, 0, None)
+        return (None, p.max_len, (1 << p.max_len) - 1, p.lut)
+
+    lowered = [
+        tuple(_lower(c) for c in grp_codes) for grp_codes in codes
+    ]
+    fill = br._fill
     while pos < total:
         if meta is not None:
             x, y = pos % w, pos // w
-            grp = codes[int(meta[y >> meta_bits, x >> meta_bits])]
+            gi = int(meta[y >> meta_bits, x >> meta_bits])
+            grp = codes[gi]
+            low = lowered[gi]
         else:
             grp = codes[0]
-        gcode, rcode, bcode, acode, dcode = grp
-        s = gcode.read(br)
+            low = lowered[0]
+        gs, gk, gmask, glut = low[0]
+        if gs is not None:
+            s = gs
+        else:
+            if br.n < gk:
+                fill(gk)
+            s, ln = glut[br.buf & gmask]
+            br.buf >>= ln
+            br.n -= ln
         if s < 256:
-            red = rcode.read(br)
-            blue = bcode.read(br)
-            alpha = acode.read(br)
+            cs, ck, cmask, clut = low[1]
+            if cs is not None:
+                red = cs
+            else:
+                if br.n < ck:
+                    fill(ck)
+                red, ln = clut[br.buf & cmask]
+                br.buf >>= ln
+                br.n -= ln
+            cs, ck, cmask, clut = low[2]
+            if cs is not None:
+                blue = cs
+            else:
+                if br.n < ck:
+                    fill(ck)
+                blue, ln = clut[br.buf & cmask]
+                br.buf >>= ln
+                br.n -= ln
+            cs, ck, cmask, clut = low[3]
+            if cs is not None:
+                alpha = cs
+            else:
+                if br.n < ck:
+                    fill(ck)
+                alpha, ln = clut[br.buf & cmask]
+                br.buf >>= ln
+                br.n -= ln
             px = (alpha << 24) | (red << 16) | (s << 8) | blue
             out[pos] = px
             pos += 1
@@ -264,7 +315,7 @@ def _decode_entropy_image(br: _LSBReader, w: int, h: int,
                 cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> cache_shift] = px
         elif s < 280:  # LZ77 backward reference
             length = _prefix_value(s - 256, br)
-            dist_code = _prefix_value(dcode.read(br), br)
+            dist_code = _prefix_value(grp[4].read(br), br)
             if dist_code > 120:
                 dist = dist_code - 120
             else:
