@@ -230,8 +230,9 @@ def minhash_bands_expr(sh_col):
     """Per-ROW MinHash band keys as a pure column expression (no
     explode/groupBy) over an ALREADY-PROJECTED shingle-array column:
     h_s = array_min over the shingles of md5(shingle + seed) — the same
-    values dedup.minhash_signatures computes relationally (min over a
-    set is order-free), and the band grouping comes from the SHARED
+    values (and, since r7, the same array_min formulation)
+    dedup.minhash_signatures computes (min over a set is order-free),
+    and the band grouping comes from the SHARED
     dedup.band_structs helper, so streaming and batch band keys are
     bit-identical by construction. Pass a named column (project
     shingle_array once in a prior select) — inlining the shingle
