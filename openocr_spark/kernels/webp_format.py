@@ -115,7 +115,8 @@ class _Prefix:
         if max_len > 15:
             raise NotImplementedError("VP8L prefix code deeper than 15")
         self.max_len = max_len
-        lut = [None] * (1 << max_len)
+        size = 1 << max_len
+        lut = [None] * size
         code = 0
         prev_len = 0
         for ln, sym in sorted(nz):
@@ -128,10 +129,16 @@ class _Prefix:
                 c >>= 1
             step = 1 << ln
             entry = (sym, ln)
-            for filler in range(rev, 1 << max_len, step):
-                lut[filler] = entry
+            # strided slice assignment instead of a Python fill loop —
+            # deep tables fill thousands of slots per symbol; len(range)
+            # reproduces the old loop's slot set exactly (incl. the
+            # malformed-stream case where code overflow pushes rev past
+            # the table and fills nothing)
+            lut[rev::step] = [entry] * len(range(rev, size, step))
             code += 1
-        if any(e is None for e in lut):
+        # same completeness semantics as the old any()-scan, but as a
+        # C-level membership test instead of a per-slot genexpr
+        if None in lut:
             raise NotImplementedError("incomplete VP8L prefix code")
         self.lut = lut
 
