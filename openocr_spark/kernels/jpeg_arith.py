@@ -136,14 +136,21 @@ class ArithDecoder:
         self.ct = 8
 
     def decode(self, ctx: _Ctx) -> int:
+        # local-variable form of the spec's DECODE + RENORMD (with
+        # _bytein inlined): this method runs once per coded decision
+        # and the self.a/self.c/self.ct attribute traffic was the
+        # hottest remaining line of the arithmetic decode once the
+        # IDCT stopped dominating (guide §1.2). Control flow and
+        # arithmetic are line-for-line the previous form's.
         qe, nmps, nlps, switch = QE_TABLE[ctx.idx]
-        self.a -= qe
-        chigh = (self.c >> 16) & 0xFFFF
-        if chigh < self.a:
-            if self.a & 0x8000:
+        a = self.a - qe
+        c = self.c
+        if (c >> 16) & 0xFFFF < a:
+            if a & 0x8000:
+                self.a = a
                 return ctx.mps
             # MPS_EXCHANGE
-            if self.a < qe:
+            if a < qe:
                 d = 1 - ctx.mps
                 if switch:
                     ctx.mps = 1 - ctx.mps
@@ -153,9 +160,9 @@ class ArithDecoder:
                 ctx.idx = nmps
         else:
             # LPS path: remove the MPS sub-interval from C
-            self.c -= self.a << 16
+            c -= a << 16
             # LPS_EXCHANGE
-            if self.a < qe:
+            if a < qe:
                 d = ctx.mps
                 ctx.idx = nmps
             else:
@@ -163,14 +170,19 @@ class ArithDecoder:
                 if switch:
                     ctx.mps = 1 - ctx.mps
                 ctx.idx = nlps
-            self.a = qe
-        # RENORMD
-        while self.a < 0x8000:
-            if self.ct == 0:
-                self._bytein()
-            self.a = (self.a << 1) & 0xFFFFFFFF
-            self.c = (self.c << 1) & 0xFFFFFFFF
-            self.ct -= 1
+            a = qe
+        # RENORMD (with _bytein inlined)
+        ct = self.ct
+        while a < 0x8000:
+            if ct == 0:
+                c += self._byte() << 8
+                ct = 8
+            a = (a << 1) & 0xFFFFFFFF
+            c = (c << 1) & 0xFFFFFFFF
+            ct -= 1
+        self.a = a
+        self.c = c
+        self.ct = ct
         return d
 
     def align_restart(self) -> None:
