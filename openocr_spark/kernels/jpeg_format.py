@@ -1051,20 +1051,23 @@ def _assemble(planes: dict, frame: dict) -> np.ndarray:
 
 def _next_marker(data: bytes, pos: int) -> int:
     """Skip entropy-coded bytes: stop at the next real marker (0xFF
-    followed by anything but 0x00 stuffing, RSTn, or 0xFF fill)."""
+    followed by anything but 0x00 stuffing, RSTn, or 0xFF fill).
+    Jumps between 0xFF sightings with bytes.find (C-level scan)
+    instead of walking every entropy byte in Python — same stopping
+    byte, same return value, including the return-n end cases."""
     n = len(data)
     while pos + 1 < n:
-        if data[pos] == 0xFF:
-            nxt = data[pos + 1]
-            if nxt == 0xFF:
-                pos += 1  # fill byte
-                continue
-            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
-                return pos
-            pos += 2
+        ff = data.find(b"\xff", pos, n - 1)
+        if ff < 0:
+            return n
+        pos = ff
+        nxt = data[pos + 1]
+        if nxt == 0xFF:
+            pos += 1  # fill byte
             continue
-        pos += 1
-    return n
+        if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+            return pos
+        pos += 2
 
 
 def _alloc_coef_store(frame: dict) -> dict[int, np.ndarray]:
